@@ -1,0 +1,242 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Exact dedup + surrogate-key dimension build re-express the reference's
+get_or_insert (scripts/course_catalog.py:65-87).  The fuzzy family is the
+north-star LLM-pipeline surface (BASELINE.json): all are pure DataFrame
+compositions — shingle -> hash -> band -> co-bucket join -> verify — with
+no Python in the hot path (xxhash64 / bit ops are JVM codegen'd).
+
+Scale notes (100 TB):
+  - the LSH band join shuffles on (band_id, band_hash); band hashes are
+    near-uniform so no skew. Candidate verification joins doc payloads
+    back by id — a hash join on the doc-id, broadcastable per-bucket.
+  - exact-Jaccard verification is O(candidate pairs), not O(n^2): LSH
+    bounds the candidate set.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def dedup_exact(df: DataFrame, keys: Sequence[str] | None = None) -> DataFrame:
+    """Exact dedup: full-row or by natural key (SURVEY.md B1)."""
+    return df.dropDuplicates(list(keys)) if keys else df.dropDuplicates()
+
+
+def dedup_keyed_latest(df: DataFrame, keys: Sequence[str], order_by: Sequence[str]) -> DataFrame:
+    """Keep the most recent row per key (reference upsert shape, A11)."""
+    w = W.partitionBy(*keys).orderBy(*[F.desc(c) for c in order_by])
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def build_dim(
+    df: DataFrame, natural_key: Sequence[str], contiguous: bool = True
+) -> DataFrame:
+    """Deduplicated dimension with surrogate key (get_or_insert, A8).
+
+    contiguous=True: row_number over a global order — exact SERIAL semantics
+    but single-partition window; use only for small dims (they are small by
+    definition here — categories/subcategories).  contiguous=False: xxhash64
+    of the natural key — shuffle-free, collision-checked by uniqueness of
+    the natural key itself, the 100 TB path.
+    """
+    dim = df.select(*natural_key).dropDuplicates(list(natural_key))
+    if contiguous:
+        w = W.orderBy(*natural_key)
+        return dim.withColumn("dim_id", F.row_number().over(w).cast("bigint"))
+    return dim.withColumn("dim_id", F.xxhash64(*natural_key))
+
+
+def resolve_fk(facts: DataFrame, dim: DataFrame, natural_key: Sequence[str]) -> DataFrame:
+    """Broadcast-join facts to the dim to attach dim_id (A8/A9): the
+    set-oriented replacement for the reference's per-record SELECT
+    (scripts/course_catalog.py:69-71)."""
+    return facts.join(F.broadcast(dim), list(natural_key), "left")
+
+
+# ---------------------------------------------------------------------------
+# Shingling + fuzzy dedup
+# ---------------------------------------------------------------------------
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of a text column, as array<string>.
+
+    Pure JVM expressions: split -> transform over an index sequence.
+    """
+    toks = F.split(text, " ")
+    # guard: texts shorter than n tokens get a single shingle of the whole text
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(F.array(text))
+
+
+def exact_jaccard_pairs(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """All-pairs n-gram Jaccard >= threshold via shingle co-occurrence join.
+
+    Not O(n^2): pairs only materialize for docs sharing >= 1 shingle. This is
+    the verification primitive; at scale run it only on LSH candidates.
+    Output: (id_a, id_b, n_a, n_b, n_common, jaccard) with id_a < id_b.
+    """
+    sh = (
+        docs.select(F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), n).alias("sh"))
+        .select("doc_id", F.explode("sh").alias("shingle"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "n_a", "n_b", "n_common", "jaccard")
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 16
+) -> DataFrame:
+    """MinHash signature per doc: num_perm seeded xxhash64 minima.
+
+    One explode + one groupBy with num_perm min() aggregates — a single
+    shuffle on doc_id, all JVM-side.  Output: (doc_id, h0..h{num_perm-1}).
+    """
+    sh = (
+        docs.select(F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), n).alias("sh"))
+        .select("doc_id", F.explode("sh").alias("shingle"))
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_perm)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH candidate generation, then exact-Jaccard verify.
+
+    bands * rows_per_band == num_perm; a pair collides if any band's rows all
+    match — the classic S-curve.  Candidates are verified with exact n-gram
+    Jaccard so the output has no false positives (recall is probabilistic).
+    Output: (id_a, id_b, jaccard).
+    """
+    rows_per = num_perm // bands
+    sig = minhash_signatures(docs, id_col, text_col, n=n, num_perm=num_perm)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"h{b * rows_per + r}") for r in range(rows_per)]).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    exact = exact_jaccard_pairs(docs, id_col, text_col, n=n, threshold=threshold)
+    return cand.join(exact, ["id_a", "id_b"], "inner").select("id_a", "id_b", "jaccard")
+
+
+def simhash64(text: Column, n: int = 2) -> Column:
+    """64-bit SimHash of word n-gram features, as a JVM expression tree.
+
+    For each bit position j, sum +-1 over feature hashes' bit j; bit j of
+    the result is 1 iff the sum is positive.  Expressed with
+    F.aggregate over the shingle array — no Python in the loop.
+    """
+    grams = word_shingles(text, n)
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    bit_sums = [
+        F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+        for j in range(64)
+    ]
+    out = F.lit(0).cast("long")
+    for j, s in enumerate(bit_sums):
+        out = out + F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def simhash_pairs(
+    docs: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Banding: split the 64-bit hash into 4 16-bit chunks; any pair within
+    Hamming 3 must agree on >= 1 chunk (pigeonhole), so co-bucket join on
+    chunks finds all of them without O(n^2).
+    """
+    sh = docs.select(F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("sh"))
+    chunks = sh.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sh"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "sh", F.col("ck.chunk").alias("chunk"), F.col("ck.cv").alias("cv"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

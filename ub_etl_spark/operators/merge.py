@@ -1,0 +1,61 @@
+"""Set-oriented merge semantics (SURVEY.md A10/A11/A18).
+
+The reference does per-record ``INSERT ... ON CONFLICT DO NOTHING``
+(scripts/course_catalog.py:99) and ``ON CONFLICT (user_id, course_id) DO
+UPDATE`` (scripts/user_course_activity.py:81-102) — one DB round-trip per
+row.  The Spark-native equivalents are set-oriented:
+
+  - insert-if-absent  -> left anti-join + union (one shuffle, no per-row IO)
+  - upsert latest-wins -> union + ranking window, or (scale path) partition-
+    scoped overwrite / Delta MERGE when a transactional table format is on
+    the classpath.
+
+At 100 TB the anti-join/window shuffles hash-partition on the merge key, so
+each task holds one key range; AQE splits skewed keys.  The window dedup is
+a single shuffle — same cost class as the MERGE's join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+_VERSION_COL = "__version"
+_RN_COL = "__rn"
+
+
+def insert_if_absent(existing: DataFrame, incoming: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Idempotent append: keep existing rows, add only unseen keys.
+
+    Spark-native ON CONFLICT DO NOTHING (scripts/course_catalog.py:99):
+    first writer wins, re-application is a fixpoint.
+    """
+    fresh = incoming.join(existing.select(*keys).dropDuplicates(list(keys)), list(keys), "left_anti")
+    return existing.unionByName(fresh)
+
+
+def upsert_latest_wins(
+    existing: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Merge with update-wins semantics on ``keys``.
+
+    Spark-native ON CONFLICT DO UPDATE (scripts/user_course_activity.py:81-102).
+    ``order_by``: recency columns (descending) used to pick the winner among
+    duplicates *within* a generation; updates always beat existing rows.
+    Deterministic as long as (keys + order_by) is a total order per key group.
+    """
+    lhs = existing.withColumn(_VERSION_COL, F.lit(0))
+    rhs = updates.withColumn(_VERSION_COL, F.lit(1))
+    all_rows = lhs.unionByName(rhs)
+    order_cols = [F.desc(_VERSION_COL)] + [F.desc(c) for c in (order_by or [])]
+    w = W.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        all_rows.withColumn(_RN_COL, F.row_number().over(w))
+        .filter(F.col(_RN_COL) == 1)
+        .drop(_RN_COL, _VERSION_COL)
+    )

@@ -1,0 +1,108 @@
+"""Multimodal column operators (SURVEY.md B6).
+
+Images/audio/video are opaque ``binary`` columns with a typed metadata
+struct.  The Spark-side plumbing — schema, Arrow batch shape, mapInPandas
+signatures, partitioning — is real and tested; the actual codec step is
+STUBBED (image/audio libraries are not in this container): ``decode_*``
+raise NotImplementedError unless ``fake=True``, in which case a
+deterministic arithmetic fake derived from the payload bytes stands in, so
+the pipeline shape is exercised end-to-end.
+
+At 100 TB: payloads stay out of shuffles (decode early, project features,
+drop the binary column before any wide operation); `spark.read.format
+("binaryFile")` or parquet binary columns both feed this path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, payload binary, "
+    "meta struct<n_bytes: bigint, kind: string, content_md5: string>"
+)
+
+
+def with_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Attach an opaque binary payload + typed metadata struct.
+
+    The testdata has no true media blobs, so the documents' UTF-8 bytes act
+    as the payload; the schema/plumbing is identical for real media.
+    """
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length(F.col(text_col)).cast("bigint").alias("n_bytes"),
+            F.lit("text/plain").alias("kind"),
+            F.md5(payload).alias("content_md5"),
+        ).alias("meta"),
+    )
+
+
+def _fake_dims(n_bytes: int) -> tuple[int, int, int]:
+    """Deterministic stand-in for decoded media dimensions."""
+    return n_bytes % 640, n_bytes % 480, n_bytes % 30 + 1
+
+
+def decode_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas media decode -> feature rows.
+
+    Real path (fake=False) would use PIL/av per Arrow batch; not available
+    in this container, so it raises NotImplementedError.  The fake path
+    derives (width, height, n_frames) arithmetically from payload size —
+    deterministic, so the surrounding plumbing is fully testable.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media codecs (PIL/av) not available in this environment; "
+                    "use fake=True for the deterministic stand-in"
+                )
+            n_bytes = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "width": (n_bytes % 640).astype("int64"),
+                    "height": (n_bytes % 480).astype("int64"),
+                    "n_frames": (n_bytes % 30 + 1).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        decode,
+        schema="doc_id long, n_bytes long, width long, height long, n_frames long",
+    )
+
+
+def sample_frames(df: DataFrame, every_nth: int = 10, fake: bool = True) -> DataFrame:
+    """Frame sampling stub: one row per sampled frame index.
+
+    Real path decodes video and emits frames; the fake path emits the frame
+    indices the sampler *would* keep, driven by the fake frame count, so
+    the explode/partitioning shape is real.
+    """
+
+    def sampler(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("video codec not available; use fake=True")
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, n_frames = _fake_dims(len(payload))
+                rows.extend(
+                    {"doc_id": doc_id, "frame_idx": i}
+                    for i in range(0, n_frames, every_nth)
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx"])
+
+    return df.mapInPandas(sampler, schema="doc_id long, frame_idx long")

@@ -1,0 +1,173 @@
+"""Vector similarity operators over embedding columns (array<float>).
+
+North-star surface (BASELINE.json): brute-force exact top-k as the
+correctness baseline, plus a random-hyperplane LSH bucketed variant as the
+scale path.  Dot products are JVM-side ``aggregate(zip_with(...))``
+expression trees — sequential, deterministic, no Python per row.
+
+Scale notes (100 TB): exact knn is O(|Q| x |C|); keep |Q| bounded (a probe
+set) or use the LSH variant, which shuffles once on bucket id and only
+scores within-bucket pairs.  Block keys (label) further prune candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic (sequential) double-precision dot product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2(a: Column, b: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def knn_exact(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Brute-force top-k neighbors for each query vector.
+
+    Broadcast the (small) query set against the candidate corpus — one scan
+    of the corpus, no shuffle of the big side; the per-query top-k is a
+    ranking window on (query_id).  Ties broken by candidate id for
+    determinism.  Output: (query_id, neighbor_id, score, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                cosine(F.col("q_vec"), F.col("c_vec"))
+                if metric == "cosine"
+                else -l2(F.col("q_vec"), F.col("c_vec"))
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane(dim: int, plane_id: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from a hash recurrence
+    (no RNG dependency; reproducible across runs and engines)."""
+    vals = []
+    state = (plane_id * 2654435761 + 97531) & 0xFFFFFFFF
+    for _ in range(dim):
+        state = (1103515245 * state + 12345) & 0x7FFFFFFF
+        vals.append(state / 0x7FFFFFFF - 0.5)
+    return vals
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Random-hyperplane LSH bucket id: sign bits of n_planes projections."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in hyperplane(dim, p)])
+        proj = dot(vec, plane)
+        bucket = bucket + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def knn_ann_lsh(
+    embeddings: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: Column | None = None,
+) -> DataFrame:
+    """Approximate top-k: co-bucket candidates by hyperplane LSH, exact
+    re-rank within bucket.  One shuffle on bucket id; recall grows with
+    fewer planes (bigger buckets) — tune n_planes for the recall/cost point.
+    Output: (query_id, neighbor_id, score, rank)."""
+    withb = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("bucket", lsh_bucket(F.col("vec"), dim, n_planes))
+    q = withb.filter(query_filter if query_filter is not None else F.lit(True)).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("q_vec"), "bucket"
+    )
+    c = withb.select(F.col("id").alias("neighbor_id"), F.col("vec").alias("c_vec"), "bucket")
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
+
+    Blocked self-join: only pairs sharing ``block_col`` are scored, the
+    standard candidate-pruning move (at 100 TB the block key is an LSH
+    bucket; here the testdata ships a label column).
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,140 @@
+"""Dedup/key tier queries (SURVEY.md A8-A10, B1-B2 + extensions).
+
+Wraps operators/dedup.py.  The fuzzy family runs on the documents table;
+hash-seeded variants (MinHash, SimHash) have no portable SQL oracle — the
+engine-side xxhash64 is not available in DuckDB — so they are rows-only
+here and recall-verified against exact Jaccard in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ub_etl_spark.operators import dedup as D
+from ub_etl_spark.operators import merge as M
+from ub_etl_spark.registry import register
+from ub_etl_spark.sources.tables import load_table as T
+
+
+# B1: exact dedup (re-applied batch collapses to one copy)
+@register(
+    "dedup_exact",
+    tier="B",
+    oracle="""
+    SELECT DISTINCT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source FROM documents
+      UNION ALL
+      SELECT doc_id, lang, source FROM documents
+    ) t
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    doubled = d.unionByName(d)
+    return D.dedup_exact(doubled)
+
+
+# A8: get-or-insert -> dim build with contiguous surrogate keys +
+# broadcast FK resolution (scripts/course_catalog.py:65-87)
+@register(
+    "dedup_get_or_insert",
+    tier="A",
+    oracle="""
+    WITH dim AS (
+      SELECT p_brand, CAST(ROW_NUMBER() OVER (ORDER BY p_brand) AS BIGINT) AS dim_id
+      FROM (SELECT DISTINCT p_brand FROM part) t
+    )
+    SELECT p_partkey, p_brand, dim_id FROM part JOIN dim USING (p_brand)
+    """,
+)
+def dedup_get_or_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = T(spark, sf_dir, "part")
+    dim = D.build_dim(p, ["p_brand"], contiguous=True)
+    return D.resolve_fk(p, dim, ["p_brand"]).select("p_partkey", "p_brand", "dim_id")
+
+
+# A9: FK bridge construction (course_categories,
+# scripts/course_catalog.py:113-114)
+@register(
+    "bridge_join",
+    tier="A",
+    oracle="""
+    SELECT DISTINCT o_orderkey, c_nationkey
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def bridge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "c_nationkey")
+        .dropDuplicates(["o_orderkey", "c_nationkey"])
+    )
+
+
+# A10: insert-if-absent as left anti-join + union
+# (ON CONFLICT DO NOTHING, scripts/course_catalog.py:99)
+@register(
+    "insert_ignore_antijoin",
+    tier="A",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+    """,
+)
+def insert_ignore_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    existing = o.filter(F.col("o_orderkey") % 3 == 0)
+    incoming = o.filter(F.col("o_orderkey") % 2 == 0)
+    return M.insert_if_absent(existing, incoming, ["o_orderkey"])
+
+
+# B2: near-dup text dedup — exact n-gram Jaccard (the verification
+# primitive; SQL-expressible, so fully oracle-checked)
+@register(
+    "dedup_fuzzy",
+    tier="B",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 400
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+      WHERE len(t) >= 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_common,
+           n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    """,
+)
+def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return D.exact_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+# B2 scale path: MinHash + banded LSH (xxhash64 seeds — no portable oracle;
+# recall vs exact Jaccard asserted in tests/test_dedup.py)
+@register("dedup_minhash_lsh", tier="B", oracle=None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perm=16, bands=4, threshold=0.5)
+
+
+# SimHash near-dup (bit-sketch variant; rows-only for the same reason)
+@register("dedup_simhash", tier="B", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return D.simhash_pairs(docs, "doc_id", "text", max_hamming=8)

@@ -1,0 +1,54 @@
+"""Multimodal-column queries (SURVEY.md B6): binary payloads + typed
+metadata + mapInPandas decode plumbing, oracle-checked via arithmetic on
+byte lengths (the fake decode is deterministic in octet_length)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ub_etl_spark.operators.multimodal import decode_features, with_binary_payload
+from ub_etl_spark.registry import register
+from ub_etl_spark.sources.tables import load_table as T
+
+
+# Binary column + metadata struct projection
+@register(
+    "multimodal_columns",
+    tier="B",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           'text/plain' AS kind,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    media = with_binary_payload(d, "doc_id", "text")
+    return media.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.kind").alias("kind"),
+        F.col("meta.content_md5").alias("content_md5"),
+    )
+
+
+# mapInPandas decode stub: Arrow-batched binary -> feature rows; the fake
+# decode is a pure function of payload size, so DuckDB can oracle it.
+@register(
+    "multimodal_decode",
+    tier="B",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+           CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height,
+           CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return decode_features(with_binary_payload(d, "doc_id", "text"), fake=True)

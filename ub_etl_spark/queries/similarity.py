@@ -1,0 +1,78 @@
+"""Similarity-search tier (SURVEY.md B3/B4 + embedding near-dup).
+
+Wraps operators/vectors.py.  Exact knn and cosine-pair queries are
+oracle-checked against DuckDB's list_cosine_similarity; the LSH variant
+uses engine-side hyperplanes (no portable oracle) and is recall-verified
+against exact knn in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ub_etl_spark.operators import vectors as V
+from ub_etl_spark.registry import register
+from ub_etl_spark.sources.tables import load_table as T
+
+
+# B3: brute-force exact top-k cosine
+@register(
+    "sim_knn_exact",
+    tier="B",
+    oracle="""
+    SELECT query_id, neighbor_id,
+           floor(score * 1000000) / 1000000 AS score,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id
+             ) AS rank
+      FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+      CROSS JOIN embeddings c
+      WHERE q.vec_id <> c.vec_id
+    ) t WHERE rank <= 5
+    """,
+)
+def sim_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    out = V.knn_exact(q, e, k=5)
+    # rank is computed on the raw score; expose a floor-6dp score so the
+    # value hash is ulp-insensitive across engines
+    return out.withColumn("score", F.floor(F.col("score") * 1e6) / 1e6)
+
+
+# B4: approximate NN via random-hyperplane LSH buckets (rows-only; recall
+# asserted against exact knn in tests)
+@register("sim_ann_lsh", tier="B", oracle=None)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    return V.knn_ann_lsh(e, k=5, dim=64, n_planes=4, query_filter=F.col("id") < 10)
+
+
+# Embedding-cosine near-dup pairs, label-blocked
+@register(
+    "dedup_embedding_cosine",
+    tier="B",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) * 1000000)
+             / 1000000 AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.8
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    out = V.cosine_near_dup_pairs(e, threshold=0.8, block_col="label")
+    return out.withColumn("cos_sim", F.floor(F.col("cos_sim") * 1e6) / 1e6)

@@ -1,0 +1,157 @@
+"""Streaming-semantics tier in batch mode (SURVEY.md B8/B9).
+
+Spark's F.window/session_window produce identical results in batch and
+streaming (same Catalyst operator); these batch queries are the
+oracle-checkable twins of the Structured Streaming pipelines in
+ub_etl_spark/streaming/, which tests/test_streaming.py replays with real
+readStream + watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ub_etl_spark.functions.exact import DEC
+from ub_etl_spark.operators.dedup import dedup_keyed_latest
+from ub_etl_spark.registry import register
+from ub_etl_spark.sources.tables import load_table as T
+
+
+# B8: tumbling window aggregation
+@register(
+    "stream_tumbling_agg",
+    tier="B",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+# B8: sliding window aggregation (each event lands in size/slide windows)
+@register(
+    "stream_sliding_agg",
+    tier="B",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' AS window_start, value
+      FROM events
+    )
+    SELECT window_start,
+           window_start + INTERVAL '10 minutes' AS window_end,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS total_value
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+# Sessionization: 30-minute-gap sessions via lag + cumulative session ids —
+# the batch formulation of session_window (guide: "Sessionization")
+@register(
+    "stream_session_window",
+    tier="B",
+    oracle="""
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         <= INTERVAL '30 minutes'
+                    THEN 0 ELSE 1 END AS is_new
+        FROM events
+      ) g
+    ) s
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact-microsecond gap (cast-to-long would truncate subseconds and
+    # disagree with interval arithmetic)
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    with_new = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_us <= 30 * 60 * 1_000_000, F.lit(0)).otherwise(F.lit(1)).alias("is_new"),
+    )
+    with_sid = with_new.select(
+        "user_id",
+        "ts",
+        F.sum("is_new")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint")
+        .alias("session_id"),
+    )
+    return with_sid.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# B9: streaming dedup/upsert — batch twin: latest event per (user_id,
+# event_type).  The streaming version (dropDuplicatesWithinWatermark +
+# foreachBatch merge) lives in ub_etl_spark/streaming/pipelines.py.
+@register(
+    "stream_dedup_upsert",
+    tier="B",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value FROM (
+      SELECT e.*, ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events e
+    ) t WHERE rn = 1
+    """,
+)
+def stream_dedup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    return dedup_keyed_latest(e, ["user_id", "event_type"], ["ts", "event_id"]).select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )

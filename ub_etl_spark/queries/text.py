@@ -1,0 +1,211 @@
+"""Text-analysis tier (SURVEY.md B5 + north-star text ops).
+
+All on the documents table; everything here is JVM-expression-only
+(split/explode/aggregate/regexp), no Python UDFs, so the ops stay inside
+whole-stage codegen at 100 TB.  Wraps operators/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ub_etl_spark.operators.text import STOPWORDS, bpe_ish_token_count, fingerprint
+from ub_etl_spark.registry import register
+from ub_etl_spark.sources.tables import load_table as T
+
+
+def _stop_arr(lang: str):
+    return F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+
+
+def _sql_stoplist(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+# B5: tokenize + per-doc term stats
+@register(
+    "text_tokenize_stats",
+    tier="B",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+           CAST(length(text) AS BIGINT) AS len_chars,
+           length(text) / len(string_split(text, ' ')) AS mean_tok_len
+    FROM documents
+    """,
+)
+def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
+        F.length("text").cast("bigint").alias("len_chars"),
+        (F.length("text") / F.size(toks)).alias("mean_tok_len"),
+    )
+
+
+# B5: tf-idf — two aggregations + a join, the classic two-pass formulation
+@register(
+    "text_tfidf",
+    tier="B",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE doc_id < 100 GROUP BY 1, 2
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    )
+    SELECT doc_id, term, tf, df,
+           floor(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df) * 1000000)
+             / 1000000 AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = (
+        tok.filter(F.col("doc_id") < 100)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            # floor-to-6dp: ln differs in the last ulp across engines
+            (
+                F.floor(
+                    F.col("tf").cast("double")
+                    * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                    * 1e6
+                )
+                / 1e6
+            ).alias("tfidf"),
+        )
+    )
+
+
+# Language-ID: stopword-hit argmax heuristic (first-match tie-break)
+_LANGS = list(STOPWORDS)
+_SCORE_COLS = ", ".join(
+    f"CAST(len(list_filter(string_split(lower(text), ' '), x -> list_contains({_sql_stoplist(l)}, x))) AS BIGINT) AS score_{l}"
+    for l in _LANGS
+)
+_GREATEST = "greatest(" + ", ".join(f"score_{l}" for l in _LANGS) + ")"
+_PRED_CASE = (
+    "CASE WHEN " + _GREATEST + " = 0 THEN 'und' "
+    + " ".join(f"WHEN score_{l} = {_GREATEST} THEN '{l}'" for l in _LANGS)
+    + " END"
+)
+
+
+@register(
+    "text_lang_id",
+    tier="B",
+    oracle=f"""
+    SELECT doc_id, lang, {", ".join(f"score_{l}" for l in _LANGS)},
+           {_PRED_CASE} AS predicted
+    FROM (SELECT doc_id, lang, {_SCORE_COLS} FROM documents) t
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    def _hits(lang: str):
+        arr = _stop_arr(lang)
+        # NB: the lambda must be single-argument — a second parameter would be
+        # interpreted by Spark's HOF binder as the element index.
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x))).cast("bigint")
+
+    scores = {lang: _hits(lang) for lang in _LANGS}
+    scored = d.select(
+        "doc_id", "lang", *[scores[lang].alias(f"score_{lang}") for lang in _LANGS]
+    )
+    mx = F.greatest(*[F.col(f"score_{lang}") for lang in _LANGS])
+    pred = F.when(mx == 0, F.lit("und"))
+    for lang in _LANGS:
+        pred = pred.when(F.col(f"score_{lang}") == mx, F.lit(lang))
+    return scored.select("*", pred.alias("predicted"))
+
+
+# Quality scoring: length/punct/stopword features + composite score
+@register(
+    "text_quality_score",
+    tier="B",
+    oracle=f"""
+    SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, punct_ratio,
+           0.4 * least(1.0, n_tokens / 100.0)
+             + 0.3 * (1.0 - least(1.0, punct_ratio * 10.0))
+             + 0.3 * least(1.0, stopword_ratio * 5.0) AS quality
+    FROM (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             length(text) / len(string_split(text, ' ')) AS mean_token_len,
+             len(list_filter(string_split(text, ' '),
+                 x -> list_contains({_sql_stoplist('en')}, lower(x))))
+               / len(string_split(text, ' ')) AS stopword_ratio,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text) AS punct_ratio
+      FROM documents
+    ) t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    en = _stop_arr("en")
+    n_tok = F.size(toks)
+    feats = d.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        (F.length("text") / n_tok).alias("mean_token_len"),
+        (
+            F.size(F.filter(toks, lambda x: F.array_contains(en, F.lower(x)))) / n_tok
+        ).alias("stopword_ratio"),
+        (F.length(F.regexp_replace("text", r"[^.,;:!?]", "")) / F.length("text")).alias(
+            "punct_ratio"
+        ),
+    )
+    quality = (
+        0.4 * F.least(F.lit(1.0), F.col("n_tokens") / 100.0)
+        + 0.3 * (F.lit(1.0) - F.least(F.lit(1.0), F.col("punct_ratio") * 10.0))
+        + 0.3 * F.least(F.lit(1.0), F.col("stopword_ratio") * 5.0)
+    )
+    return feats.select("*", quality.alias("quality"))
+
+
+# Document fingerprinting: md5 content hash + BPE-ish token count
+@register(
+    "text_fingerprint",
+    tier="B",
+    oracle=r"""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+           CAST(
+             CAST(list_sum(list_transform(string_split_regex(text, '[^A-Za-z0-9]+'),
+                                          w -> ceil(length(w) / 4.0))) AS BIGINT)
+             + length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+           AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )

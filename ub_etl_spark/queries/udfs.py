@@ -1,0 +1,102 @@
+"""UDF surface (SURVEY.md B7): the sanctioned slow-path escapes.
+
+Demonstrates each Python-extension point with Arrow-vectorized
+implementations (never row-at-a-time Python UDFs in the hot path):
+  - pandas_udf scalar (vectorized numpy arithmetic)
+  - applyInPandas grouped map (per-group pandas frame)
+  - mapInPandas partition iterator
+
+Each keeps the computation integer/floor-exact so results are
+deterministic and oracle-checkable despite crossing the Arrow boundary.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ub_etl_spark.functions.exact import DEC
+from ub_etl_spark.registry import register
+from ub_etl_spark.sources.tables import load_table as T
+
+
+# Vectorized scalar pandas_udf: floor-to-cents discounted price, then an
+# exact decimal aggregate on top — UDF output feeds a JVM-side agg.
+@register(
+    "udf_surface",
+    tier="B",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) / 100 AS {DEC}))
+                AS DOUBLE) AS total_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def disc_price(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return pd.Series(np.floor(price.to_numpy() * (1 - disc.to_numpy()) * 100) / 100)
+
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("dp", disc_price("l_extendedprice", "l_discount"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("dp").cast(DEC)).cast("double").alias("total_disc"),
+        )
+    )
+
+
+# Grouped-map applyInPandas: per-group rank computed in pandas (integer
+# output — order-independent, hence deterministic across shuffles)
+@register(
+    "udf_grouped_map",
+    tier="B",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                              ORDER BY o_totalprice, o_orderkey) AS rn
+    FROM orders
+    """,
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["o_totalprice", "o_orderkey"]).reset_index(drop=True)
+        pdf["rn"] = range(1, len(pdf) + 1)
+        return pdf
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    return o.groupBy("o_orderstatus").applyInPandas(
+        rank_group,
+        schema="o_orderkey long, o_orderstatus string, o_totalprice double, rn long",
+    )
+
+
+# Partition-iterator mapInPandas: filter + derive in Arrow batches
+@register(
+    "udf_map_in_pandas",
+    tier="B",
+    oracle="""
+    SELECT event_id, user_id, value, floor(value / 10) * 10 AS value_bucket
+    FROM events WHERE value > 100
+    """,
+)
+def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    def bucketize(batches):
+        for pdf in batches:
+            out = pdf[pdf["value"] > 100].copy()
+            out["value_bucket"] = np.floor(out["value"].to_numpy() / 10) * 10
+            yield out[["event_id", "user_id", "value", "value_bucket"]]
+
+    e = T(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return e.mapInPandas(
+        bucketize, schema="event_id long, user_id long, value double, value_bucket double"
+    )

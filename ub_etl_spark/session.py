@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs on local[N] with N=SPARK_GRAFT_CPUS (default 32); the
+same config block is what we would ship to a 1000-executor cluster — the
+only knobs that change there are shuffle partitions (sized to cluster
+cores x 2-3) and memory. AQE handles runtime re-planning (partition
+coalescing, skew-join splitting, broadcast demotion) in both worlds.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def cpu_count() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    except ValueError:
+        return 32
+
+
+def get_spark(
+    app_name: str = "ub_etl_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    Defaults chosen for scale (SURVEY.md §4):
+      - AQE on: adaptive join selection, skew splitting, partition coalescing.
+      - shuffle.partitions ~ cores locally; a cluster deployment raises it to
+        2-3x total cores — AQE coalesces the excess, so over-provisioning
+        is the safe direction.
+      - nested schema pruning on so struct projections reach the parquet scan.
+      - session timezone pinned UTC (oracle comparison + ISO-8601 'Z' inputs,
+        reference parity: scripts/user_course_activity.py:181-185).
+      - Arrow on: pandas_udf / mapInPandas batches transfer columnar.
+    """
+    n = cpus or cpu_count()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
