@@ -1,0 +1,88 @@
+"""Benchmark: run the registered query inventory at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced with the noop sink (full plan runs, no driver-side
+row transfer), which is the honest distributed-execution cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ub_etl_spark.registry import load_all  # noqa: E402
+from ub_etl_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per tier/shape so the number tracks engine-wide health
+# without double-counting near-identical plans.
+HEADLINE = [
+    "scan_parquet",
+    "filter_predicate",
+    "agg_groupby",
+    "join_inner_equi",
+    "join_broadcast",
+    "window_rank",
+    "window_analytic",
+    "sort_limit_topk",
+    "explode_array_struct",
+    "upsert_merge",
+    "insert_ignore_antijoin",
+    "dedup_get_or_insert",
+    "agg_rollup_cube",
+    "stream_tumbling_agg",
+    "stream_session_window",
+    "text_tokenize_stats",
+    "text_tfidf",
+    "text_fingerprint",
+    "dedup_fuzzy",
+    "dedup_minhash_lsh",
+    "sim_knn_exact",
+    "dedup_embedding_cosine",
+    "udf_surface",
+    "multimodal_decode",
+]
+
+
+def run_once(spark, spec, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = spec.fn(spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    registry = load_all()
+    spark = get_spark("bench")
+    # warm the JVM/codegen path once so per-query numbers measure the plan,
+    # not first-run classloading
+    run_once(spark, registry["scan_parquet"], sf_dir)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run_once(spark, registry[name], sf_dir), 4)
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
