@@ -1,0 +1,105 @@
+"""Dedup operator tests: exact, dim/FK, fuzzy recall (SURVEY.md §5.4 + B2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ub_etl_spark.operators.dedup import (
+    build_dim,
+    dedup_exact,
+    dedup_keyed_latest,
+    exact_jaccard_pairs,
+    minhash_lsh_pairs,
+    resolve_fk,
+    simhash_pairs,
+)
+
+
+def test_dedup_exact_full_row(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "id long, v string")
+    assert dedup_exact(df).count() == 2
+
+
+def test_dedup_keyed_latest(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "old"), (1, 20, "new"), (2, 5, "only")], "id long, ts long, v string"
+    )
+    out = dedup_keyed_latest(df, ["id"], ["ts"])
+    got = {(r.id, r.v) for r in out.collect()}
+    assert got == {(1, "new"), (2, "only")}
+
+
+def test_build_dim_contiguous_ids(spark):
+    df = spark.createDataFrame([("b",), ("a",), ("b",), ("c",)], "k string")
+    dim = build_dim(df, ["k"], contiguous=True)
+    got = {(r.k, r.dim_id) for r in dim.collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 3)}
+
+
+def test_build_dim_hash_ids_unique(spark):
+    df = spark.createDataFrame([("x",), ("y",), ("x",)], "k string")
+    dim = build_dim(df, ["k"], contiguous=False)
+    ids = [r.dim_id for r in dim.collect()]
+    assert len(ids) == len(set(ids)) == 2
+
+
+def test_resolve_fk_broadcast(spark):
+    facts = spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")], "fid long, k string")
+    dim = build_dim(facts, ["k"], contiguous=True)
+    out = resolve_fk(facts, dim, ["k"])
+    got = {(r.fid, r.dim_id) for r in out.collect()}
+    assert got == {(1, 1), (2, 2), (3, 1)}
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+NEAR_DUP_DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup of 0
+    (2, "spark engines shuffle data across partitions when joins require repartitioning"),
+    (3, "completely different words about gardening tulips roses daisies and sunflowers blooming"),
+    (4, "spark engines shuffle data across partitions when joins demand repartitioning work"),  # near-dup of 2
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in NEAR_DUP_DOCS], "doc_id long, text string"
+    )
+
+
+def test_exact_jaccard_finds_near_dups(spark):
+    pairs = exact_jaccard_pairs(_docs(spark), "doc_id", "text", n=3, threshold=0.4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got and (2, 4) in got
+    assert all(a < b for a, b in got)
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """LSH candidates must recover every exact pair on this corpus (16 perms,
+    4 bands is a high-recall operating point at jaccard >= 0.4)."""
+    docs = _docs(spark)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in exact_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.4).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_perm=16, bands=4, threshold=0.4
+        ).collect()
+    }
+    assert exact, "corpus must contain near-dups"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall} ({lsh=} vs {exact=})"
+    # no false positives by construction (candidates are exact-verified)
+    assert lsh <= exact
+
+
+def test_simhash_separates_dups_from_distinct(spark):
+    pairs = simhash_pairs(_docs(spark), "doc_id", "text", max_hamming=16)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got, "expected at least one simhash-close pair"
+    # near-dup pairs must be closer than any cross-topic pair that appears
+    if (0, 1) in got and (0, 3) in got:
+        assert got[(0, 1)] < got[(0, 3)]

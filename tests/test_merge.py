@@ -1,0 +1,71 @@
+"""Merge-semantics tests (SURVEY.md §5.2): idempotence + latest-wins.
+
+Encodes the reference's refresh contract (README.md:156-163): incremental
+updates, no duplicates, updates win, consistency after re-runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ub_etl_spark.operators.merge import insert_if_absent, upsert_latest_wins
+
+
+def rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def make_activity(spark, rows):
+    return spark.createDataFrame(
+        [Row(user_id=u, course_id=c, ratio=r, gen=g) for (u, c, r, g) in rows],
+        schema="user_id long, course_id long, ratio double, gen int",
+    )
+
+
+def test_insert_if_absent_first_writer_wins(spark):
+    existing = make_activity(spark, [(1, 10, 0.5, 1), (2, 20, 0.7, 1)])
+    incoming = make_activity(spark, [(1, 10, 0.9, 2), (3, 30, 0.1, 2)])
+    out = insert_if_absent(existing, incoming, ["user_id", "course_id"])
+    assert rows_set(out) == {(1, 10, 0.5, 1), (2, 20, 0.7, 1), (3, 30, 0.1, 2)}
+
+
+def test_insert_if_absent_idempotent(spark):
+    existing = make_activity(spark, [(1, 10, 0.5, 1)])
+    incoming = make_activity(spark, [(1, 10, 0.9, 2), (3, 30, 0.1, 2)])
+    once = insert_if_absent(existing, incoming, ["user_id", "course_id"])
+    twice = insert_if_absent(once, incoming, ["user_id", "course_id"])
+    assert rows_set(once) == rows_set(twice)
+
+
+def test_upsert_latest_wins(spark):
+    existing = make_activity(spark, [(1, 10, 0.5, 1), (2, 20, 0.7, 1)])
+    updates = make_activity(spark, [(1, 10, 0.9, 2), (3, 30, 0.1, 2)])
+    out = upsert_latest_wins(existing, updates, ["user_id", "course_id"])
+    assert rows_set(out) == {(1, 10, 0.9, 2), (2, 20, 0.7, 1), (3, 30, 0.1, 2)}
+
+
+def test_upsert_fixpoint(spark):
+    existing = make_activity(spark, [(1, 10, 0.5, 1)])
+    updates = make_activity(spark, [(1, 10, 0.9, 2)])
+    once = upsert_latest_wins(existing, updates, ["user_id", "course_id"])
+    twice = upsert_latest_wins(once, updates, ["user_id", "course_id"])
+    assert rows_set(once) == rows_set(twice) == {(1, 10, 0.9, 2)}
+
+
+def test_upsert_within_batch_recency(spark):
+    """Two generations inside one updates batch: order_by picks the winner."""
+    existing = make_activity(spark, [])
+    updates = make_activity(spark, [(1, 10, 0.3, 1), (1, 10, 0.8, 2)])
+    out = upsert_latest_wins(existing, updates, ["user_id", "course_id"], order_by=["gen"])
+    assert rows_set(out) == {(1, 10, 0.8, 2)}
+
+
+def test_upsert_preserves_untouched_keys_at_scale(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    updates = orders.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_totalprice", F.lit(0.0)
+    )
+    merged = upsert_latest_wins(orders, updates, ["o_orderkey"])
+    assert merged.count() == orders.count()
+    assert merged.filter((F.col("o_orderkey") % 100 == 0) & (F.col("o_totalprice") != 0)).count() == 0

@@ -1,0 +1,53 @@
+"""Vector-similarity tests: exact knn sanity + ANN recall (SURVEY.md B3/B4)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ub_etl_spark.operators.vectors import cosine, knn_ann_lsh, knn_exact
+
+
+def test_cosine_expression(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [r.c for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert math.isclose(got[0], 1.0)
+    assert math.isclose(got[1], 0.0, abs_tol=1e-12)
+    assert math.isclose(got[2], 1.0)
+
+
+def test_knn_exact_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    out = knn_exact(q, emb, k=4)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append((r.rank, r.score, r.neighbor_id))
+    assert set(per_q) == {0, 1, 2}
+    for qid, lst in per_q.items():
+        lst.sort()
+        assert [r for r, _, _ in lst] == [1, 2, 3, 4]
+        scores = [s for _, s, _ in lst]
+        assert scores == sorted(scores, reverse=True)
+        assert all(n != qid for _, _, n in lst)
+
+
+def test_ann_lsh_recall_vs_exact(spark, sf_dir):
+    """ANN@k recall vs exact knn: with few hyperplanes (big buckets) recall
+    should be substantial on the synthetic embeddings."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in knn_exact(q, emb, k=5).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_ann_lsh(emb, k=5, dim=64, n_planes=2, query_filter=F.col("id") < 20).collect()
+    }
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.3, f"ANN recall collapsed: {recall}"
