@@ -1,0 +1,85 @@
+"""Paginated-REST DataSource test against a local http.server stub
+(SURVEY.md A1: pagination, parallel page-ranges, retry on 429/503)."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+
+from ub_etl_spark.sources.rest import RestPaginatedDataSource
+
+N_PAGES = 7
+PAGE_SIZE = 5
+
+
+class StubHandler(BaseHTTPRequestHandler):
+    fail_first_hits: dict[int, int] = {}  # page -> remaining failures
+
+    def log_message(self, *a):  # silence
+        pass
+
+    def do_GET(self):
+        q = parse_qs(urlparse(self.path).query)
+        page = int(q["page"][0])
+        size = int(q["page_size"][0])
+        if StubHandler.fail_first_hits.get(page, 0) > 0:
+            StubHandler.fail_first_hits[page] -= 1
+            self.send_response(429)
+            self.end_headers()
+            return
+        base = (page - 1) * size
+        results = [
+            {"rec_id": base + i, "name": f"r{base + i}"} for i in range(size)
+        ]
+        body = json.dumps(
+            {"next": None if page >= N_PAGES else f"?page={page + 1}", "results": results}
+        ).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture(scope="module")
+def stub_url():
+    server = HTTPServer(("127.0.0.1", 0), StubHandler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_port}/api"
+    server.shutdown()
+
+
+def test_rest_source_reads_all_pages_in_parallel(spark, stub_url):
+    spark.dataSource.register(RestPaginatedDataSource)
+    df = (
+        spark.read.format("rest_paginated")
+        .schema("rec_id long, name string")
+        .option("url", stub_url)
+        .option("pages", N_PAGES)
+        .option("page_size", PAGE_SIZE)
+        .option("partitions", 3)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    rows = df.collect()
+    assert len(rows) == N_PAGES * PAGE_SIZE
+    assert {r.rec_id for r in rows} == set(range(N_PAGES * PAGE_SIZE))
+
+
+def test_rest_source_retries_429(spark, stub_url):
+    StubHandler.fail_first_hits = {2: 2}  # page 2 fails twice, then succeeds
+    df = (
+        spark.read.format("rest_paginated")
+        .schema("rec_id long, name string")
+        .option("url", stub_url)
+        .option("pages", 3)
+        .option("page_size", PAGE_SIZE)
+        .option("partitions", 1)
+        .option("backoff_s", 0.01)
+        .load()
+    )
+    assert df.count() == 3 * PAGE_SIZE

