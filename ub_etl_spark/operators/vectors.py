@@ -14,6 +14,28 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+
+# NB: pass a DataType instance, not a DDL string — string return types are
+# parsed against the active session, which doesn't exist at import time.
+@F.pandas_udf(DoubleType())
+def cosine_batch(a, b):
+    """Arrow-vectorized cosine over two array columns.
+
+    Spark's array higher-order functions (aggregate/zip_with) are
+    interpreted — ~100x slower than this numpy path on bulk pair scoring.
+    Inputs arrive as pandas Series of numpy arrays; computed in float64 to
+    match the DOUBLE[] oracle semantics.
+    """
+    import numpy as np
+    import pandas as pd
+
+    A = np.stack(a.to_numpy()).astype(np.float64)
+    B = np.stack(b.to_numpy()).astype(np.float64)
+    num = np.einsum("ij,ij->i", A, B)
+    den = np.sqrt(np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B))
+    return pd.Series(num / den)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -77,7 +99,7 @@ def knn_exact(
             "query_id",
             "neighbor_id",
             (
-                cosine(F.col("q_vec"), F.col("c_vec"))
+                cosine_batch(F.col("q_vec"), F.col("c_vec"))
                 if metric == "cosine"
                 else -l2(F.col("q_vec"), F.col("c_vec"))
             ).alias("score"),
@@ -136,7 +158,9 @@ def knn_ann_lsh(
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("score"))
+        .select(
+            "query_id", "neighbor_id", cosine_batch(F.col("q_vec"), F.col("c_vec")).alias("score")
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -167,7 +191,7 @@ def cosine_near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"),
+            cosine_batch(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

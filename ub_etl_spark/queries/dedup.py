@@ -117,12 +117,12 @@ def insert_ignore_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM common
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.25
     """,
 )
 def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
-    return D.exact_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return D.exact_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.25)
 
 
 # B2 scale path: MinHash + banded LSH (xxhash64 seeds — no portable oracle;
@@ -130,7 +130,7 @@ def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_minhash_lsh", tier="B", oracle=None)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
-    return D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perm=16, bands=4, threshold=0.5)
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perm=16, bands=4, threshold=0.25)
 
 
 # SimHash near-dup (bit-sketch variant; rows-only for the same reason)

@@ -69,10 +69,10 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings a
     JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) >= 0.8
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.35
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
-    out = V.cosine_near_dup_pairs(e, threshold=0.8, block_col="label")
+    out = V.cosine_near_dup_pairs(e, threshold=0.35, block_col="label")
     return out.withColumn("cos_sim", F.floor(F.col("cos_sim") * 1e6) / 1e6)
