@@ -1,0 +1,77 @@
+"""Bucketed-table merge tests: partition pruning + dynamic overwrite
+only rewrites touched buckets (SURVEY.md §7 upsert-at-scale path)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ub_etl_spark.operators.storage import (
+    BUCKET_COL,
+    merge_into_bucketed,
+    read_table,
+    write_bucketed,
+)
+
+
+@pytest.fixture()
+def table_dir():
+    d = tempfile.mkdtemp(prefix="ub_etl_tbl_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def mtimes_by_bucket(path):
+    out = {}
+    for name in os.listdir(path):
+        if name.startswith(f"{BUCKET_COL}="):
+            b = int(name.split("=")[1])
+            full = os.path.join(path, name)
+            out[b] = max(os.path.getmtime(os.path.join(full, f)) for f in os.listdir(full))
+    return out
+
+
+def test_merge_updates_only_touched_buckets(spark, table_dir, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_bucketed(orders, table_dir, ["o_orderkey"], n_buckets=8)
+    before = mtimes_by_bucket(table_dir)
+    assert len(before) == 8
+
+    updates = orders.filter(F.col("o_orderkey") == 42).withColumn(
+        "o_totalprice", F.lit(1.0)
+    )
+    merge_into_bucketed(spark, table_dir, updates, ["o_orderkey"], n_buckets=8)
+
+    after = mtimes_by_bucket(table_dir)
+    changed = {b for b in after if after[b] != before.get(b)}
+    assert len(changed) == 1, f"expected exactly one rewritten bucket, got {changed}"
+
+    out = read_table(spark, table_dir)
+    assert out.count() == orders.count()
+    assert out.filter(F.col("o_orderkey") == 42).first().o_totalprice == 1.0
+
+
+def test_merge_inserts_new_keys(spark, table_dir):
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    write_bucketed(base, table_dir, ["k"], n_buckets=4)
+    updates = spark.createDataFrame([(2, 99.0), (3, 30.0)], "k long, v double")
+    merge_into_bucketed(spark, table_dir, updates, ["k"], n_buckets=4)
+    got = {(r.k, r.v) for r in read_table(spark, table_dir).collect()}
+    assert got == {(1, 10.0), (2, 99.0), (3, 30.0)}
+
+
+def test_merge_idempotent(spark, table_dir):
+    base = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    write_bucketed(base, table_dir, ["k"], n_buckets=2)
+    updates = spark.createDataFrame([(1, 11.0)], "k long, v double")
+    merge_into_bucketed(spark, table_dir, updates, ["k"], n_buckets=2)
+    merge_into_bucketed(spark, table_dir, updates, ["k"], n_buckets=2)
+    got = {(r.k, r.v) for r in read_table(spark, table_dir).collect()}
+    assert got == {(1, 11.0)}

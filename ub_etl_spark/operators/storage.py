@@ -1,0 +1,79 @@
+"""Table storage with scale-appropriate merge writes (SURVEY.md §7
+"hard parts": upsert without a transactional table format).
+
+The naive upsert emulation rewrites the whole table — fine at test scale,
+wrong at 100 TB.  The production-shaped path implemented here:
+
+  - tables are parquet, hash-partitioned into N fixed buckets of the merge
+    key (a stable `pmod(xxhash64(key), N)` bucket column used as a
+    partition directory, co-locating every generation of a key)
+  - a merge touches ONLY the buckets that appear in the update batch:
+    read those partitions, latest-wins merge, dynamic-partition overwrite
+    writes just those directories back (partitionOverwriteMode=dynamic —
+    the plain-Spark equivalent of Delta's replaceWhere/MERGE file pruning)
+  - rewrite cost is O(|touched buckets|) = O(|batch| x table/N), not
+    O(|table|); N is chosen so a bucket fits an executor comfortably
+
+A Delta/Iceberg MERGE drops in behind the same interface when the jar is
+on the classpath (not in this environment — import-gated).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ub_etl_spark.operators.merge import upsert_latest_wins
+
+BUCKET_COL = "__bucket"
+
+
+def have_delta() -> bool:
+    try:  # pragma: no cover - environment-dependent
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _with_bucket(df: DataFrame, keys: Sequence[str], n_buckets: int) -> DataFrame:
+    return df.withColumn(BUCKET_COL, F.pmod(F.xxhash64(*keys), F.lit(n_buckets)))
+
+
+def write_bucketed(df: DataFrame, path: str, keys: Sequence[str], n_buckets: int = 64) -> None:
+    """Initial load: partition the table by stable key-hash bucket."""
+    _with_bucket(df, keys, n_buckets).write.partitionBy(BUCKET_COL).mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).drop(BUCKET_COL)
+
+
+def merge_into_bucketed(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str] | None = None,
+    n_buckets: int = 64,
+) -> None:
+    """Latest-wins merge of ``updates`` into the bucketed table at ``path``,
+    rewriting only the touched buckets via dynamic partition overwrite."""
+    upd = _with_bucket(updates, keys, n_buckets)
+    touched = [r[BUCKET_COL] for r in upd.select(BUCKET_COL).distinct().collect()]
+    existing = (
+        spark.read.parquet(path)
+        .filter(F.col(BUCKET_COL).isin(touched))  # partition pruning on read
+    )
+    merged = upsert_latest_wins(existing, upd, keys, order_by=order_by)
+    (
+        merged.write.partitionBy(BUCKET_COL)
+        .option("partitionOverwriteMode", "dynamic")  # only touched dirs replaced
+        .mode("overwrite")
+        .parquet(path)
+    )
