@@ -1,0 +1,113 @@
+"""As-of (time-travel) join — an operator Spark lacks natively.
+
+Implemented as a composition of existing DataFrame ops (the preferred
+path): tag both sides, union, and carry the most recent right-side row
+forward with last(ignorenulls) over a (key, time) window.  One shuffle on
+(key), no per-row Python — scales as a single sort-merge pass.  Ties
+(right.ts == left.ts) match, i.e. backward-inclusive, same as DuckDB's
+ASOF JOIN and pandas merge_asof(direction='backward', allow_exact=True).
+
+An applyInPandas variant (pd.merge_asof per key group) is provided for
+the grouped-small case; same semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+_SIDE = "__side"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Left as-of join: every left row + the latest right row with
+    right.ts <= left.ts in the same key group (NULLs when none).
+
+    ``value_cols`` are the right-side columns to carry.  Right-side rows
+    must be unique per (key, ts) for deterministic results — pre-dedupe if
+    not.
+    """
+    keys = list(key)
+    l_tag = left.withColumn(_SIDE, F.lit(1))
+    r_tag = right.select(
+        *keys, F.col(right_ts).alias(left_ts), *[F.col(c) for c in value_cols]
+    ).withColumn(_SIDE, F.lit(0))
+    # align schemas: left gets null value_cols, right gets null left-payload
+    left_payload = [c for c in left.columns if c not in keys + [left_ts]]
+    for c in value_cols:
+        l_tag = l_tag.withColumn(c, F.lit(None).cast(r_tag.schema[c].dataType))
+    for c in left_payload:
+        r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = l_tag.unionByName(r_tag)
+    # right rows sort before left rows at equal ts -> inclusive match
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(F.col(left_ts), F.col(_SIDE))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.select(
+        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__asof_{c}") for c in value_cols]
+    )
+    return (
+        carried.filter(F.col(_SIDE) == 1)
+        .select(
+            *keys,
+            left_ts,
+            *left_payload,
+            *[F.col(f"__asof_{c}").alias(c) for c in value_cols],
+        )
+    )
+
+
+def asof_join_grouped(
+    left: DataFrame,
+    right: DataFrame,
+    key: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """applyInPandas variant: pd.merge_asof per key group (for when each
+    group fits in memory; same backward-inclusive semantics)."""
+    import pandas as pd
+
+    keys = list(key)
+    l = left.withColumn(_SIDE, F.lit(1))
+    r = right.select(*keys, F.col(right_ts).alias("__rts"), *value_cols).withColumn(
+        _SIDE, F.lit(0)
+    )
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in left.schema.fields
+    ) + ", " + ", ".join(
+        f"{c} {right.schema[c].dataType.simpleString()}" for c in value_cols
+    )
+
+    left_cols = [f.name for f in left.schema.fields]
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        lp = pdf[pdf[_SIDE] == 1][left_cols].sort_values(left_ts)
+        rp = (
+            pdf[pdf[_SIDE] == 0][["__rts", *value_cols]]
+            .dropna(subset=["__rts"])
+            .sort_values("__rts")
+        )
+        if rp.empty:
+            for c in value_cols:
+                lp[c] = None
+            return lp
+        return pd.merge_asof(
+            lp, rp, left_on=left_ts, right_on="__rts", direction="backward"
+        ).drop(columns=["__rts"])
+
+    both = l.unionByName(r, allowMissingColumns=True)
+    return both.groupBy(*keys).applyInPandas(merge, schema=out_schema)

@@ -53,6 +53,7 @@ def load_all() -> dict[str, QuerySpec]:
     if not _LOADED:
         from ub_etl_spark.queries import (  # noqa: F401
             dedup,
+            extras,
             merge,
             multimodal,
             nested,
