@@ -1,0 +1,52 @@
+"""Skew-aware join: key salting (SURVEY.md §4 scale levers).
+
+AQE's skew-join splitting handles sort-merge skew automatically; salting
+is the explicit fallback for aggregations and for joins AQE can't split
+(e.g. a hot key against a non-broadcastable build side).  The pattern:
+replicate the small side R times, scatter the big side's hot keys across
+R salt values, join on (key, salt).
+
+At 100 TB this turns one straggler task holding the hot key into R evenly
+loaded tasks at the cost of R copies of the matching small-side rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: Sequence[str],
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join robust to skewed key distribution in ``big``.
+
+    The big side gets a deterministic pseudo-random salt derived from a
+    row-unique hash of all its columns (no RNG: reproducible); the small
+    side is exploded across all salt values.
+    """
+    keys = list(keys)
+    big_s = big.withColumn(_SALT, F.pmod(F.xxhash64(*big.columns), F.lit(salt)))
+    small_s = small.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<bigint>"))
+    )
+    return big_s.join(small_s, keys + [_SALT], how).drop(_SALT)
+
+
+def salted_group_count(df: DataFrame, keys: Sequence[str], salt: int = 8) -> DataFrame:
+    """Two-phase aggregation for skewed group keys: pre-aggregate on
+    (key, salt), then final-aggregate on key.  Spark already does partial
+    aggregation map-side; explicit salting additionally splits a hot key
+    across *reduce* tasks, which partial agg alone cannot."""
+    keys = list(keys)
+    salted = df.withColumn(_SALT, F.pmod(F.xxhash64(*df.columns), F.lit(salt)))
+    partial = salted.groupBy(*keys, _SALT).agg(F.count(F.lit(1)).alias("__c"))
+    return partial.groupBy(*keys).agg(F.sum("__c").alias("n"))

@@ -37,6 +37,9 @@ def bpe_ish_token_count(text: Column) -> Column:
 
     A regex proxy for subword tokenizers: words count ceil(len/4) pieces,
     punctuation counts itself.  Deterministic, JVM-side.
+
+    NOTE: uses aggregate(), an interpreted HOF — fine per-row/small; the
+    corpus-scale path is bpe_token_counts() below (codegen explode).
     """
     words = F.split(text, r"[^A-Za-z0-9]+")
     word_pieces = F.aggregate(
@@ -46,6 +49,25 @@ def bpe_ish_token_count(text: Column) -> Column:
     )
     punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
     return (word_pieces + punct).cast("bigint")
+
+
+def bpe_token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Codegen formulation of bpe_ish_token_count: explode words, hash-agg
+    the ceil(len/4) pieces, add the punct count computed in the same pass.
+    Output: (id_col, n_bpe_tokens).  Identical values to the Column form.
+    """
+    t = F.col(text_col)
+    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")).cast("bigint")
+    base = df.select(F.col(id_col), punct.alias("__punct"), F.split(t, r"[^A-Za-z0-9]+").alias("__w"))
+    return (
+        base.select(id_col, "__punct", F.explode("__w").alias("__word"))
+        .groupBy(id_col)
+        .agg(
+            (F.sum(F.ceil(F.length("__word") / F.lit(4.0))) + F.first("__punct"))
+            .cast("bigint")
+            .alias("n_bpe_tokens")
+        )
+    )
 
 
 def fingerprint(text: Column) -> Column:

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ub_etl_spark.operators.text import STOPWORDS, bpe_ish_token_count, fingerprint
+from ub_etl_spark.operators.text import STOPWORDS, bpe_token_counts, fingerprint
 from ub_etl_spark.registry import register
 from ub_etl_spark.sources.tables import load_table as T
 
@@ -204,8 +204,6 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        fingerprint(F.col("text")).alias("fp"),
-        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
-    )
+    fps = d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    counts = bpe_token_counts(d, "doc_id", "text")
+    return fps.join(counts, "doc_id").select("doc_id", "fp", "n_bpe_tokens")

@@ -62,6 +62,7 @@ def load_all() -> dict[str, QuerySpec]:
             streaming_batch,
             text,
             udfs,
+            udtf_ops,
         )
 
         _LOADED = True
