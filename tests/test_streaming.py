@@ -130,3 +130,35 @@ def test_upsert_stream_latest_wins_across_batches(spark, tmpdir):
     q2.awaitTermination(120)
     s2 = {(r.user_id, r.value) for r in spark.read.parquet(state).collect()}
     assert s2 == {(10, 0.9), (20, 0.2)}
+
+
+def test_stateful_running_counts_across_restarts(spark, tmpdir):
+    from ub_etl_spark.streaming.pipelines import stateful_running_counts
+
+    src, ckpt, sink = f"{tmpdir}/src", f"{tmpdir}/ckpt", f"{tmpdir}/sink"
+    write_batch(spark, src, [(1, T0, 10, "a", 1.5), (2, T0, 10, "a", 2.5), (3, T0, 20, "a", 4.0)])
+
+    def run():
+        # foreachBatch parquet sink: supports checkpoint recovery (the
+        # memory sink does not)
+        out = stateful_running_counts(read_stream(spark, src))
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = {(r.user_id, r.n_events, r.total_value) for r in spark.read.parquet(sink).collect()}
+    assert got == {(10, 2, 4.0), (20, 1, 4.0)}
+
+    # restart from checkpoint with one more file: state must carry over
+    write_batch(spark, src, [(4, T0, 10, "a", 0.5)])
+    run()
+    got2 = {(r.user_id, r.n_events, r.total_value) for r in spark.read.parquet(sink).collect()}
+    assert (10, 3, 4.5) in got2

@@ -63,6 +63,37 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
 
 
+def stateful_running_counts(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key running
+    event count + running value sum, surviving across micro-batches through
+    the state store (and across restarts through the checkpoint).
+
+    This is the escape hatch for stateful logic that watermarked windows /
+    dropDuplicates can't express; state is one tiny row per key.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key_tuple, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key_tuple[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def upsert_stream_foreach_batch(
     events: DataFrame,
     state_dir: str,
