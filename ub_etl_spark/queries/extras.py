@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ub_etl_spark.functions.exact import DEC
+from ub_etl_spark.functions.exact import cents, csum, sql_csum
 from ub_etl_spark.operators.asof import asof_join
 from ub_etl_spark.registry import register
 from ub_etl_spark.sources.tables import load_table as T
@@ -73,7 +73,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
              (40.0, 50.0, 'top')
     )
     SELECT label, COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS total_qty
+           {sql_csum("l_quantity", "total_qty")}
     FROM lineitem JOIN ranges ON l_quantity BETWEEN lo AND hi
     GROUP BY label
     """,
@@ -102,7 +102,7 @@ def join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("total_qty"),
+            csum("l_quantity", "total_qty"),
         )
     )
 
@@ -113,15 +113,15 @@ def join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier="Q",
     oracle=f"""
     SELECT l_returnflag, 'quantity' AS metric,
-           CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS total
+           {sql_csum("l_quantity", "total")}
     FROM lineitem GROUP BY l_returnflag
     UNION ALL
     SELECT l_returnflag, 'extendedprice' AS metric,
-           CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS total
+           {sql_csum("l_extendedprice", "total")}
     FROM lineitem GROUP BY l_returnflag
     UNION ALL
     SELECT l_returnflag, 'tax' AS metric,
-           CAST(SUM(CAST(l_tax AS {DEC})) AS DOUBLE) AS total
+           {sql_csum("l_tax", "total")}
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -137,9 +137,7 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "v",
     )
-    return long.groupBy("l_returnflag", "metric").agg(
-        F.sum(F.col("v").cast(DEC)).cast("double").alias("total")
-    )
+    return long.groupBy("l_returnflag", "metric").agg(csum("v", "total"))
 
 
 # Exact percentiles (linear interpolation — identical algorithm in DuckDB's

@@ -13,7 +13,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ub_etl_spark.functions.exact import DEC, davg, dsum, to_dec
+from ub_etl_spark.functions.exact import (
+    cavg,
+    cents,
+    cents_disc,
+    csum,
+    sql_cavg,
+    sql_cents,
+    sql_cents_disc,
+    sql_csum,
+)
 from ub_etl_spark.registry import register
 from ub_etl_spark.sources.tables import load_table as T
 
@@ -73,7 +82,7 @@ def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT o_orderstatus,
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST(l_extendedprice AS {DEC}) * CAST(1 - l_discount AS {DEC})) AS DOUBLE) AS revenue
+           SUM({sql_cents_disc("l_extendedprice", "l_discount")}) / 10000.0 AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus
     """,
@@ -86,9 +95,7 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(to_dec("l_extendedprice") * to_dec(F.lit(1) - F.col("l_discount")))
-            .cast("double")
-            .alias("revenue"),
+            (F.sum(cents_disc("l_extendedprice", "l_discount")) / 10000.0).alias("revenue"),
         )
     )
 
@@ -159,7 +166,7 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT r_name,
            COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS {DEC})) AS DOUBLE) AS total_acctbal
+           {sql_csum("c_acctbal", "total_acctbal")}
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -174,7 +181,7 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .groupBy("r_name")
-        .agg(F.count(F.lit(1)).alias("n_customers"), dsum("c_acctbal", "total_acctbal"))
+        .agg(F.count(F.lit(1)).alias("n_customers"), csum("c_acctbal", "total_acctbal"))
     )
 
 
@@ -184,11 +191,11 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 AGG_GROUPBY_ORACLE = f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS {DEC}) * CAST(1 - l_discount AS {DEC})) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           {sql_csum("l_quantity", "sum_qty")},
+           {sql_csum("l_extendedprice", "sum_base_price")},
+           SUM({sql_cents_disc("l_extendedprice", "l_discount")}) / 10000.0 AS sum_disc_price,
+           {sql_cavg("l_quantity", "avg_qty")},
+           {sql_cavg("l_extendedprice", "avg_price")},
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -203,13 +210,13 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity", "sum_qty"),
-            dsum("l_extendedprice", "sum_base_price"),
-            F.sum(to_dec("l_extendedprice") * to_dec(F.lit(1) - F.col("l_discount")))
-            .cast("double")
-            .alias("sum_disc_price"),
-            davg("l_quantity", "avg_qty"),
-            davg("l_extendedprice", "avg_price"),
+            csum("l_quantity", "sum_qty"),
+            csum("l_extendedprice", "sum_base_price"),
+            (F.sum(cents_disc("l_extendedprice", "l_discount")) / 10000.0).alias(
+                "sum_disc_price"
+            ),
+            cavg("l_quantity", "avg_qty"),
+            cavg("l_extendedprice", "avg_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -265,7 +272,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(o_orderstatus, 'ALL') AS status,
            COALESCE(o_orderpriority, 'ALL') AS priority,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS total
+           {sql_csum("o_totalprice", "total")}
     FROM orders
     GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     """,
@@ -274,7 +281,7 @@ def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         T(spark, sf_dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total"))
+        .agg(F.count(F.lit(1)).alias("n"), csum("o_totalprice", "total"))
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
@@ -330,9 +337,9 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier="Q",
     oracle=f"""
     SELECT o_custkey, o_orderkey, o_totalprice,
-           CAST(SUM(CAST(o_totalprice AS {DEC})) OVER (
+           SUM({sql_cents("o_totalprice")}) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_total,
            LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
            LEAD(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
     FROM orders
@@ -344,10 +351,12 @@ def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_totalprice",
-        F.sum(to_dec("o_totalprice"))
-        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .cast("double")
-        .alias("running_total"),
+        (
+            F.sum(cents("o_totalprice")).over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            / 100.0
+        ).alias("running_total"),
         F.lag("o_totalprice").over(w).alias("prev_price"),
         F.lead("o_totalprice").over(w).alias("next_price"),
     )
@@ -489,7 +498,7 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier="Q",
     oracle=f"""
     SELECT l_orderkey, l_linenumber,
-           CAST(CAST(l_extendedprice AS {DEC}) * CAST(1 - l_discount AS {DEC}) AS DOUBLE) AS disc_price,
+           ({sql_cents_disc("l_extendedprice", "l_discount")}) / 10000.0 AS disc_price,
            abs(l_quantity - 25.0) AS abs_diff,
            sqrt(l_quantity) AS sq,
            floor(ln(l_extendedprice) * 1000000) / 1000000 AS lg,
@@ -508,9 +517,7 @@ def scalar_math_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        (to_dec("l_extendedprice") * to_dec(F.lit(1) - F.col("l_discount")))
-        .cast("double")
-        .alias("disc_price"),
+        (cents_disc("l_extendedprice", "l_discount") / 10000.0).alias("disc_price"),
         F.abs(F.col("l_quantity") - 25.0).alias("abs_diff"),
         F.sqrt("l_quantity").alias("sq"),
         # ln is not correctly-rounded in IEEE: engines differ in the last ulp,
@@ -600,7 +607,7 @@ def array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT COUNT(*) AS n_rows,
            COUNT(DISTINCT l_orderkey) AS n_orders,
-           CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS total_qty
+           {sql_csum("l_quantity", "total_qty")}
     FROM lineitem
     """,
 )
@@ -608,7 +615,7 @@ def count_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T(spark, sf_dir, "lineitem").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
-        dsum("l_quantity", "total_qty"),
+        csum("l_quantity", "total_qty"),
     )
 
 
@@ -683,8 +690,8 @@ def cast_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier="Q",
     oracle=f"""
     SELECT l_returnflag,
-           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS {DEC}) END) AS DOUBLE) AS O,
-           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS {DEC}) END) AS DOUBLE) AS F
+           SUM(CASE WHEN l_linestatus = 'O' THEN {sql_cents("l_quantity")} END) / 100.0 AS O,
+           SUM(CASE WHEN l_linestatus = 'F' THEN {sql_cents("l_quantity")} END) / 100.0 AS F
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -693,5 +700,5 @@ def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum(to_dec("l_quantity")).cast("double"))
+        .agg(F.sum(cents("l_quantity")) / 100.0)
     )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ub_etl_spark.functions.exact import DEC
+from ub_etl_spark.functions.exact import csum, sql_csum
 from ub_etl_spark.operators.dedup import dedup_keyed_latest
 from ub_etl_spark.registry import register
 from ub_etl_spark.sources.tables import load_table as T
@@ -27,7 +27,7 @@ from ub_etl_spark.sources.tables import load_table as T
            time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS window_end,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS total_value
+           SUM(CAST(FLOOR((value) * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
     FROM events
     GROUP BY 1, 2, 3
     """,
@@ -38,7 +38,7 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+            csum("value", "total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -64,7 +64,7 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT window_start,
            window_start + INTERVAL '10 minutes' AS window_end,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS total_value
+           SUM(CAST(FLOOR((value) * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
     FROM assigned GROUP BY 1, 2
     """,
 )
@@ -74,7 +74,7 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+            csum("value", "total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ub_etl_spark.functions.exact import DEC
+from ub_etl_spark.functions.exact import cents, sql_cents
 from ub_etl_spark.registry import register
 from ub_etl_spark.sources.tables import load_table as T
 
@@ -30,8 +30,8 @@ from ub_etl_spark.sources.tables import load_table as T
     oracle=f"""
     SELECT l_returnflag,
            COUNT(*) AS n,
-           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) / 100 AS {DEC}))
-                AS DOUBLE) AS total_disc
+           SUM({sql_cents("floor(l_extendedprice * (1 - l_discount) * 100) / 100")}) / 100.0
+               AS total_disc
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -48,7 +48,7 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("dp").cast(DEC)).cast("double").alias("total_disc"),
+            (F.sum(cents("dp")) / 100.0).alias("total_disc"),
         )
     )
 
