@@ -115,7 +115,9 @@ def exact_jaccard_pairs(
     """All-pairs n-gram Jaccard >= threshold via shingle co-occurrence join.
 
     Not O(n^2): pairs only materialize for docs sharing >= 1 shingle. This is
-    the verification primitive; at scale run it only on LSH candidates.
+    the verification primitive; at scale run it only on LSH candidates
+    (jaccard_for_pairs below — this all-pairs form is quadratic in docs
+    sharing a hot shingle).
     Output: (id_a, id_b, n_a, n_b, n_common, jaccard) with id_a < id_b.
     """
     sh = shingle_rows(docs, id_col, text_col, n)
@@ -139,6 +141,39 @@ def exact_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return out.select("id_a", "id_b", "n_a", "n_b", "n_common", "jaccard")
+
+
+def jaccard_for_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY for given candidate pairs.
+
+    sh: (doc_id, shingle) distinct rows; pairs: (id_a, id_b).  Cost is
+    sum over candidate pairs of |shingles(id_a)| — linear in candidates,
+    never all-pairs.  This is what keeps LSH verification sub-quadratic at
+    corpus scale.  Output: (id_a, id_b, jaccard); pairs sharing zero
+    shingles drop out (jaccard would be 0).
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    common = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias(
+                "jaccard"
+            ),
+        )
+    )
 
 
 def minhash_signatures(
@@ -170,10 +205,19 @@ def minhash_lsh_pairs(
     bands * rows_per_band == num_perm; a pair collides if any band's rows all
     match — the classic S-curve.  Candidates are verified with exact n-gram
     Jaccard so the output has no false positives (recall is probabilistic).
+    Verification runs ONLY on candidate pairs (jaccard_for_pairs), and the
+    (doc_id, shingle) exchange is shared by the signature and verify
+    branches (Spark ReuseExchange), so shingling happens once.
     Output: (id_a, id_b, jaccard).
     """
     rows_per = num_perm // bands
-    sig = minhash_signatures(docs, id_col, text_col, n=n, num_perm=num_perm)
+    sh = shingle_rows(docs, id_col, text_col, n)
+    # one aggregate produces the num_perm minima AND the shingle-set size,
+    # so no separate sizes branch (and no join to attach it later)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_perm)
+    ] + [F.count(F.lit(1)).alias("n_sh")]
+    sig = sh.groupBy("doc_id").agg(*aggs)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -181,11 +225,13 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    buckets = sig.select("doc_id", "n_sh", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc_id", "n_sh", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
+    # candidate pairs carry both set sizes through the band join — the
+    # verify step then needs no extra joins beyond the shingle intersection
     cand = (
         a.join(
             b,
@@ -193,11 +239,30 @@ def minhash_lsh_pairs(
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
-    exact = exact_jaccard_pairs(docs, id_col, text_col, n=n, threshold=threshold)
-    return cand.join(exact, ["id_a", "id_b"], "inner").select("id_a", "id_b", "jaccard")
+    a_sh = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    verified = (
+        cand.join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold)
 
 
 def simhash64(docs: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFrame:

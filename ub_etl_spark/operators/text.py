@@ -33,41 +33,24 @@ def token_count(text: Column) -> Column:
 
 
 def bpe_ish_token_count(text: Column) -> Column:
-    """BPE-approximating token count: split on word/number/punct boundaries.
+    """BPE-approximating token count as ONE codegen expression.
 
-    A regex proxy for subword tokenizers: words count ceil(len/4) pieces,
-    punctuation counts itself.  Deterministic, JVM-side.
-
-    NOTE: uses aggregate(), an interpreted HOF — fine per-row/small; the
-    corpus-scale path is bpe_token_counts() below (codegen explode).
+    A regex proxy for subword tokenizers: each maximal alphanumeric run of
+    length L counts ceil(L/4) pieces, punctuation counts itself.  The piece
+    count is a greedy regexp_count('[A-Za-z0-9]{1,4}') — the greedy matcher
+    consumes 4 chars per match, so a run of L yields exactly ceil(L/4)
+    matches.  No HOF, no explode, no shuffle: a per-row projection that
+    stays inside whole-stage codegen at any corpus size.
     """
-    words = F.split(text, r"[^A-Za-z0-9]+")
-    word_pieces = F.aggregate(
-        words,
-        F.lit(0).cast("bigint"),
-        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)),
-    )
+    word_pieces = F.regexp_count(text, F.lit(r"[A-Za-z0-9]{1,4}"))
     punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
     return (word_pieces + punct).cast("bigint")
 
 
 def bpe_token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Codegen formulation of bpe_ish_token_count: explode words, hash-agg
-    the ceil(len/4) pieces, add the punct count computed in the same pass.
-    Output: (id_col, n_bpe_tokens).  Identical values to the Column form.
-    """
-    t = F.col(text_col)
-    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")).cast("bigint")
-    base = df.select(F.col(id_col), punct.alias("__punct"), F.split(t, r"[^A-Za-z0-9]+").alias("__w"))
-    return (
-        base.select(id_col, "__punct", F.explode("__w").alias("__word"))
-        .groupBy(id_col)
-        .agg(
-            (F.sum(F.ceil(F.length("__word") / F.lit(4.0))) + F.first("__punct"))
-            .cast("bigint")
-            .alias("n_bpe_tokens")
-        )
-    )
+    """Per-doc BPE-ish counts: (id_col, n_bpe_tokens) via the single-pass
+    expression above."""
+    return df.select(F.col(id_col), bpe_ish_token_count(F.col(text_col)).alias("n_bpe_tokens"))
 
 
 def fingerprint(text: Column) -> Column:

@@ -125,16 +125,18 @@ def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.25)
 
 
-# B2 scale path: MinHash + banded LSH (xxhash64 seeds — no portable oracle;
-# recall vs exact Jaccard asserted in tests/test_dedup.py)
+# B2 scale path: MinHash + banded LSH over the FULL corpus (no doc_id cap —
+# LSH is the operator whose cost must stay near-linear in corpus size;
+# xxhash64 seeds have no portable oracle, recall vs exact Jaccard asserted
+# in tests/test_dedup.py)
 @register("dedup_minhash_lsh", tier="B", oracle=None)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    docs = T(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perm=16, bands=4, threshold=0.25)
 
 
 # SimHash near-dup (bit-sketch variant; rows-only for the same reason)
 @register("dedup_simhash", tier="B", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = T(spark, sf_dir, "documents")
     return D.simhash_pairs(docs, "doc_id", "text", max_hamming=8)

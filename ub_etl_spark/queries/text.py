@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ub_etl_spark.operators.text import STOPWORDS, bpe_token_counts, fingerprint
+from ub_etl_spark.operators.text import STOPWORDS, bpe_ish_token_count, fingerprint
 from ub_etl_spark.registry import register
 from ub_etl_spark.sources.tables import load_table as T
 
@@ -187,7 +187,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("*", quality.alias("quality"))
 
 
-# Document fingerprinting: md5 content hash + BPE-ish token count
+# Document fingerprinting: md5 content hash + BPE-ish token count — a
+# single shuffle-free projection (greedy-regex piece count, see
+# operators/text.py bpe_ish_token_count)
 @register(
     "text_fingerprint",
     tier="B",
@@ -195,8 +197,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
            CAST(
-             CAST(list_sum(list_transform(string_split_regex(text, '[^A-Za-z0-9]+'),
-                                          w -> ceil(length(w) / 4.0))) AS BIGINT)
+             len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}'))
              + length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
            AS BIGINT) AS n_bpe_tokens
     FROM documents
@@ -204,6 +205,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
-    fps = d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
-    counts = bpe_token_counts(d, "doc_id", "text")
-    return fps.join(counts, "doc_id").select("doc_id", "fp", "n_bpe_tokens")
+    return d.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
