@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_fuzzy",
     "dedup_minhash_lsh",
     "sim_knn_exact",
+    "sim_ann_ivf",
     "dedup_embedding_cosine",
     "udf_surface",
     "multimodal_decode",

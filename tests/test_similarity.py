@@ -6,7 +6,13 @@ import math
 
 from pyspark.sql import functions as F
 
-from ub_etl_spark.operators.vectors import cosine, knn_ann_lsh, knn_exact
+from ub_etl_spark.operators.vectors import (
+    cosine,
+    ivf_centroids,
+    knn_ann_ivf,
+    knn_ann_lsh,
+    knn_exact,
+)
 
 
 def test_cosine_expression(spark):
@@ -51,3 +57,27 @@ def test_ann_lsh_recall_vs_exact(spark, sf_dir):
     }
     recall = len(ann & exact) / len(exact)
     assert recall >= 0.3, f"ANN recall collapsed: {recall}"
+
+
+def test_ivf_centroids_deterministic(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c1 = ivf_centroids(emb, nlist=4)
+    c2 = ivf_centroids(emb, nlist=4)
+    assert c1 == c2, "IVF quantizer must be reproducible run-to-run"
+    assert len(c1) == 4 and all(len(v) == 64 for _, v in c1)
+
+
+def test_ann_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF@k recall vs exact knn: probing 1/2 of the lists should keep
+    substantial recall on the synthetic embeddings."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.neighbor_id) for r in knn_exact(q, emb, k=5).collect()}
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_ann_ivf(
+            emb, k=5, nlist=8, nprobe=4, query_filter=F.col("vec_id") < 20
+        ).collect()
+    }
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.5, f"IVF recall collapsed: {recall}"

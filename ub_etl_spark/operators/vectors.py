@@ -166,6 +166,141 @@ def knn_ann_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 1,
+) -> list[tuple[int, list[float]]]:
+    """Train an IVF coarse quantizer: deterministic seeds + Lloyd refinement.
+
+    Seeds are the embeddings of the nlist ids with smallest xxhash64(id) —
+    reproducible across runs/partitionings, no RNG.  Each Lloyd iteration
+    assigns every vector to its nearest (cosine) centroid and recomputes
+    per-list means DISTRIBUTED: posexplode the vectors to (list, dim_pos)
+    cells and hash-aggregate the means — no driver-side data pass.  Only
+    the nlist x dim centroid matrix (metadata-sized) is ever collected.
+
+    At 100 TB: train on a sampled slice (.sample(fraction)) — the quantizer
+    doesn't need every vector; assignment (below) stays full-scale.
+    """
+    seeds = (
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .withColumn("__h", F.xxhash64(F.col("id")))
+        .orderBy("__h")
+        .limit(nlist)
+        .select("vec")
+        .collect()
+    )
+    cents = [(i, [float(x) for x in r.vec]) for i, r in enumerate(seeds)]
+    for _ in range(lloyd_iters):
+        assign = assign_ivf_list(embeddings, cents, id_col=id_col, vec_col=vec_col)
+        cells = assign.select(
+            "ivf_list", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v")
+        )
+        means = (
+            cells.groupBy("ivf_list", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("ivf_list")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("ivf_list", F.col("pm.m").alias("vec"))
+            .collect()
+        )
+        # lists that captured no vectors keep their previous centroid
+        updated = {r.ivf_list: [float(x) for x in r.vec] for r in means}
+        cents = [(i, updated.get(i, v)) for i, v in cents]
+    return cents
+
+
+def assign_ivf_list(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach ivf_list = argmax-cosine centroid id to every row.
+
+    One Arrow-batched pandas UDF over the full corpus: the centroid matrix
+    is a closure constant (nlist x dim floats), so this is a map-only stage
+    — no shuffle, no join, scales linearly with the corpus.
+    """
+    import numpy as np
+
+    C = np.array([v for _, v in centroids], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    ids = [i for i, _ in centroids]
+
+    from pyspark.sql.types import IntegerType
+
+    @F.pandas_udf(IntegerType())
+    def nearest(vs):
+        import pandas as pd
+
+        V = np.stack(vs.to_numpy()).astype(np.float64)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        arg = np.argmax(Vn @ Cn.T, axis=1)
+        return pd.Series(np.asarray(ids, dtype=np.int32)[arg])
+
+    return embeddings.withColumn("ivf_list", nearest(F.col(vec_col)))
+
+
+def knn_ann_ivf(
+    embeddings: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: Column | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into nlist inverted
+    lists, probe the nprobe nearest lists per query, exact re-rank inside.
+
+    The candidate join is an equi-join on ivf_list (shuffle-partitioned by
+    list id; lists are near-balanced by construction of Lloyd means), and
+    each query scores ~corpus x nprobe/nlist candidates instead of the full
+    corpus.  Output: (query_id, neighbor_id, score, rank).
+    """
+    import numpy as np
+
+    cents = ivf_centroids(embeddings, nlist=nlist, id_col=id_col, vec_col=vec_col)
+    C = np.array([v for _, v in cents], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    ids = np.asarray([i for i, _ in cents], dtype=np.int32)
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_lists(vs):
+        import pandas as pd
+
+        V = np.stack(vs.to_numpy()).astype(np.float64)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(Vn @ Cn.T), axis=1)[:, :nprobe]
+        return pd.Series(list(ids[order]))
+
+    corpus = assign_ivf_list(embeddings, cents, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "ivf_list"
+    )
+    q = embeddings.filter(query_filter if query_filter is not None else F.lit(True)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe_lists(F.col(vec_col))).alias("ivf_list"),
+    )
+    scored = (
+        q.join(corpus, "ivf_list")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_batch(F.col("q_vec"), F.col("c_vec")).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -57,6 +57,16 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_ann_lsh(e, k=5, dim=64, n_planes=4, query_filter=F.col("id") < 10)
 
 
+# B4 scale path #2: IVF — deterministic coarse quantizer (hash seeds +
+# distributed Lloyd step), nprobe inverted-list probing, exact re-rank.
+# Rows-only (quantizer has no SQL analogue); recall vs exact knn asserted
+# in tests/test_similarity.py.
+@register("sim_ann_ivf", tier="B", oracle=None)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    return V.knn_ann_ivf(e, k=5, nlist=16, nprobe=4, query_filter=F.col("vec_id") < 10)
+
+
 # Embedding-cosine near-dup pairs, label-blocked
 @register(
     "dedup_embedding_cosine",
