@@ -4,10 +4,10 @@ reaches for next (guide: "Common OLAP patterns")."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ub_etl_spark.functions.exact import cents, csum, sql_csum
+from ub_etl_spark.functions.exact import cents, csum, sql_cents, sql_csum
 from ub_etl_spark.operators.asof import asof_join
 from ub_etl_spark.registry import register
 from ub_etl_spark.sources.tables import load_table as T
@@ -157,4 +157,179 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderstatus").agg(
         F.percentile("o_totalprice", 0.5).alias("p50"),
         F.percentile("o_totalprice", 0.9).alias("p90"),
+    )
+
+
+# Full outer join: union of matched + left-only + right-only keys — the
+# missing member of the join family (inner/left/semi/anti/broadcast/asof/
+# range are covered elsewhere)
+@register(
+    "join_full_outer",
+    tier="Q",
+    oracle="""
+    SELECT COALESCE(o.o_orderkey, li.l_orderkey) AS orderkey,
+           o.o_totalprice AS totalprice, li.n_big AS n_big
+    FROM (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0) o
+    FULL JOIN (SELECT l_orderkey, COUNT(*) AS n_big FROM lineitem
+               WHERE l_quantity >= 45 GROUP BY l_orderkey) li
+      ON o.o_orderkey = li.l_orderkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    return o.join(li, o.o_orderkey == li.l_orderkey, "full").select(
+        F.coalesce("o_orderkey", "l_orderkey").alias("orderkey"),
+        F.col("o_totalprice").alias("totalprice"),
+        "n_big",
+    )
+
+
+# CUBE + GROUPING_ID: all 4 grouping sets of (status, priority), with the
+# grouping_id bitmask distinguishing subtotal levels (rollup twin is
+# agg_rollup_cube)
+@register(
+    "agg_cube_grouping",
+    tier="Q",
+    oracle=f"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           {sql_csum("o_totalprice", "total")}
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            csum("o_totalprice", "total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n",
+            "total",
+        )
+    )
+
+
+# RANGE window frame: per-customer trailing-30-day spend — value-based
+# (not row-based) frame bounds, ordered on a day-integer so both engines
+# share the same RANGE arithmetic
+@register(
+    "window_range_frame",
+    tier="Q",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey, date_int,
+           SUM({sql_cents("o_totalprice")}) OVER (
+             PARTITION BY o_custkey ORDER BY date_int
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) / 100.0 AS trailing_30d,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY date_int
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_30d
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS date_int
+      FROM orders
+    ) t
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").withColumn(
+        "date_int",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast("bigint"),
+    )
+    w = W.partitionBy("o_custkey").orderBy("date_int").rangeBetween(-30, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "date_int",
+        (F.sum(cents("o_totalprice")).over(w) / 100.0).alias("trailing_30d"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_30d"),
+    )
+
+
+# Distribution windows: ntile / percent_rank / cume_dist (ratios of integer
+# ranks — deterministic across engines); ties broken by orderkey
+@register(
+    "window_ntile_dist",
+    tier="Q",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           FIRST_VALUE(o_orderkey) OVER w AS cheapest_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+    )
+
+
+# Exact second-moment statistics: mean/variance/stddev from exact integer
+# sums (s1 = sum of whole-unit values, s2 = sum of squares — both fit a
+# long at this value envelope), combined with the SAME double expression
+# on both engines.  Shows how order-independent moments are built at scale
+# without decimal aggregation.
+@register(
+    "agg_stats_exact",
+    tier="Q",
+    oracle="""
+    SELECT o_orderstatus, n,
+           CAST(s1 AS DOUBLE) / n AS mean_price,
+           CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+             AS var_pop,
+           sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             AS std_pop
+    FROM (
+      SELECT o_orderstatus, COUNT(*) AS n,
+             SUM(CAST(FLOOR((o_totalprice) * 1 + 0.5) AS BIGINT)) AS s1,
+             SUM(CAST(FLOOR((o_totalprice) * 1 + 0.5) AS BIGINT)
+                 * CAST(FLOOR((o_totalprice) * 1 + 0.5) AS BIGINT)) AS s2
+      FROM orders GROUP BY o_orderstatus
+    ) t
+    """,
+)
+def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    c = cents("o_totalprice", scale=0)
+    agg = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c).alias("s1"),
+        F.sum(c * c).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    return agg.select(
+        "o_orderstatus",
+        "n",
+        mean.alias("mean_price"),
+        var.alias("var_pop"),
+        F.sqrt(var).alias("std_pop"),
     )
