@@ -103,3 +103,18 @@ def test_simhash_separates_dups_from_distinct(spark):
     # near-dup pairs must be closer than any cross-topic pair that appears
     if (0, 1) in got and (0, 3) in got:
         assert got[(0, 1)] < got[(0, 3)]
+
+
+def test_connected_components_chain_and_singleton(spark):
+    from ub_etl_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id bigint")
+    # chain 0-1-2, pair 3-4, singleton 5
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(nodes, pairs, "doc_id").collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}

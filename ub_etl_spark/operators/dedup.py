@@ -265,6 +265,52 @@ def minhash_lsh_pairs(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (id, cluster_id) where
+    cluster_id is the minimum member id — the canonical-doc assignment that
+    follows pair generation in a dedup pipeline.
+
+    Min-label propagation: each round joins labels across the (symmetric)
+    edge set and keeps the per-node minimum; terminates when a round changes
+    nothing (near-dup clusters have tiny diameters, so rounds ~ 2-4).  Each
+    round is one shuffle join + one shuffle agg on the node id.  At graph
+    scale the round count is cut to O(log n) with large-star/small-star
+    (Kiveris et al.) — same primitive ops, different edge rewrites; the
+    plain propagation is kept here because dedup graphs are
+    shallow-diameter by construction.  Nodes not in any pair come out as
+    singleton clusters (cluster_id = own id).
+    """
+    ids = nodes.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates(["src", "dst"])
+    labels = ids.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "label")
+        new_labels = (
+            labels.unionByName(msgs).groupBy("id").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)  # truncate lineage: plan depth stays O(1) per round
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def simhash64(docs: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFrame:
     """64-bit SimHash per doc: (doc_id, sh).
 

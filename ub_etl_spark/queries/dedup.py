@@ -140,3 +140,52 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     return D.simhash_pairs(docs, "doc_id", "text", max_hamming=8)
+
+
+# Cluster assignment over near-dup pairs: connected components with the
+# min member id as canonical — the step a dedup pipeline runs after pair
+# generation.  Oracle: recursive CTE transitive closure over the same
+# exact-Jaccard pairs (fully value-checked, including singletons).
+@register(
+    "dedup_cluster_cc",
+    tier="B",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 400
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+      WHERE len(t) >= 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.25
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents WHERE doc_id < 400
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, MIN(label) AS cluster_id,
+           (id = MIN(label)) AS is_canonical
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    pairs = D.exact_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.25).select(
+        "id_a", "id_b"
+    )
+    cc = D.connected_components(docs, pairs, "doc_id")
+    return cc.withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
