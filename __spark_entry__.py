@@ -13,7 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ub_etl_spark.functions.exact import davg, dsum, to_dec
+from ub_etl_spark.functions.exact import cavg, cents_disc, csum
 from ub_etl_spark.registry import load_all
 
 
@@ -29,11 +29,11 @@ def entry(spark: SparkSession) -> DataFrame:
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity", "sum_qty"),
-            F.sum(to_dec("l_extendedprice") * to_dec(F.lit(1) - F.col("l_discount")))
-            .cast("double")
-            .alias("sum_disc_price"),
-            davg("o_totalprice", "avg_order_total"),
+            csum("l_quantity", "sum_qty"),
+            (F.sum(cents_disc("l_extendedprice", "l_discount")) / 10000.0).alias(
+                "sum_disc_price"
+            ),
+            cavg("o_totalprice", "avg_order_total"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
