@@ -333,3 +333,45 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("var_pop"),
         F.sqrt(var).alias("std_pop"),
     )
+
+
+# Skew-aware join: salted equi-join of the (skewed) fact side against a
+# replicated dim — result identical to the plain join, which is exactly
+# what the oracle checks.  l_returnflag has 3 hot values, the worst-case
+# key distribution for a reduce-side join.
+@register(
+    "join_skew_salted",
+    tier="B",
+    oracle="""
+    WITH dim(flag, label) AS (VALUES ('A', 'accepted'), ('N', 'none'), ('R', 'returned'))
+    SELECT l_orderkey, l_linenumber, label
+    FROM lineitem JOIN dim ON l_returnflag = flag
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ub_etl_spark.operators.skew import salted_join
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag")
+    dim = spark.createDataFrame(
+        [("A", "accepted"), ("N", "none"), ("R", "returned")],
+        "l_returnflag string, label string",
+    )
+    return salted_join(li, dim, ["l_returnflag"], salt=8).select(
+        "l_orderkey", "l_linenumber", "label"
+    )
+
+
+# Skew-aware aggregation: two-phase salted count on a 3-value hot key;
+# identical totals to the plain GROUP BY (the oracle).
+@register(
+    "agg_skew_salted",
+    tier="B",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ub_etl_spark.operators.skew import salted_group_count
+
+    li = T(spark, sf_dir, "lineitem").select("l_returnflag")
+    return salted_group_count(li, ["l_returnflag"], salt=8)
