@@ -1,0 +1,138 @@
+"""Storage + source queries under the correctness gate.
+
+- storage_bucketed_merge: the production-shaped upsert path (hash-bucketed
+  parquet + dynamic-partition-overwrite merge, operators/storage.py) run
+  end-to-end against a temp table, value-checked against the equivalent
+  CASE expression.
+- rest_source_scan: the paginated REST DataSource (sources/rest.py, A1)
+  reading a deterministic in-process HTTP stub with parallel page-range
+  partitions — the same fixture pattern as tests/test_rest_source.py, but
+  exposed as a queries() entry so the driver's oracle diff covers the
+  source, not just the unit tests.
+"""
+
+from __future__ import annotations
+
+import json
+import tempfile
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ub_etl_spark.operators.storage import merge_into_bucketed, read_table, write_bucketed
+from ub_etl_spark.registry import register
+from ub_etl_spark.sources.tables import load_table as T
+
+
+# A10/A11 production shape: initial bucketed load + latest-wins merge that
+# rewrites only touched hash-buckets, then a full read-back.
+@register(
+    "storage_bucketed_merge",
+    tier="A",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                ELSE o_totalprice END AS totalprice,
+           CAST(CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END AS INTEGER) AS version
+    FROM orders
+    """,
+)
+def storage_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.lit(1).alias("version"),
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 2).alias("totalprice"),
+            F.lit(2).alias("version"),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="bucketed_merge_")
+    write_bucketed(base, path, keys=["o_orderkey"], n_buckets=16)
+    merge_into_bucketed(
+        spark, path, updates, keys=["o_orderkey"], order_by=["version"], n_buckets=16
+    )
+    return read_table(spark, path).select("o_orderkey", "totalprice", "version")
+
+
+# ---------------------------------------------------------------------------
+# REST source stub: a deterministic paginated JSON API served from a daemon
+# thread.  Started once per process, lazily; must outlive the (lazy) scan,
+# so it is never shut down explicitly — the daemon thread dies with the
+# process.
+# ---------------------------------------------------------------------------
+_N_PAGES = 7
+_PAGE_SIZE = 5
+_stub_lock = threading.Lock()
+_stub_url: str | None = None
+
+
+def _ensure_stub() -> str:
+    global _stub_url
+    with _stub_lock:
+        if _stub_url is not None:
+            return _stub_url
+        from http.server import BaseHTTPRequestHandler, HTTPServer
+        from urllib.parse import parse_qs, urlparse
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # silence
+                pass
+
+            def do_GET(self):
+                q = parse_qs(urlparse(self.path).query)
+                page = int(q.get("page", ["1"])[0])
+                size = int(q.get("page_size", [str(_PAGE_SIZE)])[0])
+                base = (page - 1) * size
+                body = json.dumps(
+                    {
+                        "next": None if page >= _N_PAGES else f"?page={page + 1}",
+                        "results": [
+                            {"rec_id": base + i, "name": f"r{base + i}"}
+                            for i in range(size)
+                        ],
+                    }
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+
+        server = HTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        _stub_url = f"http://127.0.0.1:{server.server_port}/api"
+        return _stub_url
+
+
+# A1: the custom Python DataSource fetching page-ranges in parallel.  The
+# stub emits rec_id 0..34 deterministically, so the source itself is
+# value-checked (DuckDB range() oracle) — pagination, partitioning, and
+# row assembly all under the hash diff.
+@register(
+    "rest_source_scan",
+    tier="A",
+    oracle=f"""
+    SELECT CAST(range AS BIGINT) AS rec_id, 'r' || range AS name
+    FROM range({_N_PAGES * _PAGE_SIZE})
+    """,
+)
+def rest_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ub_etl_spark.sources.rest import RestPaginatedDataSource
+
+    url = _ensure_stub()
+    spark.dataSource.register(RestPaginatedDataSource)
+    return (
+        spark.read.format("rest_paginated")
+        .schema("rec_id long, name string")
+        .option("url", url)
+        .option("pages", _N_PAGES)
+        .option("page_size", _PAGE_SIZE)
+        .option("partitions", 4)
+        .load()
+    )

@@ -59,6 +59,7 @@ def load_all() -> dict[str, QuerySpec]:
             nested,
             relational,
             similarity,
+            storage_io,
             streaming_batch,
             text,
             udfs,
