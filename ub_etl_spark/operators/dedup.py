@@ -143,39 +143,6 @@ def exact_jaccard_pairs(
     return out.select("id_a", "id_b", "n_a", "n_b", "n_common", "jaccard")
 
 
-def jaccard_for_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Exact n-gram Jaccard computed ONLY for given candidate pairs.
-
-    sh: (doc_id, shingle) distinct rows; pairs: (id_a, id_b).  Cost is
-    sum over candidate pairs of |shingles(id_a)| — linear in candidates,
-    never all-pairs.  This is what keeps LSH verification sub-quadratic at
-    corpus scale.  Output: (id_a, id_b, jaccard); pairs sharing zero
-    shingles drop out (jaccard would be 0).
-    """
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
-    common = (
-        pairs.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias(
-                "jaccard"
-            ),
-        )
-    )
-
-
 def minhash_signatures(
     docs: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 16
 ) -> DataFrame:
@@ -205,10 +172,12 @@ def minhash_lsh_pairs(
     bands * rows_per_band == num_perm; a pair collides if any band's rows all
     match — the classic S-curve.  Candidates are verified with exact n-gram
     Jaccard so the output has no false positives (recall is probabilistic).
-    Verification runs ONLY on candidate pairs (jaccard_for_pairs), and the
-    (doc_id, shingle) exchange is shared by the signature and verify
-    branches (Spark ReuseExchange), so shingling happens once.
-    Output: (id_a, id_b, jaccard).
+    Verification runs ONLY on candidate pairs — cost is sum over candidates
+    of |shingles(id_a)|, never all-pairs — and the shingle-set sizes ride
+    from the signature aggregate through the band join, so the verify step
+    adds no size-lookup joins.  The (doc_id, shingle) exchange is shared by
+    the signature and verify branches (Spark ReuseExchange): shingling
+    happens once.  Output: (id_a, id_b, jaccard).
     """
     rows_per = num_perm // bands
     sh = shingle_rows(docs, id_col, text_col, n)
@@ -308,6 +277,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # a silent wrong answer here would split clusters undetectably —
+        # fail loudly instead (raise max_iter, or switch to
+        # large-star/small-star for deep graphs)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter)"
+        )
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 

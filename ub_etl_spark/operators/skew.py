@@ -34,7 +34,12 @@ def salted_join(
     side is exploded across all salt values.
     """
     keys = list(keys)
-    big_s = big.withColumn(_SALT, F.pmod(F.xxhash64(*big.columns), F.lit(salt)))
+    # salt must vary per ROW, not per key — deriving it from column values
+    # would collapse to one salt per hot key when the frame carries only the
+    # key columns, silently un-splitting the skew.  monotonically_increasing_id
+    # varies within every partition; its exact values never affect the join
+    # result (each salt matches a replicated small-side row).
+    big_s = big.withColumn(_SALT, F.pmod(F.monotonically_increasing_id(), F.lit(salt)))
     small_s = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<bigint>"))
     )
@@ -47,6 +52,10 @@ def salted_group_count(df: DataFrame, keys: Sequence[str], salt: int = 8) -> Dat
     aggregation map-side; explicit salting additionally splits a hot key
     across *reduce* tasks, which partial agg alone cannot."""
     keys = list(keys)
-    salted = df.withColumn(_SALT, F.pmod(F.xxhash64(*df.columns), F.lit(salt)))
+    # per-ROW salt (see salted_join): a value-derived salt would be constant
+    # within a hot key when df holds only the key columns, leaving the hot
+    # reduce task un-split.  Counts are salt-invariant, so the id values
+    # don't affect the result.
+    salted = df.withColumn(_SALT, F.pmod(F.monotonically_increasing_id(), F.lit(salt)))
     partial = salted.groupBy(*keys, _SALT).agg(F.count(F.lit(1)).alias("__c"))
     return partial.groupBy(*keys).agg(F.sum("__c").alias("n"))

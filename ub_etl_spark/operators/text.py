@@ -47,12 +47,6 @@ def bpe_ish_token_count(text: Column) -> Column:
     return (word_pieces + punct).cast("bigint")
 
 
-def bpe_token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-doc BPE-ish counts: (id_col, n_bpe_tokens) via the single-pass
-    expression above."""
-    return df.select(F.col(id_col), bpe_ish_token_count(F.col(text_col)).alias("n_bpe_tokens"))
-
-
 def fingerprint(text: Column) -> Column:
     """Canonical document fingerprint: md5 of case/whitespace-normalized text
     (content-hash dedup key; md5 is available in both Spark and DuckDB so the

@@ -179,8 +179,14 @@ def ivf_centroids(
     reproducible across runs/partitionings, no RNG.  Each Lloyd iteration
     assigns every vector to its nearest (cosine) centroid and recomputes
     per-list means DISTRIBUTED: posexplode the vectors to (list, dim_pos)
-    cells and hash-aggregate the means — no driver-side data pass.  Only
-    the nlist x dim centroid matrix (metadata-sized) is ever collected.
+    cells and hash-aggregate — no driver-side data pass.  Only the
+    nlist x dim centroid matrix (metadata-sized) is ever collected.
+
+    The cell means are summed in 1e-9 fixed-point longs, not double —
+    double partial sums merge in shuffle-arrival order, which would make
+    the "deterministic" quantizer differ run-to-run in the last ulp.
+    Component magnitudes ~1 give ~1e9 per cell, so the long sum is exact
+    to ~9e9 vectors per list.
 
     At 100 TB: train on a sampled slice (.sample(fraction)) — the quantizer
     doesn't need every vector; assignment (below) stays full-scale.
@@ -194,21 +200,26 @@ def ivf_centroids(
         .collect()
     )
     cents = [(i, [float(x) for x in r.vec]) for i, r in enumerate(seeds)]
+    scale = 1e9
     for _ in range(lloyd_iters):
         assign = assign_ivf_list(embeddings, cents, id_col=id_col, vec_col=vec_col)
         cells = assign.select(
             "ivf_list", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v")
         )
-        means = (
+        sums = (
             cells.groupBy("ivf_list", "pos")
-            .agg(F.avg("v").alias("m"))
+            .agg(
+                F.sum(F.floor(F.col("v") * scale + F.lit(0.5)).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .groupBy("ivf_list")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("ivf_list", F.col("pm.m").alias("vec"))
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "s", "n"))).alias("cells"))
             .collect()
         )
         # lists that captured no vectors keep their previous centroid
-        updated = {r.ivf_list: [float(x) for x in r.vec] for r in means}
+        updated = {
+            r.ivf_list: [c.s / scale / c.n for c in r.cells] for r in sums
+        }
         cents = [(i, updated.get(i, v)) for i, v in cents]
     return cents
 

@@ -121,7 +121,12 @@ def insert_ignore_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    # drop sub-shingle docs on the Spark side too: shingle_rows would give
+    # them a whole-text shingle, the oracle's `len(t) >= 3` gives them none
+    # (latent divergence; current corpora have >= 10 tokens everywhere)
+    docs = T(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 400) & (F.size(F.split("text", " ")) >= 3)
+    )
     return D.exact_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.25)
 
 
@@ -173,7 +178,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT id_b AS src, id_a AS dst FROM pairs
     ), reach(id, label) AS (
-      SELECT doc_id, doc_id FROM documents WHERE doc_id < 400
+      SELECT doc_id, doc_id FROM documents
+      WHERE doc_id < 400 AND len(string_split(text, ' ')) >= 3
       UNION
       SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
     )
@@ -183,7 +189,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    # node set matches dedup_fuzzy's short-doc guard so cluster rows align
+    # with the oracle's `len(t) >= 3` shingle restriction
+    docs = T(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 400) & (F.size(F.split("text", " ")) >= 3)
+    )
     pairs = D.exact_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.25).select(
         "id_a", "id_b"
     )

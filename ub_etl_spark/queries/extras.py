@@ -293,10 +293,16 @@ def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Exact second-moment statistics: mean/variance/stddev from exact integer
-# sums (s1 = sum of whole-unit values, s2 = sum of squares — both fit a
-# long at this value envelope), combined with the SAME double expression
-# on both engines.  Shows how order-independent moments are built at scale
-# without decimal aggregation.
+# sums (s1 = sum of whole-unit values, s2 = sum of squares), combined with
+# the SAME double expression on both engines.  Shows how order-independent
+# moments are built without decimal aggregation.
+#
+# Envelope: values ~1e6 give c*c ~1e12 per row, so the long s2 sum is
+# exact to ~9e6 rows PER GROUP — far tighter than the ~1e12-row s1
+# envelope, and Spark's non-ANSI long sum wraps silently beyond it.  Past
+# that, swap s2 to F.sum((c*c).cast("decimal(38,0)")) (exact at any
+# scale, ~2.5x slower) — the point of the query is the technique, the
+# envelope math decides which carrier type.
 @register(
     "agg_stats_exact",
     tier="Q",

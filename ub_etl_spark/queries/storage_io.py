@@ -14,6 +14,8 @@
 from __future__ import annotations
 
 import json
+import os
+import shutil
 import tempfile
 import threading
 
@@ -39,6 +41,10 @@ from ub_etl_spark.sources.tables import load_table as T
     """,
 )
 def storage_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOTE: unlike every other registry entry this fn has EAGER side
+    effects (two parquet writes + a merge) — it is a storage-path test, not
+    a lazy plan.  The table lives at a fixed temp path wiped on entry, so
+    repeated runs don't accumulate copies."""
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     base = o.select(
         "o_orderkey",
@@ -53,7 +59,8 @@ def storage_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2).alias("version"),
         )
     )
-    path = tempfile.mkdtemp(prefix="bucketed_merge_")
+    path = os.path.join(tempfile.gettempdir(), "ub_etl_spark_bucketed_merge")
+    shutil.rmtree(path, ignore_errors=True)
     write_bucketed(base, path, keys=["o_orderkey"], n_buckets=16)
     merge_into_bucketed(
         spark, path, updates, keys=["o_orderkey"], order_by=["version"], n_buckets=16
