@@ -52,3 +52,25 @@ def multimodal_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     return decode_features(with_binary_payload(d, "doc_id", "text"), fake=True)
+
+
+# mapInPandas frame sampler: one row per kept frame index — the explode
+# shape of video frame extraction; the fake frame count is deterministic
+# in payload size, so the sampled indices are fully oracle-checkable.
+@register(
+    "multimodal_frame_sample",
+    tier="B",
+    oracle="""
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx
+    FROM (
+      SELECT doc_id,
+             UNNEST(generate_series(0, octet_length(encode(text)) % 30, 10)) AS frame_idx
+      FROM documents
+    ) t
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ub_etl_spark.operators.multimodal import sample_frames
+
+    d = T(spark, sf_dir, "documents")
+    return sample_frames(with_binary_payload(d, "doc_id", "text"), every_nth=10, fake=True)
