@@ -155,3 +155,43 @@ def stream_dedup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keyed_latest(e, ["user_id", "event_type"], ["ts", "event_id"]).select(
         "user_id", "event_type", "event_id", "ts", "value"
     )
+
+
+# Native session_window operator (same Catalyst SessionWindow node in
+# batch and streaming) — twin of the manual lag-based sessionization
+# above; window.end is last-event + gap, so subtracting the gap yields
+# the oracle's max(ts).
+@register(
+    "stream_session_native",
+    tier="B",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         <= INTERVAL '30 minutes'
+                    THEN 0 ELSE 1 END AS is_new
+        FROM events
+      ) g
+    ) s
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            F.col("w.start").alias("session_start"),
+            (F.col("w.end") - F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+        )
+    )
