@@ -37,7 +37,6 @@ def cosine_batch(a, b):
     den = np.sqrt(np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B))
     return pd.Series(num / den)
 
-
 def dot(a: Column, b: Column) -> Column:
     """Deterministic (sequential) double-precision dot product."""
     return F.aggregate(

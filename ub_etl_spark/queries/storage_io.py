@@ -143,3 +143,26 @@ def rest_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("partitions", 4)
         .load()
     )
+
+
+# Disk-layout partition pruning: write events partitioned by event_type,
+# read back with a partition predicate — the scan must show
+# PartitionFilters (directory pruning, zero IO for other types), which
+# tools/explain_audit.py asserts.  Eager side effects like
+# storage_bucketed_merge; fixed path wiped on entry.
+@register(
+    "storage_partitioned_write",
+    tier="A",
+    oracle="""
+    SELECT event_id, user_id, value, event_type
+    FROM events WHERE event_type IN ('purchase', 'signup')
+    """,
+)
+def storage_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events").select("event_id", "user_id", "value", "event_type")
+    path = os.path.join(tempfile.gettempdir(), "ub_etl_spark_partitioned_events")
+    shutil.rmtree(path, ignore_errors=True)
+    e.write.partitionBy("event_type").mode("overwrite").parquet(path)
+    return spark.read.parquet(path).filter(
+        F.col("event_type").isin("purchase", "signup")
+    ).select("event_id", "user_id", "value", "event_type")
