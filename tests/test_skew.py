@@ -24,3 +24,20 @@ def test_salted_group_count_matches_plain(spark, sf_dir):
     }
     salted = {tuple(r) for r in salted_group_count(li, ["l_returnflag"], salt=16).collect()}
     assert plain == salted
+
+
+def test_salt_varies_within_hot_key(spark):
+    """Regression: a value-derived salt collapses to ONE salt per hot key
+    when the frame carries only the key column, leaving the hot reduce
+    task un-split.  The salt must vary per row."""
+    from ub_etl_spark.operators.skew import _SALT
+
+    hot = spark.range(10_000).select(F.lit("HOT").alias("k"))
+    salted = hot.withColumn(_SALT, F.pmod(F.monotonically_increasing_id(), F.lit(8)))
+    n_salts = salted.select(_SALT).distinct().count()
+    assert n_salts == 8, f"hot key must scatter across all salts, got {n_salts}"
+    # and the public operator distributes the hot key's rows across salts
+    counts = (
+        salted_group_count(hot, ["k"], salt=8).collect()
+    )
+    assert counts[0].n == 10_000
