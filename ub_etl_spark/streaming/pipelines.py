@@ -100,32 +100,39 @@ def upsert_stream_foreach_batch(
     checkpoint_dir: str,
     keys: Sequence[str],
     order_by: Sequence[str],
+    n_buckets: int = 16,
 ):
-    """Streaming upsert: each micro-batch merges latest-wins into a parquet
-    state table.  The merge itself is idempotent on replay (same batch
-    merged twice is a fixpoint), which together with the checkpoint gives
-    effective exactly-once (A11 + A17 in streaming form).
+    """Streaming upsert: each micro-batch merges latest-wins into a
+    hash-BUCKETED parquet state table (operators/storage.py), rewriting
+    only the buckets the batch touches — O(|batch| x table/N) per batch,
+    not O(|table|), so the state table can be arbitrarily large relative
+    to the batch.
+
+    Exactly-once story: the merge is idempotent on replay (same batch
+    merged twice is a latest-wins fixpoint), so a crash mid-merge — which
+    can leave touched buckets at mixed generations — heals when the
+    checkpoint replays the batch (A11 + A17 in streaming form).
 
     Returns the started StreamingQuery (caller awaits/stops).
     """
+    from ub_etl_spark.operators.storage import merge_into_bucketed, write_bucketed
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         try:
-            existing = spark.read.parquet(state_dir)
+            spark.read.parquet(state_dir).schema  # existence probe
+            has_state = True
         except Exception:  # first batch: no state yet
-            existing = None
-        deduped = upsert_latest_wins(
-            batch_df.sparkSession.createDataFrame([], batch_df.schema)
-            if existing is None
-            else existing,
-            batch_df,
-            keys,
-            order_by=order_by,
-        )
-        # stage-then-swap write keeps the state dir readable on failure
-        deduped.write.mode("overwrite").parquet(state_dir + ".staging")
-        spark.read.parquet(state_dir + ".staging").write.mode("overwrite").parquet(state_dir)
+            has_state = False
+        if not has_state:
+            first = upsert_latest_wins(
+                spark.createDataFrame([], batch_df.schema), batch_df, keys, order_by=order_by
+            )
+            write_bucketed(first, state_dir, keys, n_buckets=n_buckets)
+        else:
+            merge_into_bucketed(
+                spark, state_dir, batch_df, keys, order_by=order_by, n_buckets=n_buckets
+            )
 
     return (
         events.writeStream.foreachBatch(merge_batch)
