@@ -56,7 +56,7 @@ def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
     ), tf AS (
-      SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE doc_id < 100 GROUP BY 1, 2
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
     ), df AS (
       SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
     ), n AS (
@@ -71,11 +71,7 @@ def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tf = (
-        tok.filter(F.col("doc_id") < 100)
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
