@@ -162,3 +162,51 @@ def test_stateful_running_counts_across_restarts(spark, tmpdir):
     run()
     got2 = {(r.user_id, r.n_events, r.total_value) for r in spark.read.parquet(sink).collect()}
     assert (10, 3, 4.5) in got2
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs protobuf (absent in this env); "
+    "the applyInPandasWithState twin above covers the semantics",
+)
+def test_running_totals_transform_with_state(spark, tmpdir):
+    """transformWithStateInPandas twin of stateful_running_counts: typed
+    ValueState carries per-key aggregates across micro-batches."""
+    from ub_etl_spark.streaming.pipelines import running_totals_tws
+
+    src, ckpt, sink = f"{tmpdir}/src", f"{tmpdir}/ckpt", f"{tmpdir}/sink"
+    write_batch(
+        spark, src, [(1, T0, 10, "a", 1.5), (2, T0, 10, "a", 2.5), (3, T0, 20, "a", 4.0)]
+    )
+
+    def run():
+        out = running_totals_tws(read_stream(spark, src))
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = {(r.user_id, r.n_events, r.total_value) for r in spark.read.parquet(sink).collect()}
+    assert got == {(10, 2, 4.0), (20, 1, 4.0)}
+
+    # state survives a restart from checkpoint
+    write_batch(spark, src, [(4, T0, 20, "a", 1.0)])
+    run()
+    got2 = {(r.user_id, r.n_events, r.total_value) for r in spark.read.parquet(sink).collect()}
+    assert (20, 2, 5.0) in got2

@@ -140,3 +140,46 @@ def upsert_stream_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def running_totals_tws(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """stateful_running_counts on the Spark 4 transformWithStateInPandas
+    API — typed per-key ValueState instead of the legacy GroupState blob.
+    Same semantics as stateful_running_counts; kept side-by-side because
+    transformWithState is the forward path (typed state variables, timers,
+    state TTL) while applyInPandasWithState remains the stable one.
+
+    RUNTIME REQUIREMENT: transformWithState's state server speaks protobuf;
+    environments without a working google.protobuf cannot run this pipeline
+    (the test suite skips it there) — use stateful_running_counts instead.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n long, total double")
+
+        def handleInputRows(self, key_tuple, rows, timerValues):
+            n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key_tuple[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
