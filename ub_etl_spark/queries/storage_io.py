@@ -166,3 +166,50 @@ def storage_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path).filter(
         F.col("event_type").isin("purchase", "signup")
     ).select("event_id", "user_id", "value", "event_type")
+
+
+# Multi-format round-trip: the same rows written and re-read through every
+# supported format with an EXPLICIT schema (never inference — SURVEY §1.3),
+# unioned with a format tag.  Value-checked: any format that mangles a
+# type (csv stringification, json number widening) breaks the hash.
+@register(
+    "io_multiformat_roundtrip",
+    tier="A",
+    oracle="""
+    SELECT fmt, o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM (SELECT unnest(['parquet', 'orc', 'json', 'csv']) AS fmt) f
+    CROSS JOIN (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(o_orderdate AS DATE) AS o_orderdate
+      FROM orders WHERE o_orderkey % 100 = 0
+    ) o
+    """,
+)
+def io_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ub_etl_spark.sources.io import FORMATS, read_table_fmt, write_table
+
+    schema = "o_orderkey bigint, o_orderstatus string, o_totalprice double, o_orderdate date"
+    src = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        )
+    )
+    root = os.path.join(tempfile.gettempdir(), "ub_etl_spark_multiformat")
+    shutil.rmtree(root, ignore_errors=True)
+    out = None
+    for fmt in FORMATS:
+        path = os.path.join(root, fmt)
+        write_table(src, path, fmt=fmt)
+        back = read_table_fmt(spark, path, fmt, schema).select(
+            F.lit(fmt).alias("fmt"),
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+        )
+        out = back if out is None else out.unionByName(back)
+    return out
