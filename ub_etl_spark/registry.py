@@ -57,6 +57,7 @@ def load_all() -> dict[str, QuerySpec]:
             merge,
             multimodal,
             nested,
+            pipeline,
             relational,
             similarity,
             storage_io,
