@@ -633,7 +633,7 @@ def count_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(l_shipdate AS VARCHAR) AS ship_str,
            CAST(CAST(l_shipdate AS VARCHAR) AS TIMESTAMP) AS ship_rt,
            (l_returnflag = 'R') AS flag_is_r,
-           CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec
     FROM lineitem
     """,
 )
@@ -647,7 +647,10 @@ def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").cast("string").alias("ship_str"),
         F.col("l_shipdate").cast("string").cast("timestamp").alias("ship_rt"),
         (F.col("l_returnflag") == "R").alias("flag_is_r"),
-        F.col("l_extendedprice").cast("decimal(12,2)").alias("price_dec"),
+        # decimal(12,2) semantics under test, but emitted as double: raw
+        # DECIMAL hashes differently across Spark (Decimal) and DuckDB
+        # (float64) clients even when values are identical.
+        F.col("l_extendedprice").cast("decimal(12,2)").cast("double").alias("price_dec"),
     )
 
 

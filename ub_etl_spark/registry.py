@@ -46,9 +46,48 @@ def register(name: str, *, oracle: Optional[str] = None, tier: str = "A", doc: s
 
 _LOADED = False
 
+# The driver's correctness gate checks the first 50 entries of ``queries()``
+# in registration order.  With 74 registered queries, ordering decides which
+# get a driver row each round.  Round 1 checked the first 50 in import order;
+# this list front-loads (a) the 24 queries that round never reached and
+# (b) queries whose implementation changed this round, so every query ends up
+# with a green driver row across rounds.  Queries already proven by a prior
+# CORRECTNESS_r*.json round may safely fall past position 50.
+DRIVER_PRIORITY = [
+    # unchecked in round 1 (registration positions 51-74)
+    "cast_timestamp",
+    "pivot_wide",
+    "sim_knn_exact",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "dedup_embedding_cosine",
+    "storage_bucketed_merge",
+    "rest_source_scan",
+    "storage_partitioned_write",
+    "io_multiformat_roundtrip",
+    "stream_tumbling_agg",
+    "stream_sliding_agg",
+    "stream_session_window",
+    "stream_dedup_upsert",
+    "stream_session_native",
+    "text_tokenize_stats",
+    "text_tfidf",
+    "text_lang_id",
+    "text_quality_score",
+    "text_fingerprint",
+    "udf_surface",
+    "udf_grouped_map",
+    "udf_map_in_pandas",
+    "udtf_tokenize",
+    # changed this round — re-prove under the driver gate
+    "cast_types",
+    "pipeline_course_normalize",
+]
+
 
 def load_all() -> dict[str, QuerySpec]:
-    """Import every query module (side effect: registration)."""
+    """Import every query module (side effect: registration), returned with
+    DRIVER_PRIORITY entries first so they land inside the driver's window."""
     global _LOADED
     if not _LOADED:
         from ub_etl_spark.queries import (  # noqa: F401
@@ -68,4 +107,6 @@ def load_all() -> dict[str, QuerySpec]:
         )
 
         _LOADED = True
-    return REGISTRY
+    ordered = {n: REGISTRY[n] for n in DRIVER_PRIORITY if n in REGISTRY}
+    ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
+    return ordered
