@@ -38,13 +38,21 @@ def asof_join(
     """
     keys = list(key)
     l_tag = left.withColumn(_SIDE, F.lit(1))
+    # All value_cols ride in ONE struct: the struct itself is non-null for
+    # every right row, so last(ignorenulls) picks the matched row atomically
+    # — a legitimately-NULL value column in that row stays NULL instead of
+    # being skipped in favor of an older non-null value (which would diverge
+    # from pd.merge_asof / asof_join_grouped on nullable payloads).
     r_tag = right.select(
-        *keys, F.col(right_ts).alias(left_ts), *[F.col(c) for c in value_cols]
+        *keys,
+        F.col(right_ts).alias(left_ts),
+        F.struct(*[F.col(c) for c in value_cols]).alias("__asof_p"),
     ).withColumn(_SIDE, F.lit(0))
-    # align schemas: left gets null value_cols, right gets null left-payload
+    # align schemas: left gets a null payload struct, right gets null left-payload
     left_payload = [c for c in left.columns if c not in keys + [left_ts]]
-    for c in value_cols:
-        l_tag = l_tag.withColumn(c, F.lit(None).cast(r_tag.schema[c].dataType))
+    l_tag = l_tag.withColumn(
+        "__asof_p", F.lit(None).cast(r_tag.schema["__asof_p"].dataType)
+    )
     for c in left_payload:
         r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     unioned = l_tag.unionByName(r_tag)
@@ -55,7 +63,7 @@ def asof_join(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = unioned.select(
-        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__asof_{c}") for c in value_cols]
+        "*", F.last("__asof_p", ignorenulls=True).over(w).alias("__asof_m")
     )
     return (
         carried.filter(F.col(_SIDE) == 1)
@@ -63,7 +71,7 @@ def asof_join(
             *keys,
             left_ts,
             *left_payload,
-            *[F.col(f"__asof_{c}").alias(c) for c in value_cols],
+            *[F.col(f"__asof_m.{c}").alias(c) for c in value_cols],
         )
     )
 

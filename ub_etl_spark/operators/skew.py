@@ -32,7 +32,21 @@ def salted_join(
     The big side gets a deterministic pseudo-random salt derived from a
     row-unique hash of all its columns (no RNG: reproducible); the small
     side is exploded across all salt values.
+
+    Only big-side-preserving joins are valid under this rewrite: the small
+    side is replicated ``salt`` times, so any join that can emit unmatched
+    small-side rows (right/full outer, or semi/anti FROM the small side)
+    would return them once per salt value.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not big-side-preserving; the "
+            f"exploded small side would duplicate its unmatched rows "
+            f"{salt}x. Use one of {sorted(allowed)}, or AQE skew-join "
+            "splitting for outer joins."
+        )
     keys = list(keys)
     # salt must vary per ROW, not per key — deriving it from column values
     # would collapse to one salt per hot key when the frame carries only the

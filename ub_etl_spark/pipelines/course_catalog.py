@@ -169,10 +169,20 @@ def normalize(courses: DataFrame) -> dict[str, DataFrame]:
     )
 
     # dims + bridges (A8/A9; scripts/course_catalog.py:111-120)
-    cat_src = courses.select(
-        F.col("primary_category.title").alias("title"),
-        F.col("primary_category.url").alias("url"),
-    ).filter(F.col("title").isNotNull())
+    # dim key is title alone, matching the reference's get_or_insert lookup
+    # (scripts/course_catalog.py:69-71): a title must never map to two
+    # surrogate ids, or the title-keyed bridge join below fans out.
+    # min(url) is the deterministic stand-in for the reference's
+    # first-writer-wins url.
+    cat_src = (
+        courses.select(
+            F.col("primary_category.title").alias("title"),
+            F.col("primary_category.url").alias("url"),
+        )
+        .filter(F.col("title").isNotNull())
+        .groupBy("title")
+        .agg(F.min("url").alias("url"))
+    )
     categories = build_dim(cat_src, ["title", "url"], contiguous=True).withColumnRenamed(
         "dim_id", "id"
     ).select("id", "title", "url")
@@ -183,10 +193,15 @@ def normalize(courses: DataFrame) -> dict[str, DataFrame]:
         .dropDuplicates(["course_id", "category_id"])
     )
 
-    sub_src = courses.select(
-        F.col("primary_subcategory.title").alias("title"),
-        F.col("primary_subcategory.url").alias("url"),
-    ).filter(F.col("title").isNotNull())
+    sub_src = (
+        courses.select(
+            F.col("primary_subcategory.title").alias("title"),
+            F.col("primary_subcategory.url").alias("url"),
+        )
+        .filter(F.col("title").isNotNull())
+        .groupBy("title")
+        .agg(F.min("url").alias("url"))
+    )
     subcategories = build_dim(sub_src, ["title", "url"], contiguous=True).withColumnRenamed(
         "dim_id", "id"
     ).select("id", "title", "url")

@@ -52,6 +52,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # TIMESTAMP(NANOS) parquet columns (events.ts) read as bigint nanos
+        # session-wide instead of erroring in the vectorized reader.  Set here
+        # ONCE, explicitly: flipping it inside a loader would silently change
+        # how every later parquet read in the shared session interprets nanos
+        # columns.  sources/tables.load_table converts nanos->timestamp.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -28,9 +28,16 @@ TABLES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-        # parquet reader rejects.  Read nanos as long, integer-divide to
-        # microseconds (matching DuckDB's truncation), rebuild the timestamp.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # parquet reader rejects.  Sessions from session.get_spark already
+        # run with nanosAsLong=true (set once at build, documented there);
+        # for externally-created sessions (the correctness driver's) ensure
+        # the same session-wide invariant here.  NOTE this is deliberately a
+        # permanent, documented session property — not scoped/restored —
+        # because the conf is consulted again at scan *execution*, after
+        # this function returns.  Integer-divide nanos to microseconds
+        # (matching DuckDB's truncation), rebuild the timestamp.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
