@@ -67,7 +67,25 @@ def run_steady(spark, spec, sf_dir: str, reps: int = 2) -> float:
     return min(run_once(spark, spec, sf_dir) for _ in range(reps))
 
 
+def oracle_steady(con, sql: str, reps: int = 2) -> float:
+    """DuckDB wall-clock for the same query's oracle SQL (min of reps,
+    mirroring run_steady), so each BENCH artifact carries the single-node
+    reference cost and the Spark/DuckDB ratio is auditable from the
+    artifact alone."""
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        return time.perf_counter() - t0
+
+    return min(once() for _ in range(reps))
+
+
 def main() -> None:
+    import duckdb
+
+    from ub_etl_spark.sources.tables import TABLES
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     registry = load_all()
@@ -76,10 +94,33 @@ def main() -> None:
     # not first-run classloading
     run_once(spark, registry["scan_parquet"], sf_dir)
 
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    # fixed per-job cost of the execution machinery itself (PLANS.md floor
+    # analysis): the smallest possible Spark job through the same noop sink
+    def floor_once() -> float:
+        t0 = time.perf_counter()
+        spark.range(1).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    floor_s = round(min(floor_once() for _ in range(5)), 4)
+
     timings: dict[str, float] = {}
+    oracle_s: dict[str, float] = {}
+    ratio: dict[str, float | None] = {}
     for name in HEADLINE:
         timings[name] = round(run_steady(spark, registry[name], sf_dir), 4)
+        sql = registry[name].oracle
+        if sql is not None:
+            oracle_s[name] = round(oracle_steady(con, sql), 4)
+            ratio[name] = round(timings[name] / max(oracle_s[name], 1e-9), 2)
+        else:
+            ratio[name] = None
     total = round(sum(timings.values()), 4)
+    oracle_total = round(sum(oracle_s.values()), 4)
+    spark_with_oracle = round(sum(timings[n] for n in oracle_s), 4)
     print(
         json.dumps(
             {
@@ -87,6 +128,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "oracle_queries": oracle_s,
+                "ratio": ratio,
+                "oracle_total": oracle_total,
+                # aggregate ratio over the subset with oracles (the 2x target)
+                "aggregate_ratio": round(spark_with_oracle / max(oracle_total, 1e-9), 2),
+                "spark_job_floor_s": floor_s,
                 "sf": sf,
                 "n_queries": len(timings),
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),

@@ -20,6 +20,17 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+# Frames consumed by several branches of one plan (the shingle set feeds the
+# signature aggregate AND both sides of the verify join) are persisted
+# explicitly: Catalyst's ReuseExchange only kicks in when two exchange
+# subplans canonicalize identically, which the mirrored self-join branches
+# here defeat — measured: 8 parquet scans per LSH query without the persist,
+# 2 with it.  MEMORY_AND_DISK so the 100 TB path spills instead of OOMing;
+# re-running the same query hits Spark's CacheManager by canonicalized-plan
+# equality, so repeated calls don't stack copies.
+_REUSE = StorageLevel.MEMORY_AND_DISK
 
 
 def dedup_exact(df: DataFrame, keys: Sequence[str] | None = None) -> DataFrame:
@@ -120,6 +131,11 @@ def exact_jaccard_pairs(
     sharing a hot shingle).
     Output: (id_a, id_b, n_a, n_b, n_common, jaccard) with id_a < id_b.
     """
+    # NOT persisted, deliberately: the shingle subplan here is a cheap fully
+    # parallel codegen'd scan+explode; measured, re-computing it 3x (0.5 s
+    # steady at sf0.1) beats funneling every consumer through the coalesced
+    # in-memory relation (1.2 s).  minhash_lsh_pairs persists because its
+    # reused subplan carries an expensive 17-aggregate groupBy.
     sh = shingle_rows(docs, id_col, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -180,7 +196,7 @@ def minhash_lsh_pairs(
     happens once.  Output: (id_a, id_b, jaccard).
     """
     rows_per = num_perm // bands
-    sh = shingle_rows(docs, id_col, text_col, n)
+    sh = shingle_rows(docs, id_col, text_col, n).persist(_REUSE)
     # one aggregate produces the num_perm minima AND the shingle-set size,
     # so no separate sizes branch (and no join to attach it later)
     aggs = [
@@ -194,8 +210,10 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    buckets = sig.select("doc_id", "n_sh", F.explode(F.array(*band_cols)).alias("bk")).select(
-        "doc_id", "n_sh", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    buckets = (
+        sig.select("doc_id", "n_sh", F.explode(F.array(*band_cols)).alias("bk"))
+        .select("doc_id", "n_sh", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+        .persist(_REUSE)  # consumed by both sides of the band self-join
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -299,6 +317,8 @@ def simhash64(docs: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFr
     hashed = shingle_rows(docs, id_col, text_col, n).select(
         "doc_id", F.xxhash64("shingle").alias("h")
     )
+    # (single consumer — no persist needed here; simhash_pairs persists the
+    # chunked frame it self-joins)
     bit_aggs = [
         F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
         for j in range(64)
@@ -337,6 +357,7 @@ def simhash_pairs(
             )
         ).alias("ck"),
     ).select("doc_id", "sh", F.col("ck.chunk").alias("chunk"), F.col("ck.cv").alias("cv"))
+    chunks = chunks.persist(_REUSE)  # both sides of the chunk self-join
     a = chunks.alias("a")
     b = chunks.alias("b")
     return (

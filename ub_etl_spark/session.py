@@ -47,6 +47,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # respect the advisory partition size when coalescing instead of
+        # keeping parallelism — the production-recommended setting (Spark
+        # docs for parallelismFirst); avoids storms of tiny reduce tasks
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -8,6 +8,8 @@ parse-everything JSON loop (scripts/course_catalog.py:187,208).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -25,7 +27,28 @@ TABLES = [
 ]
 
 
+# Per-session memo of loaded tables.  spark.read.parquet re-lists the path
+# and re-reads footers on EVERY call (~0.1-0.15 s of driver-side latency per
+# table); a catalog would cache that metadata, so we do the equivalent here.
+# DataFrames are immutable plan objects — reusing one across queries is safe
+# and exactly what registering the table once would give.  Keyed weakly by
+# the session so entries die with it (test sessions come and go).
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    hit = per_session.get((sf_dir, name))
+    if hit is not None:
+        return hit
+    df = _load_table_uncached(spark, sf_dir, name)
+    per_session[(sf_dir, name)] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
         # parquet reader rejects.  Sessions from session.get_spark already
