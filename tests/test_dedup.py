@@ -77,7 +77,7 @@ def test_exact_jaccard_finds_near_dups(spark):
 
 def test_minhash_lsh_recall_vs_exact(spark):
     """LSH candidates must recover every exact pair on this corpus (16 perms,
-    4 bands is a high-recall operating point at jaccard >= 0.4)."""
+    8 bands — the operating point dedup_minhash_lsh registers)."""
     docs = _docs(spark)
     exact = {
         (r.id_a, r.id_b)
@@ -86,14 +86,57 @@ def test_minhash_lsh_recall_vs_exact(spark):
     lsh = {
         (r.id_a, r.id_b)
         for r in minhash_lsh_pairs(
-            docs, "doc_id", "text", n=3, num_perm=16, bands=4, threshold=0.4
+            docs, "doc_id", "text", n=3, num_perm=16, bands=8, threshold=0.4
         ).collect()
     }
     assert exact, "corpus must contain near-dups"
     recall = len(lsh & exact) / len(exact)
-    assert recall >= 0.5, f"LSH recall too low: {recall} ({lsh=} vs {exact=})"
+    assert recall >= 0.9, f"LSH recall too low: {recall} ({lsh=} vs {exact=})"
     # no false positives by construction (candidates are exact-verified)
     assert lsh <= exact
+
+
+def test_minhash_lsh_recall_on_corpus(spark, sf_dir):
+    """Pinned recall at the REGISTERED operating point (queries/dedup.py:
+    num_perm=16, bands=8) on the documents corpus, ground truth = exact
+    n-gram Jaccard >= 0.5.  Measured 1.0 at sf0.001; floor pinned at 0.9 so
+    the rows-only driver check carries a quantitative guarantee."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in exact_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_perm=16, bands=8, threshold=0.5
+        ).collect()
+    }
+    assert exact, "corpus must contain near-dups"
+    recall = len(lsh & exact) / len(exact)
+    print(f"minhash_lsh corpus recall@jaccard0.5 (perm=16, bands=8): {recall:.3f}")
+    assert recall >= 0.9, f"LSH recall below pinned floor: {recall:.3f}"
+    assert lsh <= exact
+
+
+def test_simhash_recall_on_corpus(spark, sf_dir):
+    """Pinned recall at the REGISTERED operating point (queries/dedup.py:
+    n_chunks=8, max_hamming=8) vs exact Jaccard >= 0.5.  8x8-bit chunks are
+    pigeonhole-complete for hamming <= 7; measured 0.96 at sf0.001, floor
+    0.9."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in exact_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    sim = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(docs, "doc_id", "text", max_hamming=8, n_chunks=8).collect()
+    }
+    assert exact, "corpus must contain near-dups"
+    recall = len(sim & exact) / len(exact)
+    print(f"simhash corpus recall@jaccard0.5 (chunks=8, hamming<=8): {recall:.3f}")
+    assert recall >= 0.9, f"SimHash recall below pinned floor: {recall:.3f}"
 
 
 def test_simhash_separates_dups_from_distinct(spark):

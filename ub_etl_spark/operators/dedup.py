@@ -333,14 +333,20 @@ def simhash64(docs: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFr
 
 
 def simhash_pairs(
-    docs: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    docs: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, n_chunks: int = 4
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Banding: split the 64-bit hash into 4 16-bit chunks; any pair within
-    Hamming 3 must agree on >= 1 chunk (pigeonhole), so co-bucket join on
-    chunks finds all of them without O(n^2).
+    Banding: split the 64-bit hash into ``n_chunks`` equal bit chunks; any
+    pair within Hamming n_chunks-1 must agree on >= 1 chunk (pigeonhole),
+    so the co-bucket join on chunks finds ALL of them without O(n^2) —
+    choose n_chunks > max_hamming for guaranteed-complete candidate
+    generation (recall 1.0 by construction); n_chunks <= max_hamming trades
+    recall for smaller buckets.
     """
+    assert 64 % n_chunks == 0, "n_chunks must divide 64"
+    bits = 64 // n_chunks
+    mask = (1 << bits) - 1
     sh = simhash64(docs, id_col, text_col)
     chunks = sh.select(
         "doc_id",
@@ -350,9 +356,9 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("sh"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                        F.shiftright(F.col("sh"), bits * c).bitwiseAND(F.lit(mask)).alias("cv"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("ck"),

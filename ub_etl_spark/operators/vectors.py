@@ -122,11 +122,13 @@ def hyperplane(dim: int, plane_id: int) -> list[float]:
     return vals
 
 
-def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
-    """Random-hyperplane LSH bucket id: sign bits of n_planes projections."""
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, plane_offset: int = 0) -> Column:
+    """Random-hyperplane LSH bucket id: sign bits of n_planes projections.
+    ``plane_offset`` selects an independent plane family (per-table seeds
+    for multi-table LSH)."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        plane = F.array(*[F.lit(v) for v in hyperplane(dim, p)])
+        plane = F.array(*[F.lit(v) for v in hyperplane(dim, plane_offset + p)])
         proj = dot(vec, plane)
         bucket = bucket + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
             F.lit(0).cast("long")
@@ -139,27 +141,51 @@ def knn_ann_lsh(
     k: int = 5,
     dim: int = 64,
     n_planes: int = 8,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_filter: Column | None = None,
 ) -> DataFrame:
     """Approximate top-k: co-bucket candidates by hyperplane LSH, exact
-    re-rank within bucket.  One shuffle on bucket id; recall grows with
-    fewer planes (bigger buckets) — tune n_planes for the recall/cost point.
+    re-rank within bucket.  One shuffle on (table, bucket).
+
+    Recall knobs (the classic L-tables construction): fewer planes -> bigger
+    buckets -> higher per-table collision probability p = (1 - theta/pi)^
+    n_planes; ``n_tables`` independent plane families union their candidate
+    sets, so pair-recall ~= 1 - (1-p)^n_tables while per-table bucket size
+    (and thus scoring cost) stays bounded.  A pair is scored once however
+    many tables it collides in (dropDuplicates before scoring).
     Output: (query_id, neighbor_id, score, rank)."""
-    withb = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).withColumn("bucket", lsh_bucket(F.col("vec"), dim, n_planes))
-    q = withb.filter(query_filter if query_filter is not None else F.lit(True)).select(
-        F.col("id").alias("query_id"), F.col("vec").alias("q_vec"), "bucket"
-    )
-    c = withb.select(F.col("id").alias("neighbor_id"), F.col("vec").alias("c_vec"), "bucket")
-    scored = (
-        q.join(c, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id", "neighbor_id", cosine_batch(F.col("q_vec"), F.col("c_vec")).alias("score")
+    base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    tb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    lsh_bucket(F.col("vec"), dim, n_planes, plane_offset=t * n_planes).alias(
+                        "bucket"
+                    ),
+                )
+                for t in range(n_tables)
+            ]
         )
+    ).alias("tb")
+    withb = base.select("id", "vec", tb).select(
+        "id", "vec", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+    q = withb.filter(query_filter if query_filter is not None else F.lit(True)).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("q_vec"), "tbl", "bucket"
+    )
+    c = withb.select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("c_vec"), "tbl", "bucket"
+    )
+    cand = (
+        q.join(c, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine_batch(F.col("q_vec"), F.col("c_vec")).alias("score")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

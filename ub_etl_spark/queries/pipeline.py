@@ -53,6 +53,13 @@ _C101 = {
     "instructors": ["Ada", "Grace"],
     "requirements": {"list": ["laptop", "python"]},
     "images": {"480x270": "/i/480.jpg", "100x100": "/i/100.jpg"},
+    "promo_video_url": [{"type": "video/mp4", "label": "720p", "file": "/v/101.mp4"}],
+    "what_you_will_learn": {"list": ["spark basics", "joins"]},
+    "caption_languages": ["English", "French"],
+    "caption_locales": [
+        {"locale": "en_US", "title": "English", "english_title": "English"},
+        {"locale": "fr_FR", "title": "Français", "english_title": "French"},
+    ],
 }
 
 _C102 = {
@@ -60,6 +67,7 @@ _C102 = {
     "id": 102,
     "title": "DuckDB Deep Dive",
     "primary_category": {"title": "Data", "url": "/cat/data"},
+    "primary_subcategory": {"title": "Databases", "url": "/sub/db"},
     "topics": [{"id": 9, "title": "Ducks", "url": "/t/9"}],
     "instructors": ["Ada"],
     "requirements": None,  # the :138 null guard — no requirements rows
@@ -76,52 +84,79 @@ _FIXTURE = [_C101, _C102, dict(_C101)]
     tier="A",
     oracle="""
     SELECT * FROM (VALUES
-      ('topics',             101, 'Spark'),
-      ('topics',             101, 'SQL'),
-      ('topics',             102, 'Ducks'),
-      ('instructors',        101, 'Ada'),
-      ('instructors',        101, 'Grace'),
-      ('instructors',        102, 'Ada'),
-      ('requirements',       101, 'laptop'),
-      ('requirements',       101, 'python'),
-      ('images',             101, '480x270=/i/480.jpg'),
-      ('images',             101, '100x100=/i/100.jpg'),
-      ('course_categories',  101, 'Data'),
-      ('course_categories',  102, 'Data')
+      ('courses',             101, 'Spark Fundamentals|en_US|Beginner'),
+      ('courses',             102, 'DuckDB Deep Dive|en_US|Beginner'),
+      ('categories',            1, 'Data|/cat/data'),
+      ('subcategories',         1, 'Databases|/sub/db'),
+      ('subcategories',         2, 'Engineering|/sub/eng'),
+      ('topics',              101, 'Spark'),
+      ('topics',              101, 'SQL'),
+      ('topics',              102, 'Ducks'),
+      ('instructors',         101, 'Ada'),
+      ('instructors',         101, 'Grace'),
+      ('instructors',         102, 'Ada'),
+      ('requirements',        101, 'laptop'),
+      ('requirements',        101, 'python'),
+      ('what_you_will_learn', 101, 'spark basics'),
+      ('what_you_will_learn', 101, 'joins'),
+      ('caption_languages',   101, 'English'),
+      ('caption_languages',   101, 'French'),
+      ('caption_locales',     101, 'en_US=English'),
+      ('caption_locales',     101, 'fr_FR=French'),
+      ('promo_videos',        101, 'video/mp4|720p|/v/101.mp4'),
+      ('images',              101, '480x270=/i/480.jpg'),
+      ('images',              101, '100x100=/i/100.jpg'),
+      ('course_categories',   101, 'Data'),
+      ('course_categories',   102, 'Data'),
+      ('course_subcategories',101, 'Engineering'),
+      ('course_subcategories',102, 'Databases')
     ) AS t(tbl, course_id, item)
     """,
 )
 def pipeline_course_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    courses = spark.createDataFrame(_FIXTURE, COURSE_SCHEMA)
+    # 3-row fixture: 1 partition, or every one of the 13 output branches
+    # fans out 32-partition shuffles (354 tasks for 26 rows)
+    courses = spark.createDataFrame(_FIXTURE, COURSE_SCHEMA).coalesce(1)
     tables = normalize(courses)
 
-    def shaped(name: str, item: F.Column) -> DataFrame:
+    def shaped(name: str, item: F.Column, id_col: str = "course_id") -> DataFrame:
         return tables[name].select(
             F.lit(name).alias("tbl"),
-            F.col("course_id").cast("int").alias("course_id"),
+            F.col(id_col).cast("int").alias("course_id"),
             item.alias("item"),
         )
 
     # bridge rows joined back to the dim so the check is on natural keys,
     # not surrogate ids
-    cat_bridge = (
-        tables["course_categories"]
-        .join(
-            tables["categories"].select(F.col("id").alias("category_id"), "title"),
-            "category_id",
+    def bridge(name: str, dim: str, fk: str) -> DataFrame:
+        return (
+            tables[name]
+            .join(tables[dim].select(F.col("id").alias(fk), "title"), fk)
+            .select(
+                F.lit(name).alias("tbl"),
+                F.col("course_id").cast("int").alias("course_id"),
+                F.col("title").alias("item"),
+            )
         )
-        .select(
-            F.lit("course_categories").alias("tbl"),
-            F.col("course_id").cast("int").alias("course_id"),
-            F.col("title").alias("item"),
-        )
-    )
+
+    # the dims themselves ride under the check keyed by surrogate id, which
+    # also locks the deterministic id assignment (row_number over title)
     return (
-        shaped("topics", F.col("title"))
+        shaped("courses", F.concat_ws("|", "title", "locale", "level"), id_col="id")
+        .unionByName(shaped("categories", F.concat_ws("|", "title", "url"), id_col="id"))
+        .unionByName(shaped("subcategories", F.concat_ws("|", "title", "url"), id_col="id"))
+        .unionByName(shaped("topics", F.col("title")))
         .unionByName(shaped("instructors", F.col("instructor_name")))
         .unionByName(shaped("requirements", F.col("requirement")))
+        .unionByName(shaped("what_you_will_learn", F.col("learning_outcome")))
+        .unionByName(shaped("caption_languages", F.col("language")))
         .unionByName(
-            shaped("images", F.concat_ws("=", F.col("size"), F.col("url")))
+            shaped("caption_locales", F.concat_ws("=", F.col("locale"), F.col("english_title")))
         )
-        .unionByName(cat_bridge)
+        .unionByName(
+            shaped("promo_videos", F.concat_ws("|", F.col("type"), F.col("label"), F.col("file")))
+        )
+        .unionByName(shaped("images", F.concat_ws("=", F.col("size"), F.col("url"))))
+        .unionByName(bridge("course_categories", "categories", "category_id"))
+        .unionByName(bridge("course_subcategories", "subcategories", "subcategory_id"))
     )
