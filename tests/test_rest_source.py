@@ -35,9 +35,8 @@ class StubHandler(BaseHTTPRequestHandler):
         results = [
             {"rec_id": base + i, "name": f"r{base + i}"} for i in range(size)
         ]
-        body = json.dumps(
-            {"next": None if page >= N_PAGES else f"?page={page + 1}", "results": results}
-        ).encode()
+        nxt = None if page >= N_PAGES else f"?page={page + 1}&page_size={size}"
+        body = json.dumps({"next": nxt, "results": results}).encode()
         self.send_response(200)
         self.send_header("Content-Type", "application/json")
         self.end_headers()
@@ -83,3 +82,38 @@ def test_rest_source_retries_429(spark, stub_url):
         .load()
     )
     assert df.count() == 3 * PAGE_SIZE
+
+
+def test_rest_source_cursor_chain_serial(spark, stub_url):
+    """Opaque-`next` cursor mode: one partition, follows relative next
+    links (urljoin) until null — the serial-degradation path documented in
+    sources/rest.py."""
+    StubHandler.fail_first_hits = {}
+    spark.dataSource.register(RestPaginatedDataSource)
+    df = (
+        spark.read.format("rest_paginated")
+        .schema("rec_id long, name string")
+        .option("url", f"{stub_url}?page=1&page_size={PAGE_SIZE}")
+        .option("mode", "cursor")
+        .option("max_pages", 100)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 1
+    rows = df.collect()
+    assert {r.rec_id for r in rows} == set(range(N_PAGES * PAGE_SIZE))
+
+
+def test_rest_source_cursor_chain_request_cap(spark, stub_url):
+    """max_pages bounds a never-ending chain: exactly max_pages requests'
+    worth of rows come back, no infinite loop."""
+    StubHandler.fail_first_hits = {}
+    spark.dataSource.register(RestPaginatedDataSource)
+    df = (
+        spark.read.format("rest_paginated")
+        .schema("rec_id long, name string")
+        .option("url", f"{stub_url}?page=1&page_size={PAGE_SIZE}")
+        .option("mode", "cursor")
+        .option("max_pages", 2)
+        .load()
+    )
+    assert df.count() == 2 * PAGE_SIZE

@@ -75,3 +75,57 @@ def test_merge_idempotent(spark, table_dir):
     merge_into_bucketed(spark, table_dir, updates, ["k"], n_buckets=2)
     got = {(r.k, r.v) for r in read_table(spark, table_dir).collect()}
     assert got == {(1, 11.0)}
+
+
+def test_merge_dispatch_falls_back_without_delta(spark, table_dir):
+    """merge_into_table must select the bucketed-parquet path in this
+    environment (no delta jar) and produce the same latest-wins result."""
+    from ub_etl_spark.operators.storage import have_delta, merge_into_table
+
+    assert not have_delta(), "sandbox is expected to lack delta-spark"
+    base = spark.createDataFrame([(1, 10, "a"), (2, 10, "b")], "id long, v long, s string")
+    write_bucketed(base, table_dir, ["id"], n_buckets=4)
+    upd = spark.createDataFrame([(2, 20, "b2"), (3, 5, "c")], "id long, v long, s string")
+    path_taken = merge_into_table(spark, table_dir, upd, ["id"], order_by=["v"], n_buckets=4)
+    assert path_taken == "bucketed_parquet"
+    got = {(r.id, r.v, r.s) for r in read_table(spark, table_dir).collect()}
+    assert got == {(1, 10, "a"), (2, 20, "b2"), (3, 5, "c")}
+
+
+def test_merge_dispatch_delta_requested_without_jar(spark, table_dir):
+    """Forcing the delta path without the jar must fail loudly (ImportError),
+    never silently fall back — the caller asked for transactional semantics."""
+    from ub_etl_spark.operators.storage import merge_into_table
+
+    base = spark.createDataFrame([(1, 10)], "id long, v long")
+    write_bucketed(base, table_dir, ["id"], n_buckets=2)
+    upd = spark.createDataFrame([(1, 20)], "id long, v long")
+    with pytest.raises(ImportError):
+        merge_into_table(spark, table_dir, upd, ["id"], order_by=["v"], use_delta=True)
+
+
+def test_lexicographic_newer_condition():
+    from ub_etl_spark.operators.storage import lexicographic_newer
+
+    assert lexicographic_newer("u", "t", ["ts"]) == "(u.ts > t.ts)"
+    got = lexicographic_newer("u", "t", ["ts", "seq"])
+    assert got == "(u.ts > t.ts) OR (u.ts = t.ts AND u.seq > t.seq)"
+
+
+def test_lexicographic_newer_agrees_with_window_ordering(spark):
+    """The Delta-side MERGE condition and the parquet-side window ordering
+    must pick the same winner for every ordered pair."""
+    from ub_etl_spark.operators.storage import lexicographic_newer
+
+    rows = [(a, b) for a in (1, 2) for b in (1, 2)]
+    df = spark.createDataFrame(
+        [(i, ua, ub, j, ta, tb)
+         for i, (ua, ub) in enumerate(rows)
+         for j, (ta, tb) in enumerate(rows)],
+        "i int, u_a int, u_b int, j int, t_a int, t_b int",
+    )
+    cond = lexicographic_newer("u", "t", ["a", "b"]).replace("u.", "u_").replace("t.", "t_")
+    got = {(r.i, r.j): r.newer for r in df.selectExpr("i", "j", f"({cond}) AS newer").collect()}
+    for i, (ua, ub) in enumerate(rows):
+        for j, (ta, tb) in enumerate(rows):
+            assert got[(i, j)] == ((ua, ub) > (ta, tb)), (i, j)

@@ -99,7 +99,9 @@ def _ensure_stub() -> str:
                 base = (page - 1) * size
                 body = json.dumps(
                     {
-                        "next": None if page >= _N_PAGES else f"?page={page + 1}",
+                        "next": None
+                        if page >= _N_PAGES
+                        else f"?page={page + 1}&page_size={size}",
                         "results": [
                             {"rec_id": base + i, "name": f"r{base + i}"}
                             for i in range(size)

@@ -27,6 +27,12 @@ Registration:
           .option("partitions", 8)         # page-ranges fetched in parallel
           .load())
 
+Cursor mode (`.option("mode", "cursor")`): for APIs whose `next` is an
+opaque token/URL rather than a page number.  One InputPartition (cursor
+chains are inherently serial — each response reveals the next URL);
+follows `next` until null or `max_pages` requests.  Relative `next`
+values resolve against the request URL (urljoin).
+
 The HTTP layer is urllib-only (stdlib); tests drive it against a local
 http.server stub — no external network involved.
 """
@@ -48,6 +54,11 @@ RETRYABLE_STATUSES = {429, 503, 524}  # scripts/user_course_activity.py:165-178
 class PageRange(InputPartition):
     start_page: int  # 1-based, inclusive
     end_page: int  # exclusive
+
+
+@dataclass
+class CursorChain(InputPartition):
+    start_url: str
 
 
 def fetch_json(url: str, timeout: float, max_retries: int, backoff_s: float):
@@ -84,8 +95,19 @@ class RestPaginatedReader(DataSourceReader):
         self.backoff_s = float(options.get("backoff_s", 0.1))
         self.min_interval = float(options.get("min_request_interval_s", 0.0))
         self.results_key = options.get("results_key", "results")
+        self.mode = options.get("mode", "pages")  # "pages" | "cursor"
+        self.next_key = options.get("next_key", "next")
+        # cursor mode: hard request cap so a server that always returns a
+        # `next` link can't loop the reader forever
+        self.max_pages = int(options.get("max_pages", self.pages or 10000))
 
     def partitions(self):
+        if self.mode == "cursor":
+            # opaque-next chains are serial by construction: degrade to ONE
+            # partition rather than fabricating page numbers the API never
+            # promised (doc header; reference pagination contract
+            # scripts/course_catalog.py:204-208)
+            return [CursorChain(self.url)]
         n = max(1, min(self.n_partitions, self.pages))
         per = (self.pages + n - 1) // n
         return [
@@ -93,17 +115,34 @@ class RestPaginatedReader(DataSourceReader):
             for start in range(1, self.pages + 1, per)
         ]
 
-    def read(self, partition: PageRange):
+    def _pace(self, last_request: float) -> float:
+        # token-bucket pacing (replaces modulo sleeps,
+        # scripts/course_catalog.py:216-221)
+        if self.min_interval > 0:
+            wait = self.min_interval - (time.monotonic() - last_request)
+            if wait > 0:
+                time.sleep(wait)
+        return time.monotonic()
+
+    def read(self, partition):
         fields = [f.name for f in self.schema_.fields]
         last_request = 0.0
+        if isinstance(partition, CursorChain):
+            from urllib.parse import urljoin
+
+            url = partition.start_url
+            for _ in range(self.max_pages):
+                last_request = self._pace(last_request)
+                data = fetch_json(url, self.timeout, self.max_retries, self.backoff_s)
+                for rec in data.get(self.results_key, []):
+                    yield tuple(rec.get(f) for f in fields)
+                nxt = data.get(self.next_key)
+                if not nxt:
+                    return
+                url = urljoin(url, nxt)
+            return
         for page in range(partition.start_page, partition.end_page):
-            # token-bucket pacing (replaces modulo sleeps,
-            # scripts/course_catalog.py:216-221)
-            if self.min_interval > 0:
-                wait = self.min_interval - (time.monotonic() - last_request)
-                if wait > 0:
-                    time.sleep(wait)
-            last_request = time.monotonic()
+            last_request = self._pace(last_request)
             sep = "&" if "?" in self.url else "?"
             url = f"{self.url}{sep}page={page}&page_size={self.page_size}"
             data = fetch_json(url, self.timeout, self.max_retries, self.backoff_s)
