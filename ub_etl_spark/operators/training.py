@@ -1,0 +1,143 @@
+"""Training-data-pipeline operators beyond the dedup/similarity tier:
+deterministic corpus splitting, normalization-based near-exact dedup,
+vocabulary statistics, and embedding post-processing.
+
+All pure DataFrame expressions (JVM codegen; no Python in the hot path).
+These are the remaining standard passes of an LLM data pipeline that
+SURVEY.md's B-tier didn't already cover: every one is a map-side
+projection or a single hash aggregation, so they scale as one pass over
+the corpus at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Knuth's multiplicative hash constant (2^32 / phi).  Used instead of
+# xxhash64 so the SAME arithmetic runs on any ANSI-SQL engine (the oracle):
+# deterministic, seedless, and well-mixed for sequential ids.  NOTE the
+# product overflows int64 once id ~> 3.4e9 — at that scale switch to
+# F.xxhash64 (engine-local but 64-bit safe); the split stays stable either
+# way because assignment is per-row.
+_KNUTH = 2654435761
+
+
+def hash_bucket(id_col: Column, n_buckets: int = 100) -> Column:
+    """Deterministic pseudo-uniform bucket in [0, n_buckets) from an id."""
+    return F.pmod((id_col.cast("bigint") * F.lit(_KNUTH)) % F.lit(2**32), F.lit(n_buckets))
+
+
+def sql_hash_bucket(id_expr: str, n_buckets: int = 100) -> str:
+    """The oracle twin of hash_bucket (identical integer arithmetic)."""
+    return f"(({id_expr} * {_KNUTH}) % 4294967296) % {n_buckets}"
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Attach a stable train/val/test split column.
+
+    Hash-of-id assignment — the standard reproducible split for training
+    corpora: membership never changes as rows are added/removed elsewhere,
+    and no shuffle/sort is involved (map-only).
+    """
+    b = hash_bucket(F.col(id_col))
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """Aggressive fold for near-exact dedup: lowercase, strip everything
+    but [a-z0-9 ], collapse runs of spaces, trim.  The cheap pass that
+    catches case/punctuation/whitespace variants before MinHash runs."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)
+
+
+def dedup_normalized_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on the normalized text: keep the smallest id per
+    normalized form (first-writer-wins), count the members it absorbs.
+    One hash aggregation on the normalized string — at 100 TB group on
+    xxhash64(normalized) instead to shrink shuffle keys.
+    Output: (doc_id, n_members)."""
+    norm = normalize_text(F.col(text_col)).alias("__norm")
+    return (
+        df.select(F.col(id_col), norm)
+        .groupBy("__norm")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .drop("__norm")
+        .select(id_col, "n_members")
+    )
+
+
+def ngram_counts(
+    df: DataFrame, text_col: str, n: int = 2, top_k: int | None = None
+) -> DataFrame:
+    """Corpus-level n-gram frequency table (the vocabulary-counting pass of
+    tokenizer training).  explode + one hash aggregation; map-side partial
+    aggregation keeps the shuffle at |vocab|, not |corpus|.
+    Output: (ngram, n_occurrences), optionally top_k by count (ties broken
+    by ngram for determinism)."""
+    toks = F.split(F.col(text_col), " ")
+    grams = (
+        df.select(toks.alias("__toks"))
+        .select(F.posexplode("__toks").alias("__pos", "__tok"), F.col("__toks"))
+        .filter(F.col("__pos") <= F.size("__toks") - n)
+        .select(
+            F.concat_ws(
+                " ", *[F.element_at("__toks", F.col("__pos") + j + 1) for j in range(n)]
+            ).alias("ngram")
+        )
+    )
+    counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    if top_k is not None:
+        counts = counts.orderBy(F.desc("n_occurrences"), F.asc("ngram")).limit(top_k)
+    return counts
+
+
+def l2_normalize_quantize(
+    df: DataFrame, id_col: str, vec_col: str, bits_scale: int = 127
+) -> DataFrame:
+    """Unit-normalize each embedding and quantize to signed-int8 range —
+    the standard pre-ANN compression pass (4x smaller vectors; cosine
+    becomes integer dot product).
+
+    Expression-only: the norm is a sequential double aggregate (bit-exact
+    deterministic, same fold order as the oracle's list_sum) and the
+    quantized array a transform().  Both are interpreted HOFs — fine for
+    a map-only pass; the Arrow pandas_udf twin (operators/vectors.
+    cosine_batch style) is the pick if this ever dominates a profile.
+    Output: (id, qvec array<int>, inv_norm double)."""
+    v = F.col(vec_col)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    qvec = F.transform(
+        v, lambda x: F.floor(x.cast("double") / F.col("__norm") * bits_scale).cast("int")
+    )
+    return (
+        df.select(F.col(id_col), v.alias(vec_col))
+        .withColumn("__norm", norm)
+        .select(
+            id_col,
+            qvec.alias("qvec"),
+            (F.floor(1e6 / F.col("__norm")) / 1e6).alias("inv_norm"),
+        )
+    )

@@ -1,0 +1,161 @@
+"""Training-data-pipeline queries (corpus splitting, near-exact dedup,
+vocabulary counts, embedding compression, end-to-end dedup apply).
+
+These wrap operators/training.py over the documents/embeddings tables —
+the remaining standard passes of an LLM data pipeline alongside the
+dedup (B2), similarity (B3/B4) and text-analysis (B5) tiers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ub_etl_spark.operators import dedup as D
+from ub_etl_spark.operators.training import (
+    dedup_normalized_exact,
+    l2_normalize_quantize,
+    ngram_counts,
+    sql_hash_bucket,
+    train_val_test_split,
+)
+from ub_etl_spark.registry import register
+from ub_etl_spark.sources.tables import load_table as T
+
+
+# Deterministic hash-of-id corpus split: reproducible membership, map-only
+# (no shuffle, no sampling state).  The oracle runs the identical integer
+# arithmetic, so the assignment itself is value-checked.
+@register(
+    "split_train_val_test",
+    tier="B",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {sql_hash_bucket("doc_id")} < 80 THEN 'train'
+                WHEN {sql_hash_bucket("doc_id")} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return train_val_test_split(d, "doc_id").select("doc_id", "split")
+
+
+# Near-exact dedup on case/punctuation/whitespace-folded text — the cheap
+# pass that runs before MinHash in a real pipeline.
+@register(
+    "dedup_normalized_exact",
+    tier="B",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_members
+    FROM (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                 ' +', ' ', 'g')) AS norm
+      FROM documents
+    ) t
+    GROUP BY norm
+    """,
+)
+def dedup_normalized_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return dedup_normalized_exact(d, "doc_id", "text")
+
+
+# Corpus bigram vocabulary, top-200 (tokenizer-training count pass).
+@register(
+    "text_ngram_vocab",
+    tier="B",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT t[i] || ' ' || t[i+1] AS ngram
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+    )
+    SELECT ngram, COUNT(*) AS n_occurrences
+    FROM grams GROUP BY ngram
+    ORDER BY n_occurrences DESC, ngram LIMIT 200
+    """,
+)
+def text_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return ngram_counts(d, "text", n=2, top_k=200)
+
+
+# Embedding L2-normalize + int8 quantization (pre-ANN compression).
+@register(
+    "embedding_quantize",
+    tier="B",
+    oracle="""
+    SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(floor(x / sqrt(list_sum(
+                                 list_transform(CAST(embedding AS DOUBLE[]), y -> y * y)
+                               )) * 127) AS INTEGER)) AS qvec,
+           floor(1000000 / sqrt(list_sum(
+             list_transform(CAST(embedding AS DOUBLE[]), y -> y * y)
+           ))) / 1000000 AS inv_norm
+    FROM embeddings
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    return l2_normalize_quantize(e, "vec_id", "embedding", bits_scale=127)
+
+
+# End-to-end dedup APPLY: near-dup pairs -> connected components -> keep
+# only each cluster's canonical (min-id) doc — the deduplicated training
+# corpus itself, not just the pair/cluster report.  Oracle: the same
+# recursive-CTE transitive closure as dedup_cluster_cc, joined back to
+# documents.
+@register(
+    "dedup_apply_canonical",
+    tier="B",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 400
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+      WHERE len(t) >= 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.25
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      WHERE doc_id < 400 AND len(string_split(text, ' ')) >= 3
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    ), canon AS (
+      SELECT id FROM reach GROUP BY id HAVING id = MIN(label)
+    )
+    SELECT d.doc_id, d.n_chars
+    FROM documents d JOIN canon c ON c.id = d.doc_id
+    """,
+)
+def dedup_apply_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 400) & (F.size(F.split("text", " ")) >= 3)
+    )
+    pairs = D.exact_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.25).select(
+        "id_a", "id_b"
+    )
+    cc = D.connected_components(docs, pairs, "doc_id")
+    keep = cc.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    full = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return full.join(keep, "doc_id")

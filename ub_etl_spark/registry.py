@@ -82,6 +82,12 @@ DRIVER_PRIORITY = [
     # changed this round — re-prove under the driver gate
     "cast_types",
     "pipeline_course_normalize",
+    # new this round (training-pipeline tier)
+    "split_train_val_test",
+    "dedup_normalized_exact",
+    "text_ngram_vocab",
+    "embedding_quantize",
+    "dedup_apply_canonical",
 ]
 
 
@@ -102,6 +108,7 @@ def load_all() -> dict[str, QuerySpec]:
             storage_io,
             streaming_batch,
             text,
+            training,
             udfs,
             udtf_ops,
         )
