@@ -53,6 +53,10 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "udf_surface",
     "multimodal_decode",
+    "split_train_val_test",
+    "dedup_normalized_exact",
+    "text_ngram_vocab",
+    "embedding_quantize",
 ]
 
 

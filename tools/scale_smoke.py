@@ -93,6 +93,79 @@ def queries(spark, d: str):
     }
 
 
+def amplify_corpus(spark, src: str, out: str, k: int) -> None:
+    """K decorrelated copies of documents+embeddings.
+
+    Documents get a per-copy salt token appended so cross-copy texts are
+    NOT near-duplicates (exact copies would form K-cliques and the pair
+    count would scale K^2 by construction, falsely flagging LSH as
+    super-linear).  Embeddings are rotated by the copy index — norm
+    preserved, directions decorrelated."""
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    max_doc = docs.agg(F.max("doc_id")).first()[0] + 1
+    max_vec = emb.agg(F.max("vec_id")).first()[0] + 1
+    # per-copy PREFIX on every token — a bijective vocabulary rename: the
+    # near-dup structure WITHIN each copy is preserved exactly (same shingle
+    # relations under the renaming) and cross-copy shingle overlap is ZERO,
+    # so pair counts scale linearly in K.  (Two rejected constructions:
+    # appending a salt token leaves cross-copy texts near-identical ->
+    # K-clique pair blowup; interleaving a copy token between words creates
+    # "w_i b w_i" shingles shared by every doc in the copy over a small
+    # vocabulary -> within-copy all-pairs blowup.)
+    d_parts = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * max_doc)).withColumn(
+            "text", F.regexp_replace("text", r"(\S+)", f"c{i}_$1")
+        )
+        for i in range(k)
+    ]
+    e_parts = []
+    for i in range(k):
+        r = i % 64
+        rot = (
+            F.concat(F.slice("embedding", r + 1, 64 - r), F.slice("embedding", 1, r))
+            if r
+            else F.col("embedding")
+        )
+        e_parts.append(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * max_vec)).withColumn(
+                "embedding", rot
+            )
+        )
+    big_d = d_parts[0]
+    for p in d_parts[1:]:
+        big_d = big_d.unionByName(p)
+    big_e = e_parts[0]
+    for p in e_parts[1:]:
+        big_e = big_e.unionByName(p)
+    big_d.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    big_e.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+
+def corpus_queries(spark, d: str):
+    from ub_etl_spark.operators import dedup as D
+    from ub_etl_spark.operators.training import (
+        dedup_normalized_exact,
+        l2_normalize_quantize,
+        ngram_counts,
+    )
+    from ub_etl_spark.operators.vectors import knn_exact
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    return {
+        "minhash_lsh": D.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_perm=16, bands=8, threshold=0.25
+        ),
+        "normalized_dedup": dedup_normalized_exact(docs, "doc_id", "text"),
+        "ngram_vocab": ngram_counts(docs, "text", n=2, top_k=200),
+        "embedding_quantize": l2_normalize_quantize(emb, "vec_id", "embedding"),
+        # bounded query set: cost must scale with the CORPUS (linear), not
+        # with |Q| x corpus
+        "knn_exact_10q": knn_exact(emb.filter(F.col("vec_id") < 10), emb, k=5),
+    }
+
+
 def run(df) -> float:
     t0 = time.perf_counter()
     df.write.mode("overwrite").format("noop").save()
@@ -101,7 +174,8 @@ def run(df) -> float:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--k", type=int, default=100, help="relational amplification")
+    ap.add_argument("--corpus-k", type=int, default=10, help="documents/embeddings amplification")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     args = ap.parse_args()
     spark = get_spark("scale_smoke")
@@ -109,13 +183,17 @@ def main() -> None:
     shutil.rmtree(big_dir, ignore_errors=True)
     os.makedirs(big_dir)
     amplify(spark, args.sf, big_dir, args.k)
+    amplify_corpus(spark, args.sf, big_dir, args.corpus_k)
 
     lines = [
         "# SCALING — measured cost vs data volume (tools/scale_smoke.py)\n",
-        f"Base: {args.sf}; amplified: {args.k}x shifted copies (key spaces offset,",
-        "so join fan-out and group cardinality scale realistically).",
+        f"Base: {args.sf}; relational amplified {args.k}x (key spaces offset, so",
+        "join fan-out and group cardinality scale realistically); corpus",
+        f"amplified {args.corpus_k}x (per-copy salt tokens so copies are NOT",
+        "near-dups of each other, rotated embeddings).",
         "Ratio ~K = linear scaling; sorts may show K..K log K.  Each cell is",
         "min-of-2 steady-state seconds (noop sink).\n",
+        f"## Relational ({args.k}x)\n",
         f"| query | 1x sec | {args.k}x sec | ratio |",
         "|---|---|---|---|",
     ]
@@ -127,10 +205,25 @@ def main() -> None:
         ratio = tk / t1 if t1 > 0 else float("inf")
         lines.append(f"| {name} | {t1:.3f} | {tk:.3f} | {ratio:.1f}x |")
         print(f"{name:16s} 1x={t1:.3f}s {args.k}x={tk:.3f}s ratio={ratio:.1f}x")
+    lines += [
+        f"\n## Corpus / embeddings ({args.corpus_k}x)\n",
+        f"| query | 1x sec | {args.corpus_k}x sec | ratio |",
+        "|---|---|---|---|",
+    ]
+    for name in corpus_queries(spark, args.sf):
+        q1 = corpus_queries(spark, args.sf)[name]
+        qk = corpus_queries(spark, big_dir)[name]
+        t1 = min(run(q1) for _ in range(2))
+        tk = min(run(qk) for _ in range(2))
+        ratio = tk / t1 if t1 > 0 else float("inf")
+        lines.append(f"| {name} | {t1:.3f} | {tk:.3f} | {ratio:.1f}x |")
+        print(f"{name:16s} 1x={t1:.3f}s {args.corpus_k}x={tk:.3f}s ratio={ratio:.1f}x")
+        spark.catalog.clearCache()  # persisted LSH frames: don't let 1x cache serve Kx
     lines.append(
-        f"\nA ratio well under {args.k}x means fixed per-query overhead still"
+        "\nA ratio well under K means fixed per-query overhead still"
         " dominates at this volume; well over it would flag a super-linear"
-        " plan (the failure mode this smoke exists to catch).\n"
+        " plan (the failure mode this smoke exists to catch).  knn_exact_10q"
+        " holds |Q| fixed, so its ratio tracks corpus growth only.\n"
     )
     with open("/root/repo/SCALING.md", "w") as f:
         f.write("\n".join(lines))
