@@ -1,0 +1,54 @@
+"""Sketch accuracy contracts (rows-only queries need repo-side bounds):
+HLL estimates within standard error, CMS within its epsilon guarantee."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ub_etl_spark.queries.sketches import PROBE_TERMS, agg_cms_term_counts, agg_hll_mergeable
+
+
+def test_hll_estimates_within_relative_error(spark, sf_dir):
+    got = {r.o_orderstatus: r.est_distinct for r in agg_hll_mergeable(spark, sf_dir).collect()}
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact_per = {
+        r.o_orderstatus: r.n
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    exact_all = o.agg(F.countDistinct("o_custkey").alias("n")).first().n
+    exact_per["ALL"] = exact_all
+    assert set(got) == set(exact_per)
+    for k, est in got.items():
+        rel = abs(est - exact_per[k]) / max(exact_per[k], 1)
+        print(f"hll {k}: est={est} exact={exact_per[k]} rel_err={rel:.4f}")
+        # default lgConfigK=12 -> standard error ~1.6%; allow 3 sigma
+        assert rel <= 0.05, (k, est, exact_per[k])
+
+
+def test_hll_union_is_order_insensitive(spark, sf_dir):
+    a = {r.o_orderstatus: r.est_distinct for r in agg_hll_mergeable(spark, sf_dir).collect()}
+    b = {r.o_orderstatus: r.est_distinct for r in agg_hll_mergeable(spark, sf_dir).collect()}
+    assert a == b
+
+
+def test_cms_bounds(spark, sf_dir):
+    got = {r.term: r.est_count for r in agg_cms_term_counts(spark, sf_dir).collect()}
+    toks = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.explode(F.split("text", " ")).alias("term")
+    )
+    total = toks.count()
+    exact = {
+        r.term: r.n
+        for r in toks.filter(F.col("term").isin(PROBE_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for t in PROBE_TERMS:
+        true = exact.get(t, 0)
+        est = got[t]
+        # CMS guarantee: never undercounts; overcount <= eps * N w.p. conf
+        assert est >= true, (t, est, true)
+        assert est <= true + 0.0001 * total + 1, (t, est, true, total)

@@ -1,0 +1,62 @@
+"""Mergeable-sketch queries: the at-scale architecture for approximate
+distinct counts and heavy-hitter frequencies.
+
+The point of sketches at 100 TB is MERGEABILITY: build small partial
+sketches per partition/day/source (map-side), union them later without
+touching raw data again.  Both queries are rows-only under the driver
+gate (sketch estimates are engine-specific bit patterns); their accuracy
+contracts are pinned in tests/test_sketches.py against exact answers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ub_etl_spark.registry import register
+from ub_etl_spark.sources.tables import load_table as T
+
+
+# Per-group HLL sketches + a union-of-sketches estimate: the standard
+# "sketch per segment, merge for any rollup" distinct-count design.
+# Plain approx_count_distinct answers one grouping; persisted HLL sketches
+# answer every future rollup without rescanning — that is the 100 TB win.
+@register("agg_hll_mergeable", tier="Q", oracle=None)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    sk = o.groupBy("o_orderstatus").agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    per_status = sk.select(
+        "o_orderstatus", F.hll_sketch_estimate("sk").alias("est_distinct")
+    )
+    overall = sk.agg(F.hll_union_agg("sk").alias("u")).select(
+        F.lit("ALL").alias("o_orderstatus"),
+        F.hll_sketch_estimate("u").alias("est_distinct"),
+    )
+    return per_status.unionByName(overall)
+
+
+# Count-min sketch over document tokens, probed for a fixed term list.
+# The sketch build is one distributed pass (only the KB-sized sketch
+# reaches the driver — same metadata-only pattern as IVF centroids); the
+# probe list is bounded, so the output frame is tiny.
+PROBE_TERMS = ["spark", "window", "batch", "the", "zzz_absent_term"]
+
+
+@register("agg_cms_term_counts", tier="B", oracle=None)
+def agg_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("term"))
+    sk_bytes = toks.agg(
+        F.count_min_sketch(
+            "term", F.lit(0.0001), F.lit(0.99), F.lit(42)
+        ).alias("s")
+    ).head()["s"]
+    # deserialize the sketch JVM-side to probe it (PySpark 4 has no Python
+    # wrapper); the JVM String hashing matches the SQL aggregate's
+    # UTF8String hashing, which tests/test_sketches.py verifies against
+    # exact counts
+    jvm = spark.sparkContext._jvm
+    bis = jvm.java.io.ByteArrayInputStream(bytes(sk_bytes))
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+    rows = [(t, cms.estimateCount(t)) for t in PROBE_TERMS]
+    return spark.createDataFrame(rows, "term string, est_count long").coalesce(1)

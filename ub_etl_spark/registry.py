@@ -88,6 +88,8 @@ DRIVER_PRIORITY = [
     "text_ngram_vocab",
     "embedding_quantize",
     "dedup_apply_canonical",
+    "agg_hll_mergeable",
+    "agg_cms_term_counts",
 ]
 
 
@@ -105,6 +107,7 @@ def load_all() -> dict[str, QuerySpec]:
             pipeline,
             relational,
             similarity,
+            sketches,
             storage_io,
             streaming_batch,
             text,
