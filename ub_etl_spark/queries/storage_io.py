@@ -215,3 +215,44 @@ def io_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = back if out is None else out.unionByName(back)
     return out
+
+
+# Raw-file ingest via the built-in binaryFile source — the entry point for
+# multimodal corpora that arrive as loose media files rather than parquet
+# binary columns (SURVEY.md B6 ingest side).  Deterministic fixture files
+# are written eagerly; Spark reads (path, length, content) and the content
+# round-trips under the hash via UTF-8 decode (fixture bytes are ASCII).
+# At scale binaryFile parallelizes by file and prunes with pathGlobFilter/
+# recursiveFileLookup; the 100 TB rule from operators/multimodal.py applies:
+# project the binary column away before any wide op.
+@register(
+    "io_binary_files",
+    tier="B",
+    oracle=f"""
+    SELECT name, CAST(length(body) AS BIGINT) AS length, body
+    FROM (
+      SELECT 'doc' || range AS name,
+             'payload-' || range || '-' ||
+               repeat('x', CAST(7 + range % 7 AS INTEGER)) AS body
+      FROM range({_N_PAGES * 5})
+    )
+    """,
+)
+def io_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = os.path.join(tempfile.gettempdir(), "ub_etl_spark_binfiles")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    for i in range(_N_PAGES * 5):
+        body = f"payload-{i}-" + "x" * (7 + i % 7)
+        with open(os.path.join(root, f"doc{i}.bin"), "wb") as f:
+            f.write(body.encode("ascii"))
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(root)
+        .select(
+            F.regexp_extract(F.col("path"), r"(doc\d+)\.bin$", 1).alias("name"),
+            F.col("length"),
+            F.decode(F.col("content"), "UTF-8").alias("body"),
+        )
+    )

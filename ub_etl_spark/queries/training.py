@@ -159,3 +159,68 @@ def dedup_apply_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = cc.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
     full = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return full.join(keep, "doc_id")
+
+
+# End-to-end corpus preparation: quality-gate the documents (reusing the
+# exact text_quality_score expressions — engine-identical doubles, so the
+# threshold picks identical sets) and attach the deterministic split —
+# the final "training-ready corpus manifest" a pipeline materializes.
+from ub_etl_spark.operators.text import STOPWORDS  # noqa: E402
+
+_EN = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+
+
+@register(
+    "pipeline_corpus_prepare",
+    tier="B",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {sql_hash_bucket("doc_id")} < 80 THEN 'train'
+                WHEN {sql_hash_bucket("doc_id")} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           n_tokens, quality
+    FROM (
+      SELECT doc_id, n_tokens,
+             0.4 * least(1.0, n_tokens / 100.0)
+               + 0.3 * (1.0 - least(1.0, punct_ratio * 10.0))
+               + 0.3 * least(1.0, stopword_ratio * 5.0) AS quality
+      FROM (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               len(list_filter(string_split(text, ' '),
+                   x -> list_contains({_EN}, lower(x))))
+                 / len(string_split(text, ' ')) AS stopword_ratio,
+               length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text)
+                 AS punct_ratio
+        FROM documents
+      ) f
+    ) q
+    WHERE quality >= 0.5 AND n_tokens >= 20
+    """,
+)
+def pipeline_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_tok = F.size(toks)
+    feats = d.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        (
+            F.size(F.filter(toks, lambda x: F.array_contains(en, F.lower(x)))) / n_tok
+        ).alias("stopword_ratio"),
+        (F.length(F.regexp_replace("text", r"[^.,;:!?]", "")) / F.length("text")).alias(
+            "punct_ratio"
+        ),
+    )
+    quality = (
+        0.4 * F.least(F.lit(1.0), F.col("n_tokens") / 100.0)
+        + 0.3 * (F.lit(1.0) - F.least(F.lit(1.0), F.col("punct_ratio") * 10.0))
+        + 0.3 * F.least(F.lit(1.0), F.col("stopword_ratio") * 5.0)
+    )
+    gated = feats.select("doc_id", "n_tokens", quality.alias("quality")).filter(
+        (F.col("quality") >= 0.5) & (F.col("n_tokens") >= 20)
+    )
+    return train_val_test_split(gated, "doc_id").select(
+        "doc_id", "split", "n_tokens", "quality"
+    )

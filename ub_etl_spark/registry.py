@@ -90,6 +90,8 @@ DRIVER_PRIORITY = [
     "dedup_apply_canonical",
     "agg_hll_mergeable",
     "agg_cms_term_counts",
+    "io_binary_files",
+    "pipeline_corpus_prepare",
 ]
 
 
