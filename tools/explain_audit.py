@@ -53,6 +53,13 @@ EXPECT = {
     # re-scan parquet
     "dedup_minhash_lsh": ["InMemoryTableScan", "HashAggregate"],
     "dedup_simhash": ["InMemoryTableScan"],
+    # training tier: vocab counting must plan the top-k (no full sort), the
+    # split/quantize stay single-span map-only, sampling is one window pass
+    "text_ngram_vocab": ["TakeOrderedAndProject", "Generate", "HashAggregate"],
+    "split_train_val_test": ["codegen id :"],
+    "embedding_quantize": ["codegen id :"],
+    "sample_stratified_exact": ["Window", "codegen id :"],
+    "dedup_normalized_exact": ["HashAggregate", "codegen id :"],
 }
 
 # Kept by hand; prepended to the generated PLANS.md on every regeneration.

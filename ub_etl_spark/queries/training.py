@@ -224,3 +224,38 @@ def pipeline_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_val_test_split(gated, "doc_id").select(
         "doc_id", "split", "n_tokens", "quality"
     )
+
+
+# Exact stratified sampling: exactly min(n, |group|) docs per label, chosen
+# by a deterministic hash order — balanced training subsets with reproducible
+# membership (df.sampleBy is only approximate).  One window shuffle on the
+# label; at 100 TB pre-aggregate group counts and sample via the same hash
+# threshold instead of a full sort when groups are huge.
+@register(
+    "sample_stratified_exact",
+    tier="B",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {sql_hash_bucket("doc_id", 1 << 30)}, doc_id
+             ) AS rn
+      FROM documents
+    ) t WHERE rn <= 25
+    """,
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ub_etl_spark.operators.training import hash_bucket
+
+    d = T(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(hash_bucket(F.col("doc_id"), 1 << 30), "doc_id")
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 25)
+        .drop("__rn")
+    )

@@ -92,6 +92,7 @@ DRIVER_PRIORITY = [
     "agg_cms_term_counts",
     "io_binary_files",
     "pipeline_corpus_prepare",
+    "sample_stratified_exact",
 ]
 
 
