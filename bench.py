@@ -57,6 +57,13 @@ HEADLINE = [
     "dedup_normalized_exact",
     "text_ngram_vocab",
     "embedding_quantize",
+    "text_pii_redact",
+    "text_quality_gopher",
+    "contamination_ngram_check",
+    "pack_sequences",
+    "tpch_q1_pricing",
+    "tpch_q3_priority",
+    "events_funnel",
 ]
 
 

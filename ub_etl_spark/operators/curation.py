@@ -1,0 +1,242 @@
+"""Corpus-curation operators: PII redaction, repetition-based quality
+filters (Gopher-style), benchmark-contamination checks, sequence packing,
+and weighted source mixing.
+
+These complete the LLM-training-data surface beyond dedup (operators/
+dedup.py), similarity (operators/vectors.py), text stats (operators/
+text.py) and splitting/compression (operators/training.py): the passes a
+pipeline runs between "raw corpus" and "tokenizer-ready batches".
+
+All hot paths are JVM codegen expressions (regexp_replace chains, window
+sums, explode+hash-agg) — no Python UDFs.  Scale notes per operator:
+
+- PII redaction is map-only (one regexp pass per rule, fused into a
+  single WholeStageCodegen projection) — embarrassingly parallel.
+- Gopher quality needs one per-doc bigram aggregation; the shuffle key is
+  (doc_id, bigram), near-uniform by construction, and the map-side
+  partial agg bounds traffic at distinct-bigrams-per-doc.
+- Contamination broadcasts the benchmark shingle set (benchmarks are
+  tiny — MMLU-scale is ~1e4 grams); the corpus side never shuffles.
+- Sequence packing windows inside hash partitions, so parallelism is the
+  partition count, not 1 (a global greedy pack would serialize; per-part
+  packing loses nothing for training since batch order is irrelevant).
+- Source mixing is map-only hash thresholding (same reproducibility
+  contract as train_val_test_split).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ub_etl_spark.operators.training import hash_bucket
+
+# PII rules: (name, regex, replacement).  Patterns restricted to syntax
+# with identical semantics in Java regex (Spark) and RE2 (DuckDB oracle):
+# no lookaround, no backrefs.  Email before IP before phone so the
+# address-like tail of an email is not half-eaten by the IP rule.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b555-[0-9]{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Apply every PII rule in order; one fused codegen projection."""
+    out = text
+    for _, pat, repl in PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """Per-rule match counts (on the unredacted text), named n_<rule>."""
+    return [
+        F.size(F.regexp_extract_all(text, F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat, _ in PII_RULES
+    ]
+
+
+def sql_redact_pii(expr: str) -> str:
+    """DuckDB rendering of redact_pii (same rules, same order)."""
+    out = expr
+    for _, pat, repl in PII_RULES:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+def sql_pii_counts(expr: str) -> str:
+    return ", ".join(
+        f"len(regexp_extract_all({expr}, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_RULES
+    )
+
+
+def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition/shape features per document.
+
+    Output: (id, n_tokens, dup_word_ratio, top_bigram_ratio,
+    mean_word_len, keep).  dup_word_ratio = 1 - distinct/total tokens;
+    top_bigram_ratio = occurrences of the most frequent bigram over total
+    bigrams; mean_word_len = non-space chars / tokens.  `keep` applies the
+    standard repetition gates.  Docs need >= 2 tokens (one bigram).
+
+    Two subplans joined on doc_id: a map-only token-stat projection and a
+    bigram mode aggregation (explode -> count -> max).  The join keys are
+    unique doc ids, so AQE plans a broadcast for the (smaller) stats side
+    at test scale and an even shuffle at corpus scale.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size(toks).cast("bigint")
+    stats = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        (F.lit(1.0) - F.size(F.array_distinct(toks)).cast("bigint") / n_tok).alias(
+            "dup_word_ratio"
+        ),
+        (F.length(F.regexp_replace(F.col(text_col), " ", "")) / n_tok).alias(
+            "mean_word_len"
+        ),
+    ).filter(F.col("n_tokens") >= 2)
+
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+    bigrams = (
+        base.select("doc_id", "__toks", F.posexplode("__toks").alias("__pos", "__tok"))
+        .filter(F.col("__pos") <= F.size("__toks") - 2)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("__toks", F.col("__pos") + 1),
+                F.element_at("__toks", F.col("__pos") + 2),
+            ).alias("bigram"),
+        )
+    )
+    top = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("__cnt").alias("__top"))
+    )
+    out = stats.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_word_ratio",
+        (F.col("__top") / (F.col("n_tokens") - 1)).alias("top_bigram_ratio"),
+        "mean_word_len",
+    )
+    keep = (
+        (F.col("dup_word_ratio") <= 0.6)
+        & (F.col("top_bigram_ratio") <= 0.2)
+        & (F.col("mean_word_len") >= 2.0)
+        & (F.col("mean_word_len") <= 12.0)
+    )
+    return out.withColumn("keep", keep)
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination report: per corpus doc, the fraction of its
+    distinct n-grams that appear anywhere in the benchmark set.
+
+    The benchmark shingle set is broadcast (real benchmarks are ~1e4-1e6
+    grams — MBs); the corpus side is a scan+explode+broadcast-join+agg with
+    no corpus-wide shuffle except the per-doc count aggregation, keyed on
+    doc_id (uniform).  Docs shorter than n tokens are excluded on both
+    engines (no short-gram fallback — a sub-n-gram can't witness an n-gram
+    overlap).  Output: (doc_id, n_grams, n_shared, contamination).
+    """
+    from ub_etl_spark.operators.dedup import shingle_rows
+
+    long_enough = F.size(F.split(F.col(text_col), " ")) >= n
+    cg = shingle_rows(corpus.filter(long_enough), id_col, text_col, n)
+    bg = (
+        shingle_rows(benchmark.filter(long_enough), id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = cg.join(F.broadcast(bg), "shingle", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__hit").alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            (F.col("n_shared") / F.col("n_grams")).alias("contamination"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 256,
+    n_parts: int = 8,
+) -> DataFrame:
+    """Deterministic token-stream sequence packing: assign each document
+    to the fixed-budget training sequence where its first token lands.
+
+    Documents are hash-partitioned (reproducible, data-independent), laid
+    out in deterministic hash order as one contiguous token stream per
+    partition, and the stream is cut every `budget` tokens:
+    seq = floor(start_offset / budget) with start_offset = cumsum -
+    n_tokens.  A document straddling a cut belongs to the sequence it
+    starts in and is chunked across the boundary downstream (the standard
+    LLM pretraining layout) — so a sequence's doc-token total may exceed
+    the budget by the straddler's tail, and a doc longer than the budget
+    makes the following seq ids skip accordingly.
+
+    The window runs inside each hash partition, so the pack parallelizes
+    across n_parts (tune to cluster width at scale); a single global pack
+    would serialize 100 TB through one task.  Output: (id, part, seq_id,
+    n_tokens) where (part, seq_id) is the global sequence key.
+    """
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    part = hash_bucket(F.col(id_col), n_parts)
+    w = (
+        W.partitionBy("part")
+        .orderBy(hash_bucket(F.col(id_col), 1 << 30), id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        df.select(F.col(id_col), n_tok.alias("n_tokens"), part.alias("part"))
+        .withColumn("__cum", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            "part",
+            F.floor((F.col("__cum") - F.col("n_tokens")) / budget).alias("seq_id"),
+            "n_tokens",
+        )
+    )
+
+
+def mix_weighted_sources(
+    df: DataFrame,
+    id_col: str,
+    weight_pct: Column,
+    decorrelate: Column,
+) -> DataFrame:
+    """Down-sample each row by a per-row target weight (percent), with
+    deterministic hash membership — the source-mixing pass that rebalances
+    a corpus to target proportions (e.g. upweight books, downweight CC).
+
+    `decorrelate` must vary per stratum so the mixing hash is independent
+    of any other hash-of-id decision (split, sampling) — otherwise "the
+    first 80% of buckets" reused across decisions correlates membership.
+    Map-only; reproducible under corpus growth like train_val_test_split.
+    """
+    b = hash_bucket(F.col(id_col).cast("bigint") + decorrelate, 100)
+    return df.filter(b < weight_pct)

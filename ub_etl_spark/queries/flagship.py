@@ -1,0 +1,210 @@
+"""Flagship composite queries (SURVEY.md §2 B26-B29): TPC-H-shaped
+pricing-summary and shipping-priority analytics over the full star
+schema, a sequential event funnel, and sketch-based percentiles.
+
+These exercise multi-operator composition — scan + pushdown filter +
+broadcast join + exact-cents aggregation + top-k — through one Catalyst
+plan each, the way a warehouse user actually queries the tables the
+reference pipeline produces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ub_etl_spark.functions.exact import (
+    cavg,
+    cents,
+    cents_disc,
+    csum,
+    sql_cavg,
+    sql_cents,
+    sql_cents_disc,
+    sql_csum,
+)
+from ub_etl_spark.registry import register
+from ub_etl_spark.sources.tables import load_table as T
+
+
+@register(
+    "tpch_q1_pricing",
+    tier="B",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_csum("l_quantity", "sum_qty")},
+           {sql_csum("l_extendedprice", "sum_base_price")},
+           SUM({sql_cents_disc("l_extendedprice", "l_discount")}) / 10000.0
+             AS sum_disc_price,
+           SUM({sql_cents("l_extendedprice")} * (100 - {sql_cents("l_discount")})
+               * (100 + {sql_cents("l_tax")})) / 1000000.0 AS sum_charge,
+           {sql_cavg("l_quantity", "avg_qty")},
+           {sql_cavg("l_extendedprice", "avg_price")},
+           {sql_cavg("l_discount", "avg_disc")},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) with exact long-cents arithmetic:
+    one scan with a pushed shipdate filter into a 6-way aggregate.  The
+    charge product (price x (1-disc) x (1+tax)) stays in scale-6 longs —
+    exact to ~9e12 rows/group (functions/exact.py envelope)."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    charge = cents("l_extendedprice") * (F.lit(100) - cents("l_discount")) * (
+        F.lit(100) + cents("l_tax")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        csum("l_quantity", "sum_qty"),
+        csum("l_extendedprice", "sum_base_price"),
+        (F.sum(cents_disc("l_extendedprice", "l_discount")) / 10000.0).alias(
+            "sum_disc_price"
+        ),
+        (F.sum(charge) / 1000000.0).alias("sum_charge"),
+        cavg("l_quantity", "avg_qty"),
+        cavg("l_extendedprice", "avg_price"),
+        cavg("l_discount", "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q3_priority",
+    tier="B",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           SUM({sql_cents_disc("l.l_extendedprice", "l.l_discount")}) / 10000.0
+             AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): filtered customer dim broadcasts into
+    orders, joins lineitem on the shuffle key l_orderkey, exact-cents
+    revenue, deterministic top-10 (revenue desc, orderkey tiebreak) via
+    TakeOrderedAndProject."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            (F.sum(cents_disc("l_extendedprice", "l_discount")) / 10000.0).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "events_funnel",
+    tier="B",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, t_signup FROM (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+        FROM events GROUP BY user_id
+      ) WHERE t_signup IS NOT NULL
+    ), v AS (
+      SELECT e.user_id, s.t_signup, MIN(e.ts) AS t_first_view
+      FROM events e
+      JOIN s ON e.user_id = s.user_id
+            AND e.event_type = 'view' AND e.ts > s.t_signup
+      GROUP BY e.user_id, s.t_signup
+    )
+    SELECT e.user_id, v.t_signup, v.t_first_view,
+           MIN(e.ts) AS t_first_purchase
+    FROM events e
+    JOIN v ON e.user_id = v.user_id
+          AND e.event_type = 'purchase' AND e.ts > v.t_first_view
+    GROUP BY e.user_id, v.t_signup, v.t_first_view
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel (signup -> first view after -> first purchase
+    after): per-stage conditional MIN aggregation re-joined to the event
+    stream.  Each stage output is per-user (tiny relative to events), so
+    the stage joins broadcast; the event scan is reused across stages and
+    the only event-wide shuffle is the per-user aggregate."""
+    e = T(spark, sf_dir, "events")
+    # Stage outputs rename their user column so the repeated event-scan
+    # joins stay unambiguous (e appears in every stage's lineage).
+    s = (
+        e.groupBy("user_id")
+        .agg(F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"))
+        .filter(F.col("t_signup").isNotNull())
+        .select(F.col("user_id").alias("s_user"), "t_signup")
+    )
+    v = (
+        e.join(
+            F.broadcast(s),
+            (F.col("user_id") == F.col("s_user"))
+            & (F.col("event_type") == "view")
+            & (F.col("ts") > F.col("t_signup")),
+        )
+        .groupBy("s_user", "t_signup")
+        .agg(F.min("ts").alias("t_first_view"))
+        .select(F.col("s_user").alias("v_user"), "t_signup", "t_first_view")
+    )
+    return (
+        e.join(
+            F.broadcast(v),
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t_first_view")),
+        )
+        .groupBy("v_user", "t_signup", "t_first_view")
+        .agg(F.min("ts").alias("t_first_purchase"))
+        .select(
+            F.col("v_user").alias("user_id"),
+            "t_signup",
+            "t_first_view",
+            "t_first_purchase",
+        )
+    )
+
+
+# GK-sketch percentiles: mergeable, bounded-memory, one pass — the scale
+# path when exact percentiles (agg_percentile) would sort 100 TB.  No
+# cross-engine oracle by construction (DuckDB's approx_quantile is a
+# t-digest; sketch internals differ) — the rank-error bound vs the exact
+# quantile is pinned in tests/test_curation.py instead.
+@register("agg_approx_percentile", tier="B", oracle=None)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna) p50/p95/p99 of event value per
+    type; accuracy 10000 bounds rank error at n/10000 per group."""
+    e = T(spark, sf_dir, "events")
+    pcts = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
+    return (
+        e.groupBy("event_type")
+        .agg(pcts.alias("__p"))
+        .select(
+            "event_type",
+            F.element_at("__p", 1).alias("p50"),
+            F.element_at("__p", 2).alias("p95"),
+            F.element_at("__p", 3).alias("p99"),
+        )
+    )

@@ -93,6 +93,16 @@ DRIVER_PRIORITY = [
     "io_binary_files",
     "pipeline_corpus_prepare",
     "sample_stratified_exact",
+    # new this round (curation + flagship tier, B21-B29)
+    "text_pii_redact",
+    "text_quality_gopher",
+    "contamination_ngram_check",
+    "pack_sequences",
+    "mix_weighted_sources",
+    "tpch_q1_pricing",
+    "tpch_q3_priority",
+    "events_funnel",
+    "agg_approx_percentile",
 ]
 
 
@@ -102,8 +112,10 @@ def load_all() -> dict[str, QuerySpec]:
     global _LOADED
     if not _LOADED:
         from ub_etl_spark.queries import (  # noqa: F401
+            curation,
             dedup,
             extras,
+            flagship,
             merge,
             multimodal,
             nested,
