@@ -64,6 +64,7 @@ HEADLINE = [
     "tpch_q1_pricing",
     "tpch_q3_priority",
     "events_funnel",
+    "pipeline_training_manifest",
 ]
 
 

@@ -159,6 +159,63 @@ def test_approx_percentile_rank_error(spark, sf_dir):
             )
 
 
+def test_training_manifest_invariants(spark, sf_dir):
+    """The composed manifest honors every stage's contract: no benchmark
+    docs, contamination gate applied, valid splits, only quality-keep +
+    canonical docs survive."""
+    rows = REG["pipeline_training_manifest"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r.doc_id % 97 != 0 for r in rows)
+    assert all(0.0 <= r.contamination <= 0.5 for r in rows)
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ub_etl_spark.operators.curation import gopher_quality
+    from ub_etl_spark.operators.training import dedup_normalized_exact
+
+    keep = {
+        r.doc_id
+        for r in gopher_quality(docs, "doc_id", "text").filter(F.col("keep")).collect()
+    }
+    canon = {r.doc_id for r in dedup_normalized_exact(docs, "doc_id", "text").collect()}
+    for r in rows:
+        assert r.doc_id in keep and r.doc_id in canon
+
+
+def test_interval_overlap_pairs_correct(spark, sf_dir):
+    """Bucketized overlap join equals the brute-force pair set."""
+    out = {
+        (r.key_a, r.key_b)
+        for r in REG["join_interval_overlap"].fn(spark, sf_dir).collect()
+    }
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") >= F.lit("2001-06-01").cast("timestamp"))
+        .collect()
+    )
+    import datetime
+
+    iv = [
+        (
+            r.o_orderkey,
+            r.o_custkey,
+            r.o_orderdate,
+            r.o_orderdate + datetime.timedelta(days=(r.o_orderkey % 5) + 1),
+        )
+        for r in orders
+    ]
+    brute = set()
+    by_cust: dict[int, list] = {}
+    for t in iv:
+        by_cust.setdefault(t[1], []).append(t)
+    for group in by_cust.values():
+        for i, a in enumerate(group):
+            for b in group[i + 1 :]:
+                x, y = (a, b) if a[0] < b[0] else (b, a)
+                if x[2] <= y[3] and y[2] <= x[3]:
+                    brute.add((x[0], y[0]))
+    assert out == brute
+
+
 def test_tpch_q1_totals_consistent(spark, sf_dir):
     """Aggregate identities: sum_disc_price <= sum_base_price and
     sum_charge >= sum_disc_price (tax >= 0, discount >= 0)."""

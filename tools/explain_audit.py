@@ -71,6 +71,9 @@ EXPECT = {
     "tpch_q1_pricing": ["PushedFilters: [IsNotNull(l_shipdate)", "HashAggregate", "*("],
     "tpch_q3_priority": ["BroadcastHashJoin", "TakeOrderedAndProject"],
     "events_funnel": ["BroadcastHashJoin", "HashAggregate"],
+    # capstone composition: dims broadcast, no nested-loop anywhere
+    "pipeline_training_manifest": ["BroadcastHashJoin", "HashAggregate", "Generate"],
+    "join_interval_overlap": ["Generate", "HashAggregate"],
 }
 
 # Kept by hand; prepended to the generated PLANS.md on every regeneration.

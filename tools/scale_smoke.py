@@ -144,6 +144,12 @@ def amplify_corpus(spark, src: str, out: str, k: int) -> None:
 
 def corpus_queries(spark, d: str):
     from ub_etl_spark.operators import dedup as D
+    from ub_etl_spark.operators.curation import (
+        contamination_check,
+        gopher_quality,
+        pack_sequences,
+        redact_pii,
+    )
     from ub_etl_spark.operators.training import (
         dedup_normalized_exact,
         l2_normalize_quantize,
@@ -163,6 +169,19 @@ def corpus_queries(spark, d: str):
         # bounded query set: cost must scale with the CORPUS (linear), not
         # with |Q| x corpus
         "knn_exact_10q": knn_exact(emb.filter(F.col("vec_id") < 10), emb, k=5),
+        # curation tier: redact/gopher/pack are map-or-one-shuffle passes
+        # (expect ~linear); contamination's benchmark side grows with the
+        # corpus too (it broadcasts — ratio tracks corpus + bench growth)
+        "pii_redact": docs.select("doc_id", redact_pii(F.col("text")).alias("t")),
+        "quality_gopher": gopher_quality(docs, "doc_id", "text"),
+        "contamination": contamination_check(
+            docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0),
+            "doc_id",
+            "text",
+            n=5,
+        ),
+        "pack_sequences": pack_sequences(docs, "doc_id", "text", budget=256, n_parts=8),
     }
 
 

@@ -103,6 +103,8 @@ DRIVER_PRIORITY = [
     "tpch_q3_priority",
     "events_funnel",
     "agg_approx_percentile",
+    "pipeline_training_manifest",
+    "join_interval_overlap",
 ]
 
 
@@ -116,6 +118,7 @@ def load_all() -> dict[str, QuerySpec]:
             dedup,
             extras,
             flagship,
+            manifest,
             merge,
             multimodal,
             nested,
