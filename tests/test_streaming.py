@@ -164,6 +164,67 @@ def test_stateful_running_counts_across_restarts(spark, tmpdir):
     assert (10, 3, 4.5) in got2
 
 
+DOC_SCHEMA = "doc_id long, ingest_ts timestamp, text string"
+
+
+def test_corpus_ingest_stream_gate_redact_dedup(spark, tmpdir):
+    """Streaming corpus ingestion: quality gate filters junk, PII is
+    redacted, near-exact dupes collapse within a batch, and the bucketed
+    anti-join blocks re-ingestion across batches."""
+    from ub_etl_spark.streaming.pipelines import corpus_ingest_stream
+
+    src, state, ckpt = f"{tmpdir}/src", f"{tmpdir}/state", f"{tmpdir}/ckpt"
+    good = "contact bob@example.com please respond kindly now"
+    spark.createDataFrame(
+        [
+            (1, T0, good),
+            (2, T0, "a a a a a a a a"),  # dup_word_ratio 0.875 > 0.8 -> gated
+            (3, T0, "x y"),  # 2 tokens < 5 -> gated
+            (4, T0, "Contact, bob@example.com please respond kindly now"),
+        ],
+        DOC_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        q = corpus_ingest_stream(
+            spark.readStream.schema(DOC_SCHEMA).parquet(src),
+            state_dir=state,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+
+    run()
+    rows = spark.read.parquet(state).collect()
+    # docs 2,3 gated; 1 and 4 normalize identically after redaction -> 1 row
+    assert len(rows) == 1
+    assert "<EMAIL>" in rows[0].text and "bob@example.com" not in rows[0].text
+
+    # batch 2: another normalized-dupe of doc 1 (blocked by the corpus
+    # anti-join) plus one genuinely new doc (appended)
+    spark.createDataFrame(
+        [
+            (5, T0 + timedelta(minutes=5), "contact bob@example.com please respond kindly now!"),
+            (6, T0 + timedelta(minutes=5), "an entirely new document with plenty of words"),
+        ],
+        DOC_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    rows2 = spark.read.parquet(state).collect()
+    assert len(rows2) == 2
+    texts = {r.text for r in rows2}
+    assert any("entirely new document" in t for t in texts)
+
+    # replaying the same batches (fresh checkpoint, same state) must be a
+    # fixpoint: the anti-join absorbs every already-ingested doc
+    q = corpus_ingest_stream(
+        spark.readStream.schema(DOC_SCHEMA).parquet(src),
+        state_dir=state,
+        checkpoint_dir=f"{tmpdir}/ckpt2",
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(state).count() == 2
+
+
 def _has_protobuf() -> bool:
     try:
         from google.protobuf import descriptor  # noqa: F401

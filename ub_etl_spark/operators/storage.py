@@ -124,6 +124,29 @@ def _merge_into_delta(
     merge.whenNotMatchedInsertAll().execute()
 
 
+def insert_ignore_into_bucketed(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    keys: Sequence[str],
+    n_buckets: int = 64,
+) -> None:
+    """First-writer-wins append (A10's ON CONFLICT DO NOTHING) into the
+    bucketed table: anti-join the batch against ONLY its touched buckets,
+    then append — no partition is rewritten, so a key's first generation
+    is immutable and the cost is O(|batch| x table/N).  Idempotent on
+    replay: a re-run of the same batch anti-joins to empty."""
+    b = _with_bucket(batch.dropDuplicates(list(keys)), keys, n_buckets)
+    touched = [r[BUCKET_COL] for r in b.select(BUCKET_COL).distinct().collect()]
+    existing = (
+        spark.read.parquet(path)
+        .filter(F.col(BUCKET_COL).isin(touched))
+        .select(*keys)
+    )
+    new = b.join(existing, list(keys), "left_anti")
+    new.write.partitionBy(BUCKET_COL).mode("append").parquet(path)
+
+
 def merge_into_bucketed(
     spark: SparkSession,
     path: str,

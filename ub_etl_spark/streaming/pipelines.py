@@ -142,6 +142,77 @@ def upsert_stream_foreach_batch(
     )
 
 
+def corpus_ingest_stream(
+    docs: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    ts_col: str = "ingest_ts",
+    watermark: str = "1 hour",
+    min_tokens: int = 5,
+    max_dup_word_ratio: float = 0.8,
+    n_buckets: int = 16,
+):
+    """Streaming corpus ingestion — the training-data twin of the event
+    pipelines: per-row quality gate -> PII redaction -> watermark-scoped
+    near-exact dedup -> cross-batch first-writer-wins append into a
+    bucketed parquet corpus store.
+
+    Stage discipline for unbounded input: the quality gate uses ONLY
+    per-row expressions (token count, duplicate-word ratio — no per-doc
+    aggregation), so the stream stays stateless until the dedup; dedup
+    state is keyed on xxhash64(normalized redacted text) and bounded by
+    the watermark; dedup against the WHOLE historical corpus is the
+    anti-join inside the batch sink (touched buckets only), which is
+    idempotent on crash-replay — together: exactly-once corpus growth.
+
+    Returns the started StreamingQuery (availableNow trigger).
+    """
+    from ub_etl_spark.operators.curation import redact_pii
+    from ub_etl_spark.operators.storage import (
+        insert_ignore_into_bucketed,
+        write_bucketed,
+    )
+    from ub_etl_spark.operators.training import normalize_text
+
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("bigint")
+    gated = (
+        docs.withColumn("n_tokens", n_tok)
+        .withColumn(
+            "dup_word_ratio",
+            F.lit(1.0) - F.size(F.array_distinct(toks)).cast("bigint") / F.col("n_tokens"),
+        )
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("dup_word_ratio") <= max_dup_word_ratio)
+        )
+        .withColumn("text", redact_pii(F.col("text")))
+        .withColumn("__nh", F.xxhash64(normalize_text(F.col("text"))))
+        .drop("dup_word_ratio")
+    )
+    deduped = gated.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["__nh"])
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            spark.read.parquet(state_dir).schema  # existence probe
+            has_state = True
+        except Exception:  # first batch: no corpus yet
+            has_state = False
+        batch = batch_df.dropDuplicates(["__nh"])
+        if not has_state:
+            write_bucketed(batch, state_dir, ["__nh"], n_buckets=n_buckets)
+        else:
+            insert_ignore_into_bucketed(spark, state_dir, batch, ["__nh"], n_buckets=n_buckets)
+
+    return (
+        deduped.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def running_totals_tws(events: DataFrame, key: str = "user_id") -> DataFrame:
     """stateful_running_counts on the Spark 4 transformWithStateInPandas
     API — typed per-key ValueState instead of the legacy GroupState blob.
