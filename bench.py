@@ -132,6 +132,11 @@ def main() -> None:
             if sql is not None:
                 o = oracle_steady(con, sql, reps=1)
                 oracle_s[name] = round(min(oracle_s.get(name, o), o), 4)
+        # drop the LSH families' persisted reuse frames between passes so
+        # cached relations don't accumulate across the 2x37-query session
+        # (each pass still exercises its own persist+reuse, which is what
+        # a fresh production run would do)
+        spark.catalog.clearCache()
     for name in HEADLINE:
         if name in oracle_s:
             ratio[name] = round(timings[name] / max(oracle_s[name], 1e-9), 2)

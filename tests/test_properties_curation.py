@@ -70,6 +70,31 @@ def test_mix_membership_monotone_in_weight(spark):
         assert abs(len(kept[w]) / 5000 - w / 100) < 0.05
 
 
+def test_mix_decorrelated_from_split(spark):
+    """Mixing membership must be statistically independent of the split
+    hash: within a mixed-down stratum, the train/val/test proportions stay
+    ~80/10/10.  (An additive decorrelation constant fails this — the hash
+    is affine, so adding d only rotates buckets and one stratum can lose
+    its entire val band.)"""
+    df = spark.createDataFrame([(i,) for i in range(20000)], "doc_id long")
+    for d in (4000012, 1000003, 17000051):  # per-stratum constants
+        kept = mix_weighted_sources(
+            df, "doc_id", F.lit(50), decorrelate=F.lit(d).cast("bigint")
+        )
+        splits = {
+            r.split: r.n
+            for r in train_val_test_split(kept, "doc_id")
+            .groupBy("split")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        total = sum(splits.values())
+        assert abs(total / 20000 - 0.5) < 0.05
+        assert abs(splits.get("train", 0) / total - 0.80) < 0.06, (d, splits)
+        assert abs(splits.get("val", 0) / total - 0.10) < 0.05, (d, splits)
+        assert abs(splits.get("test", 0) / total - 0.10) < 0.05, (d, splits)
+
+
 def test_pack_matches_sequential_model_on_size_mix(spark):
     """Packer vs the sequential token-stream model on an adversarial size
     mix: empty-ish docs, budget-sized docs, and docs far over budget."""

@@ -216,11 +216,10 @@ def main() -> None:
         f"| query | 1x sec | {args.k}x sec | ratio |",
         "|---|---|---|---|",
     ]
-    for name in queries(spark, args.sf):
-        q1 = queries(spark, args.sf)[name]
-        qk = queries(spark, big_dir)[name]
-        t1 = min(run(q1) for _ in range(2))
-        tk = min(run(qk) for _ in range(2))
+    q1s, qks = queries(spark, args.sf), queries(spark, big_dir)
+    for name in q1s:
+        t1 = min(run(q1s[name]) for _ in range(2))
+        tk = min(run(qks[name]) for _ in range(2))
         ratio = tk / t1 if t1 > 0 else float("inf")
         lines.append(f"| {name} | {t1:.3f} | {tk:.3f} | {ratio:.1f}x |")
         print(f"{name:16s} 1x={t1:.3f}s {args.k}x={tk:.3f}s ratio={ratio:.1f}x")
@@ -229,11 +228,10 @@ def main() -> None:
         f"| query | 1x sec | {args.corpus_k}x sec | ratio |",
         "|---|---|---|---|",
     ]
-    for name in corpus_queries(spark, args.sf):
-        q1 = corpus_queries(spark, args.sf)[name]
-        qk = corpus_queries(spark, big_dir)[name]
-        t1 = min(run(q1) for _ in range(2))
-        tk = min(run(qk) for _ in range(2))
+    c1s, cks = corpus_queries(spark, args.sf), corpus_queries(spark, big_dir)
+    for name in c1s:
+        t1 = min(run(c1s[name]) for _ in range(2))
+        tk = min(run(cks[name]) for _ in range(2))
         ratio = tk / t1 if t1 > 0 else float("inf")
         lines.append(f"| {name} | {t1:.3f} | {tk:.3f} | {ratio:.1f}x |")
         print(f"{name:16s} 1x={t1:.3f}s {args.corpus_k}x={tk:.3f}s ratio={ratio:.1f}x")

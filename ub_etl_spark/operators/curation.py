@@ -233,10 +233,17 @@ def mix_weighted_sources(
     deterministic hash membership — the source-mixing pass that rebalances
     a corpus to target proportions (e.g. upweight books, downweight CC).
 
-    `decorrelate` must vary per stratum so the mixing hash is independent
-    of any other hash-of-id decision (split, sampling) — otherwise "the
-    first 80% of buckets" reused across decisions correlates membership.
+    `decorrelate` is a per-stratum salt fed to mix_bucket — a DIFFERENT
+    hash family from the split's hash_bucket, with real avalanche (two
+    xorshift-multiply rounds).  That independence is load-bearing: with
+    the same multiplicative hash, adding the salt merely rotates bucket
+    ids (a weight-85 stratum measured 0.7% val instead of 10%), and even
+    XOR-ing it leaves visible correlation (4% val).  Statistical
+    independence from the split is asserted in
+    tests/test_properties_curation.py.
     Map-only; reproducible under corpus growth like train_val_test_split.
     """
-    b = hash_bucket(F.col(id_col).cast("bigint") + decorrelate, 100)
+    from ub_etl_spark.operators.training import mix_bucket
+
+    b = mix_bucket(F.col(id_col), decorrelate, 100)
     return df.filter(b < weight_pct)

@@ -45,14 +45,28 @@ def upsert_latest_wins(
     """Merge with update-wins semantics on ``keys``.
 
     Spark-native ON CONFLICT DO UPDATE (scripts/user_course_activity.py:81-102).
-    ``order_by``: recency columns (descending) used to pick the winner among
-    duplicates *within* a generation; updates always beat existing rows.
+
+    Without ``order_by``: updates unconditionally beat existing rows (the
+    reference's DO UPDATE SET ... = EXCLUDED.*).
+
+    With ``order_by`` (recency columns, descending): the NEWEST row wins
+    regardless of which side it came from, and on an exact recency tie the
+    existing row is kept — i.e. strict-newer update semantics, matching
+    the Delta MERGE path's lexicographic_newer condition exactly
+    (operators/storage.py), so the two merge_into_table backends agree on
+    every input including stale-batch replays (an older replayed batch can
+    never regress a newer stored row).
+
     Deterministic as long as (keys + order_by) is a total order per key group.
     """
     lhs = existing.withColumn(_VERSION_COL, F.lit(0))
     rhs = updates.withColumn(_VERSION_COL, F.lit(1))
     all_rows = lhs.unionByName(rhs)
-    order_cols = [F.desc(_VERSION_COL)] + [F.desc(c) for c in (order_by or [])]
+    if order_by:
+        # recency first; tie -> existing (version 0) wins = strictly-newer
+        order_cols = [F.desc(c) for c in order_by] + [F.asc(_VERSION_COL)]
+    else:
+        order_cols = [F.desc(_VERSION_COL)]
     w = W.partitionBy(*keys).orderBy(*order_cols)
     return (
         all_rows.withColumn(_RN_COL, F.row_number().over(w))

@@ -39,6 +39,19 @@ def have_delta() -> bool:
         return False
 
 
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """Filesystem existence check via the Hadoop FS API (works for any
+    scheme the session can reach).  Streaming sinks MUST use this — not a
+    try/except around a read — to decide first-batch initialization: a
+    transient read failure on an EXISTING store must raise and fail the
+    batch (safe: checkpoint replays it), never silently flip the sink into
+    its create-from-scratch path and overwrite the accumulated state."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def _with_bucket(df: DataFrame, keys: Sequence[str], n_buckets: int) -> DataFrame:
     return df.withColumn(BUCKET_COL, F.pmod(F.xxhash64(*keys), F.lit(n_buckets)))
 

@@ -33,6 +33,39 @@ def sql_hash_bucket(id_expr: str, n_buckets: int = 100) -> str:
     return f"(({id_expr} * {_KNUTH}) % 4294967296) % {n_buckets}"
 
 
+# Second, independent bucket hash for decisions that must be statistically
+# independent of hash_bucket on the same ids (e.g. mixing vs split).  A
+# single multiplicative round has weak avalanche — even XOR-ing a salt
+# into the id first leaves measurable correlation between the two bucket
+# streams (observed: a 50%-mix stratum carried 4% val instead of 10%).
+# This is the standard 32-bit xorshift-multiply finalizer (two rounds of
+# h ^= h>>16; h *= C), whose products stay under 2^59 — safe in int64 on
+# every ANSI engine (DuckDB raises on int64 overflow rather than wrapping,
+# so staying in-range IS the portability requirement).
+_MIX_C = 0x45D9F3B  # 73244475
+
+
+def mix_bucket(id_col: Column, salt: Column, n_buckets: int = 100) -> Column:
+    # pre-reduce to 32 bits so every product stays under 2^59 (< int64 max)
+    h = F.pmod(id_col.cast("bigint").bitwiseXOR(salt), F.lit(2**32))
+    for _ in range(2):
+        h = F.pmod(
+            (h.bitwiseXOR(F.shiftright(h, 16))) * F.lit(_MIX_C), F.lit(2**32)
+        )
+    h = h.bitwiseXOR(F.shiftright(h, 16))
+    return F.pmod(h, F.lit(n_buckets))
+
+
+def sql_mix_bucket(id_expr: str, salt_expr: str, n_buckets: int = 100) -> str:
+    """Oracle twin of mix_bucket — identical integer arithmetic.  (The
+    repeated-subexpression rendering is textual only; engines CSE it.)"""
+    h = f"(xor({id_expr}, {salt_expr}) % 4294967296)"
+    for _ in range(2):
+        h = f"((xor({h}, ({h}) >> 16)) * {_MIX_C}) % 4294967296"
+    h = f"xor({h}, ({h}) >> 16)"
+    return f"({h}) % {n_buckets}"
+
+
 def train_val_test_split(
     df: DataFrame,
     id_col: str,

@@ -19,7 +19,7 @@ from ub_etl_spark.operators.curation import (
     sql_pii_counts,
     sql_redact_pii,
 )
-from ub_etl_spark.operators.training import sql_hash_bucket
+from ub_etl_spark.operators.training import sql_hash_bucket, sql_mix_bucket
 from ub_etl_spark.registry import register
 from ub_etl_spark.sources.tables import load_table as T
 
@@ -178,7 +178,7 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, source,
            100 - CAST(substr(source, 4) AS INT) * 5 AS weight_pct
     FROM documents
-    WHERE {sql_hash_bucket("(doc_id + 1000003*(CAST(substr(source, 4) AS INT)+1))", 100)}
+    WHERE {sql_mix_bucket("doc_id", "1000003*(CAST(substr(source, 4) AS INT)+1)", 100)}
           < 100 - CAST(substr(source, 4) AS INT) * 5
     """,
 )

@@ -142,12 +142,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # SimHash near-dup (bit-sketch variant; rows-only for the same reason).
-# 8 chunks x 8 bits: pigeonhole-complete for hamming <= 7, measured recall
-# 0.96 vs exact Jaccard@0.5; pinned >= 0.9 in tests/test_dedup.py.
+# 8 chunks x 8 bits: pigeonhole-complete ONLY for hamming <= n_chunks-1
+# = 7, so the threshold must not exceed 7 (a distance-8 pair can differ in
+# every chunk and never co-bucket); measured recall 0.96 vs exact
+# Jaccard@0.5 at this point, pinned >= 0.9 in tests/test_dedup.py.
 @register("dedup_simhash", tier="B", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
-    return D.simhash_pairs(docs, "doc_id", "text", max_hamming=8, n_chunks=8)
+    return D.simhash_pairs(docs, "doc_id", "text", max_hamming=7, n_chunks=8)
 
 
 # Cluster assignment over near-dup pairs: connected components with the

@@ -146,9 +146,11 @@ def tpch_q3_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential funnel (signup -> first view after -> first purchase
     after): per-stage conditional MIN aggregation re-joined to the event
-    stream.  Each stage output is per-user (tiny relative to events), so
-    the stage joins broadcast; the event scan is reused across stages and
-    the only event-wide shuffle is the per-user aggregate."""
+    stream.  Stage outputs are per-user (small relative to events, but
+    proportional to user count), so join strategy is left to AQE: it
+    broadcasts them at this scale and falls back to a shuffle join when
+    the user dimension outgrows the broadcast threshold — a forced
+    broadcast hint here would OOM at 1e9 users."""
     e = T(spark, sf_dir, "events")
     # Stage outputs rename their user column so the repeated event-scan
     # joins stay unambiguous (e appears in every stage's lineage).
@@ -160,7 +162,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = (
         e.join(
-            F.broadcast(s),
+            s,
             (F.col("user_id") == F.col("s_user"))
             & (F.col("event_type") == "view")
             & (F.col("ts") > F.col("t_signup")),
@@ -171,7 +173,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         e.join(
-            F.broadcast(v),
+            v,
             (F.col("user_id") == F.col("v_user"))
             & (F.col("event_type") == "purchase")
             & (F.col("ts") > F.col("t_first_view")),

@@ -29,6 +29,7 @@ from ub_etl_spark.operators.curation import (
 from ub_etl_spark.operators.training import (
     dedup_normalized_exact,
     sql_hash_bucket,
+    sql_mix_bucket,
     train_val_test_split,
 )
 from ub_etl_spark.registry import register
@@ -97,7 +98,7 @@ from ub_etl_spark.sources.tables import load_table as T
     LEFT JOIN cont c ON c.doc_id = d.doc_id
     WHERE d.doc_id % 97 <> 0
       AND COALESCE(c.contamination, 0.0) <= 0.5
-      AND {sql_hash_bucket("(d.doc_id + 1000003*(CAST(substr(d.source, 4) AS INT)+1))", 100)}
+      AND {sql_mix_bucket("d.doc_id", "1000003*(CAST(substr(d.source, 4) AS INT)+1)", 100)}
           < 100 - CAST(substr(d.source, 4) AS INT) * 5
     """,
 )

@@ -98,8 +98,14 @@ class RestPaginatedReader(DataSourceReader):
         self.mode = options.get("mode", "pages")  # "pages" | "cursor"
         self.next_key = options.get("next_key", "next")
         # cursor mode: hard request cap so a server that always returns a
-        # `next` link can't loop the reader forever
-        self.max_pages = int(options.get("max_pages", self.pages or 10000))
+        # `next` link can't loop the reader forever.  The default must NOT
+        # fall back to `pages` (its default of 1 would silently stop after
+        # one request); cursor APIs advertise no page count, so the cap is
+        # the only bound.
+        if "max_pages" in options:
+            self.max_pages = int(options["max_pages"])
+        else:
+            self.max_pages = self.pages if self.mode == "pages" else 10000
 
     def partitions(self):
         if self.mode == "cursor":

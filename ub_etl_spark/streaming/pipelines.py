@@ -118,12 +118,13 @@ def upsert_stream_foreach_batch(
     from ub_etl_spark.operators.storage import merge_into_bucketed, write_bucketed
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ub_etl_spark.operators.storage import table_exists
+
         spark = batch_df.sparkSession
-        try:
-            spark.read.parquet(state_dir).schema  # existence probe
-            has_state = True
-        except Exception:  # first batch: no state yet
-            has_state = False
+        # real FS existence check: a transient read error on an existing
+        # state dir must fail the batch (checkpoint replays it), not be
+        # mistaken for "first batch" and overwrite the state
+        has_state = table_exists(spark, state_dir)
         if not has_state:
             first = upsert_latest_wins(
                 spark.createDataFrame([], batch_df.schema), batch_df, keys, order_by=order_by
@@ -193,12 +194,13 @@ def corpus_ingest_stream(
     deduped = gated.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["__nh"])
 
     def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ub_etl_spark.operators.storage import table_exists
+
         spark = batch_df.sparkSession
-        try:
-            spark.read.parquet(state_dir).schema  # existence probe
-            has_state = True
-        except Exception:  # first batch: no corpus yet
-            has_state = False
+        # FS existence check, not try/except-read: a transient read error
+        # on an existing corpus must fail the batch (replayed from the
+        # checkpoint), never trigger the mode('overwrite') first-load path
+        has_state = table_exists(spark, state_dir)
         batch = batch_df.dropDuplicates(["__nh"])
         if not has_state:
             write_bucketed(batch, state_dir, ["__nh"], n_buckets=n_buckets)
