@@ -103,6 +103,22 @@ def test_rest_source_cursor_chain_serial(spark, stub_url):
     assert {r.rec_id for r in rows} == set(range(N_PAGES * PAGE_SIZE))
 
 
+def test_rest_source_cursor_default_follows_whole_chain(spark, stub_url):
+    """Cursor mode with NO max_pages/pages options must follow the chain
+    to the end (default cap 10000), not inherit the page-mode default of
+    1 page — the silent-truncation regression guarded here."""
+    StubHandler.fail_first_hits = {}
+    spark.dataSource.register(RestPaginatedDataSource)
+    df = (
+        spark.read.format("rest_paginated")
+        .schema("rec_id long, name string")
+        .option("url", f"{stub_url}?page=1&page_size={PAGE_SIZE}")
+        .option("mode", "cursor")
+        .load()
+    )
+    assert {r.rec_id for r in df.collect()} == set(range(N_PAGES * PAGE_SIZE))
+
+
 def test_rest_source_cursor_chain_request_cap(spark, stub_url):
     """max_pages bounds a never-ending chain: exactly max_pages requests'
     worth of rows come back, no infinite loop."""
