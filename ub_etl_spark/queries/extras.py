@@ -381,3 +381,48 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = T(spark, sf_dir, "lineitem").select("l_returnflag")
     return salted_group_count(li, ["l_returnflag"], salt=8)
+
+
+# Schema-drift-tolerant JSON ingest (SURVEY §1.3: the reference tolerates
+# missing/odd fields with .get(); Spark-side that is PERMISSIVE parsing
+# with null-through).  A deterministic subset of props is corrupted by
+# truncation (both Jackson and DuckDB's json parser reject an unclosed
+# object), and the query must classify + extract without failing the
+# scan — from_json returns null on malformed input exactly where
+# DuckDB's json_valid says invalid, so validity and payload are
+# value-checked cross-engine.
+@register(
+    "json_schema_drift",
+    tier="Q",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN json_valid(c) THEN CAST(json_extract_string(c, '$.k') AS INT) END AS k,
+           json_valid(c) AS is_valid
+    FROM (
+      SELECT event_id,
+             CASE WHEN event_id % 37 = 0
+                  THEN substr(props, 1, CAST(length(props) AS INT) - 2)
+                  ELSE props END AS c
+      FROM events
+    )
+    """,
+)
+def json_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    corrupt = F.when(
+        F.col("event_id") % 37 == 0,
+        F.expr("substring(props, 1, length(props) - 2)"),
+    ).otherwise(F.col("props"))
+    # PERMISSIVE from_json yields a struct of nulls (not a null struct)
+    # on malformed input; the corrupt-record column is the reliable
+    # malformed-row classifier.
+    parsed = F.from_json(
+        corrupt,
+        "k INT, _corrupt_record STRING",
+        {"columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    return e.select(
+        "event_id",
+        parsed["k"].alias("k"),
+        parsed["_corrupt_record"].isNull().alias("is_valid"),
+    )

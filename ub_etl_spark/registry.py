@@ -105,6 +105,7 @@ DRIVER_PRIORITY = [
     "agg_approx_percentile",
     "pipeline_training_manifest",
     "join_interval_overlap",
+    "json_schema_drift",
 ]
 
 
