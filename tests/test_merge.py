@@ -69,3 +69,67 @@ def test_upsert_preserves_untouched_keys_at_scale(spark, sf_dir):
     merged = upsert_latest_wins(orders, updates, ["o_orderkey"])
     assert merged.count() == orders.count()
     assert merged.filter((F.col("o_orderkey") % 100 == 0) & (F.col("o_totalprice") != 0)).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 history (operators/merge.py scd2_history, SURVEY B33)
+# ---------------------------------------------------------------------------
+
+
+def make_changes(spark, rows):
+    return spark.createDataFrame(
+        [Row(key=k, seq=s, attr=a) for (k, s, a) in rows],
+        schema="key long, seq int, attr string",
+    )
+
+
+def scd2(df):
+    from ub_etl_spark.operators.merge import scd2_history
+
+    return scd2_history(
+        df, keys=["key"], tracked=["attr"], order_by=["seq"], valid_from_col="seq"
+    )
+
+
+def test_scd2_compresses_runs_and_stitches_intervals(spark):
+    # key 1: A A B A -> runs (A,1..3) (B,3..4) (A,4..inf); key 2: single row
+    df = make_changes(
+        spark, [(1, 1, "A"), (1, 2, "A"), (1, 3, "B"), (1, 4, "A"), (2, 1, "X")]
+    )
+    out = {tuple(r) for r in scd2(df).collect()}
+    assert out == {
+        (1, "A", 1, 3, False),
+        (1, "B", 3, 4, False),
+        (1, "A", 4, None, True),
+        (2, "X", 1, None, True),
+    }
+
+
+def test_scd2_one_current_row_per_key_and_contiguous(spark):
+    df = make_changes(
+        spark,
+        [(k, s, ["A", "B", "B", "C", "A"][s - 1]) for k in (1, 2, 3) for s in range(1, 6)],
+    )
+    hist = scd2(df).collect()
+    by_key: dict = {}
+    for r in hist:
+        by_key.setdefault(r["key"], []).append(r)
+    for k, rows in by_key.items():
+        rows.sort(key=lambda r: r["valid_from"])
+        assert sum(r["is_current"] for r in rows) == 1
+        assert rows[-1]["valid_to"] is None
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"]  # half-open intervals abut
+
+
+def test_scd2_null_tracked_values_are_null_safe(spark):
+    # NULL -> NULL is NOT a change; NULL -> A and A -> NULL are.
+    df = make_changes(
+        spark, [(1, 1, None), (1, 2, None), (1, 3, "A"), (1, 4, None)]
+    )
+    out = {tuple(r) for r in scd2(df).collect()}
+    assert out == {
+        (1, None, 1, 3, False),
+        (1, "A", 3, 4, False),
+        (1, None, 4, None, True),
+    }

@@ -26,6 +26,45 @@ _VERSION_COL = "__version"
 _RN_COL = "__rn"
 
 
+def scd2_history(
+    df: DataFrame,
+    keys: Sequence[str],
+    tracked: Sequence[str],
+    order_by: Sequence[str],
+    valid_from_col: str,
+) -> DataFrame:
+    """Compress an ordered change stream into SCD Type-2 dimension history.
+
+    The reference's upsert (scripts/user_course_activity.py:81-102) keeps
+    only the latest row per key; Type 2 is the audit-history variant every
+    production dimension eventually needs: one row per *distinct run* of
+    the tracked attributes, with [valid_from, valid_to) intervals and an
+    is_current flag.
+
+    Two windows, both partitioned on ``keys`` — a single hash shuffle on
+    the dimension key, and the change-compression filter shrinks the data
+    before the second (interval-stitching) window, so the expensive sort
+    runs once over the full stream and once over the much smaller change
+    set.  No global window, so this scales with key cardinality at 100 TB.
+
+    Change detection is null-safe on the whole tracked-attribute struct:
+    a run boundary is any row whose tracked values differ (NULL-aware)
+    from the previous row's in the per-key ``order_by`` order.
+    """
+    w = W.partitionBy(*keys).orderBy(*order_by)
+    cur = F.struct(*[F.col(c) for c in tracked])
+    changed = ~cur.eqNullSafe(F.lag(cur).over(w))  # lag NULL (first row) -> True
+    change_rows = df.withColumn("__chg", changed).filter(F.col("__chg")).drop("__chg")
+    valid_to = F.lead(valid_from_col).over(w)
+    return change_rows.select(
+        *keys,
+        *tracked,
+        F.col(valid_from_col).alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
 def insert_if_absent(existing: DataFrame, incoming: DataFrame, keys: Sequence[str]) -> DataFrame:
     """Idempotent append: keep existing rows, add only unseen keys.
 

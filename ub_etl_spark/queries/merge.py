@@ -40,3 +40,46 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("gen", F.lit(2))
     )
     return M.upsert_latest_wins(existing, updates, keys=["o_orderkey"], order_by=["gen"])
+
+
+# SCD Type-2 dimension history (SURVEY.md B33): the audit-history
+# extension of the reference's latest-wins upsert — each customer's
+# order-priority timeline compressed to distinct runs with
+# [valid_from, valid_to) intervals and an is_current flag.
+@register(
+    "dim_scd2_history",
+    tier="B",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+             LAG(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev
+      FROM orders
+    ), changes AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority
+      FROM ranked WHERE prev IS NULL OR prev <> o_orderpriority
+    )
+    SELECT o_custkey,
+           o_orderpriority,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS valid_to,
+           LEAD(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) IS NULL AS is_current
+    FROM changes
+    """,
+)
+def dim_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    return M.scd2_history(
+        o,
+        keys=["o_custkey"],
+        tracked=["o_orderpriority"],
+        order_by=["o_orderdate", "o_orderkey"],
+        valid_from_col="o_orderdate",
+    )

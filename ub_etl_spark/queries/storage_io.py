@@ -256,3 +256,42 @@ def io_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.decode(F.col("content"), "UTF-8").alias("body"),
         )
     )
+
+
+# Schema-evolution ingest (SURVEY.md B34): two parquet batches written at
+# different schema versions (v2 adds c_acctbal) read back as ONE table via
+# footer-union (mergeSchema), absent columns null-filled — the reference's
+# "new API field appears mid-history" case (.get() tolerance, SURVEY §1.3)
+# at the storage layer.  Scale note: mergeSchema runs a distributed footer
+# merge job over file metadata only (no data read) at plan time; at 100 TB
+# / many-file tables you pin the evolved schema in a catalog (or a Delta /
+# Iceberg table, operators/storage.py) instead of re-deriving it per scan —
+# the null-fill read semantics stay identical, which is what this query
+# value-checks.
+@register(
+    "io_schema_evolution",
+    tier="B",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 2 = 1 THEN c_acctbal END AS c_acctbal
+    FROM customer
+    """,
+)
+def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EAGER side effects (two parquet writes to a wiped fixed temp path),
+    like storage_bucketed_merge: this is a storage-path test, not a lazy
+    plan."""
+    c = T(spark, sf_dir, "customer")
+    root = os.path.join(tempfile.gettempdir(), "ub_etl_spark_schema_evo")
+    shutil.rmtree(root, ignore_errors=True)
+    c.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_name").write.parquet(
+        os.path.join(root, "v1")
+    )
+    c.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_name", "c_acctbal"
+    ).write.parquet(os.path.join(root, "v2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(root, "v1"), os.path.join(root, "v2"))
+        .select("c_custkey", "c_name", "c_acctbal")
+    )

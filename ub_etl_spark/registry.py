@@ -106,6 +106,8 @@ DRIVER_PRIORITY = [
     "pipeline_training_manifest",
     "join_interval_overlap",
     "json_schema_drift",
+    "dim_scd2_history",
+    "io_schema_evolution",
 ]
 
 
