@@ -74,6 +74,13 @@ EXPECT = {
     # capstone composition: dims broadcast, no nested-loop anywhere
     "pipeline_training_manifest": ["BroadcastHashJoin", "HashAggregate", "Generate"],
     "join_interval_overlap": ["Generate", "HashAggregate"],
+    # SCD2: both windows share one hash exchange on the dim key (the
+    # second Window must NOT introduce another Exchange/Sort)
+    "dim_scd2_history": ["Window", "Exchange hashpartitioning(o_custkey"],
+    # drift ingest: single parse (two-step projection), pruned 2-col scan
+    "json_schema_drift": ["from_json", "ReadSchema: struct<event_id:bigint,props:string>"],
+    # merged-footer read: evolved column present in the unified ReadSchema
+    "io_schema_evolution": ["c_acctbal"],
 }
 
 # Kept by hand; prepended to the generated PLANS.md on every regeneration.

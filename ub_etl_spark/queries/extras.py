@@ -415,14 +415,19 @@ def json_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.col("props"))
     # PERMISSIVE from_json yields a struct of nulls (not a null struct)
     # on malformed input; the corrupt-record column is the reliable
-    # malformed-row classifier.
+    # malformed-row classifier.  Parse into a named struct first, THEN
+    # project fields: referencing from_json(...)['field'] twice in one
+    # projection plans two parses per row (JsonToStructs is
+    # CodegenFallback, so no codegen subexpression elimination saves it),
+    # while the two-step form keeps a single parse — CollapseProject
+    # declines to duplicate the non-cheap expression.
     parsed = F.from_json(
         corrupt,
         "k INT, _corrupt_record STRING",
         {"columnNameOfCorruptRecord": "_corrupt_record"},
     )
-    return e.select(
+    return e.select("event_id", parsed.alias("p")).select(
         "event_id",
-        parsed["k"].alias("k"),
-        parsed["_corrupt_record"].isNull().alias("is_valid"),
+        F.col("p")["k"].alias("k"),
+        F.col("p")["_corrupt_record"].isNull().alias("is_valid"),
     )
