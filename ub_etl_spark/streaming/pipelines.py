@@ -52,6 +52,45 @@ def windowed_event_counts(
     )
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "left_ts",
+    right_ts: str = "right_ts",
+    max_lag: str = "2 hours",
+    watermark: str = "1 hour",
+    right_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Stream-stream inner join on ``key`` within a time range: a right
+    row matches a left row when right_ts in [left_ts, left_ts + max_lag].
+
+    Both sides carry watermarks and the join condition bounds right_ts
+    against left_ts, so the state store can evict: a buffered left row is
+    droppable once the right watermark passes left_ts + max_lag, and vice
+    versa — without the time bound the join state would grow forever.
+    Works identically in batch mode (same Catalyst operator), which is
+    what the oracle-checked twin `stream_interval_join` value-checks.
+    """
+    # plan-level aliases: both sides may derive from the same source
+    # (self-join twin), where bare df[col] references are ambiguous
+    lhs = left.withWatermark(left_ts, watermark).alias("__ij_l")
+    rhs = right.withWatermark(right_ts, watermark).alias("__ij_r")
+    lcol = lambda c: F.col(f"__ij_l.{c}")  # noqa: E731
+    rcol = lambda c: F.col(f"__ij_r.{c}")  # noqa: E731
+    cond = (
+        (lcol(key) == rcol(key))
+        & (rcol(right_ts) >= lcol(left_ts))
+        & (rcol(right_ts) <= lcol(left_ts) + F.expr(f"INTERVAL {max_lag}"))
+    )
+    return lhs.join(rhs, cond, "inner").select(
+        lcol(key).alias(key),
+        lcol(left_ts).alias(left_ts),
+        rcol(right_ts).alias(right_ts),
+        *[rcol(c).alias(c) for c in right_cols],
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     keys: Sequence[str],
