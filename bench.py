@@ -6,10 +6,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Execution is forced with the noop sink (full plan runs, no driver-side
 row transfer), which is the honest distributed-execution cost.
 
-Each query runs twice and the min is reported: the first run of a distinct
-plan pays whole-stage-codegen javac compilation (~0.5-1.5 s), a one-time
-JVM cost that amortizes to zero on a long-lived cluster and would otherwise
-swamp the actual execution time at bench scale.  The reported number is the
+Each query runs in two interleaved passes (plus a targeted third sample
+for queries whose first two samples disagree >1.5x — VM-noise evidence)
+and the min is reported: the first run of a distinct plan pays whole-stage
+-codegen javac compilation (~0.5-1.5 s), a one-time JVM cost that
+amortizes to zero on a long-lived cluster and would otherwise swamp the
+actual execution time at bench scale.  The reported number is the
 steady-state plan cost — the thing that scales with data volume.
 """
 
@@ -121,13 +123,12 @@ def main() -> None:
     # consecutive jobs) can't inflate both samples of the same query —
     # back-to-back reps can.  First pass additionally absorbs each plan's
     # one-time codegen/javac cost (see module docstring).
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
     oracle_s: dict[str, float] = {}
     ratio: dict[str, float | None] = {}
     for _pass in range(2):
         for name in HEADLINE:
-            s = run_once(spark, registry[name], sf_dir)
-            timings[name] = round(min(timings.get(name, s), s), 4)
+            samples[name].append(run_once(spark, registry[name], sf_dir))
             sql = registry[name].oracle
             if sql is not None:
                 o = oracle_steady(con, sql, reps=1)
@@ -137,6 +138,15 @@ def main() -> None:
         # (each pass still exercises its own persist+reuse, which is what
         # a fresh production run would do)
         spark.catalog.clearCache()
+    # Targeted third pass: two samples disagreeing by >1.5x is noise
+    # evidence (a quiet run and a run hit by a VM noise window), so only
+    # those queries get re-measured — a sustained window spanning both
+    # passes of the whole list would otherwise survive the per-query min.
+    noisy = [n for n in HEADLINE if max(samples[n]) > 1.5 * min(samples[n]) + 0.05]
+    for name in noisy:
+        samples[name].append(run_once(spark, registry[name], sf_dir))
+    spark.catalog.clearCache()
+    timings = {n: round(min(s), 4) for n, s in samples.items()}
     for name in HEADLINE:
         if name in oracle_s:
             ratio[name] = round(timings[name] / max(oracle_s[name], 1e-9), 2)

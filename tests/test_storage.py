@@ -129,3 +129,80 @@ def test_lexicographic_newer_agrees_with_window_ordering(spark):
     for i, (ua, ub) in enumerate(rows):
         for j, (ta, tb) in enumerate(rows):
             assert got[(i, j)] == ((ua, ub) > (ta, tb)), (i, j)
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering + small-file compaction (SURVEY.md B36/B37)
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_files_cover_disjoint_key_ranges(spark, table_dir, sf_dir):
+    """The clustering property itself: after write_zordered, each file owns
+    a contiguous, non-overlapping slice of the z-key space (that is what
+    makes parquet min/max stats prune on either clustered column)."""
+    from ub_etl_spark.operators.storage import write_zordered
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    write_zordered(li, table_dir, cols=["l_orderkey", "l_partkey"], n_files=4)
+    per_file = (
+        spark.read.parquet(table_dir)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("__zorder").alias("lo"), F.max("__zorder").alias("hi"))
+        .collect()
+    )
+    assert len(per_file) == 4
+    ranges = sorted((r.lo, r.hi) for r in per_file)
+    for (_, prev_hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert lo >= prev_hi  # contiguous ranges; boundary value may repeat
+
+
+def test_zorder_key_locality_beats_single_sort(spark, sf_dir):
+    """Filtering on the SECOND clustered column must touch a bounded span
+    of z-space: with a plain (l_orderkey) sort every file would match an
+    l_partkey slice; under z-order the slice concentrates."""
+    from pyspark.sql.window import Window
+
+    from ub_etl_spark.operators.storage import zorder_key
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    z = zorder_key(li, ["l_orderkey", "l_partkey"], bits=8)
+    stats = (
+        z.withColumn("zq", F.ntile(4).over(Window.orderBy("__zorder")))
+        .filter(F.col("l_partkey") < F.lit(100))
+        .groupBy("zq")
+        .count()
+        .collect()
+    )
+    counts = {r.zq: r["count"] for r in stats}
+    # the low-partkey band cannot be spread uniformly over all 4 z-quartiles
+    assert max(counts.values()) > 2 * min(counts.values() or [1])
+
+
+def test_compact_collapses_file_count_and_preserves_rows(spark, table_dir, sf_dir):
+    from ub_etl_spark.operators.storage import compact_table, parquet_file_count
+
+    e = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    e.repartition(32).write.mode("overwrite").parquet(table_dir)
+    assert parquet_file_count(spark, table_dir) == 32
+    before = e.count()
+    n = compact_table(
+        spark, table_dir, target_file_bytes=64 * 1024 * 1024, sort_by=("o_orderkey",)
+    )
+    assert parquet_file_count(spark, table_dir) == n < 32
+    back = spark.read.parquet(table_dir)
+    assert back.count() == before
+    # clustering established: per-file o_orderkey ranges are disjoint
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi"))
+        .collect()
+    )
+    ranges = sorted((r.lo, r.hi) for r in per_file)
+    for (_, prev_hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert lo >= prev_hi

@@ -81,6 +81,12 @@ EXPECT = {
     "json_schema_drift": ["from_json", "ReadSchema: struct<event_id:bigint,props:string>"],
     # merged-footer read: evolved column present in the unified ReadSchema
     "io_schema_evolution": ["c_acctbal"],
+    # interval join: equi-key carries the join, range bound rides as the
+    # join condition (never a nested loop); event_type filters pushed
+    "stream_interval_join": ["Join condition: ((right_ts", "PushedFilters: [IsNotNull(event_type)"],
+    # layout maintenance: clustered/compacted read-backs stay codegen scans
+    "storage_zorder_cluster": ["codegen id :"],
+    "storage_compact_small_files": ["codegen id :"],
 }
 
 # Kept by hand; prepended to the generated PLANS.md on every regeneration.

@@ -160,6 +160,134 @@ def insert_ignore_into_bucketed(
     new.write.partitionBy(BUCKET_COL).mode("append").parquet(path)
 
 
+def zorder_key(
+    df: DataFrame, cols: Sequence[str], bits: int = 8
+) -> DataFrame:
+    """Add a Morton (Z-order) interleave column ``__zorder`` over ``cols``.
+
+    Each column is min/max-scaled to a ``bits``-bit integer (bounds come
+    from one tiny agg broadcast back onto the scan — never a collect of
+    data), then the per-column bit strings are interleaved so that rows
+    close in EVERY dimension get close z-values.  Writing the table
+    range-partitioned + sorted by this key is the plain-parquet analogue
+    of Delta's OPTIMIZE ZORDER BY: each output file covers a narrow
+    hyper-rectangle of the key space, so parquet min/max row-group stats
+    prune scans filtering on ANY of the clustered columns, not just the
+    first sort column.
+
+    The interleave is a pure codegen expression (shifts/ors), identically
+    expressible in ANSI SQL — which is how the registered query
+    value-checks it against DuckDB bit-for-bit.
+    """
+    bounds = df.agg(
+        *[F.min(c).alias(f"__min_{c}") for c in cols],
+        *[F.max(c).alias(f"__max_{c}") for c in cols],
+    )
+    out = df.crossJoin(F.broadcast(bounds))
+    scaled = []
+    for c in cols:
+        lo, hi = F.col(f"__min_{c}"), F.col(f"__max_{c}")
+        # scale to [0, 2^bits - 1]; constant column (hi == lo) maps to 0
+        span = (hi - lo).cast("double")
+        q = F.when(
+            span > 0,
+            F.floor((F.col(c) - lo).cast("double") / span * ((1 << bits) - 1)),
+        ).otherwise(F.lit(0)).cast("long")
+        scaled.append(q)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, q in enumerate(scaled):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(q, i).bitwiseAND(F.lit(1)),
+                    i * len(cols) + j,
+                )
+            )
+    return out.withColumn("__zorder", z).drop(
+        *[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols]
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int = 8,
+    bits: int = 8,
+) -> None:
+    """Cluster ``df`` on the Z-order of ``cols`` into ``n_files`` files:
+    range-partition on the z-key (contiguous key ranges per file — a hash
+    partition would scatter them) and sort within each partition so row
+    groups inside a file are tight too.  At 100 TB, n_files is sized from
+    table bytes / target file size (see compact_table), and the range
+    exchange's sampled bounds keep partitions balanced even when the
+    z-space is skewed."""
+    (
+        zorder_key(df, cols, bits=bits)
+        .repartitionByRange(n_files, "__zorder")
+        .sortWithinPartitions("__zorder")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def table_bytes(spark: SparkSession, path: str) -> int:
+    """Total on-disk bytes under ``path`` via the Hadoop FS content summary
+    (metadata-only, works for any scheme; no file listing shipped to
+    Python)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return int(fs.getContentSummary(hpath).getLength())
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: Sequence[str] = (),
+) -> int:
+    """Small-file compaction: rewrite the parquet table at ``path`` into
+    ``ceil(bytes / target_file_bytes)`` files and return that file count.
+
+    Small files are the classic large-table failure mode — per-file open
+    cost and footer reads dominate the scan, and the driver's file index
+    bloats.  The rewrite sizes output files from the table's actual bytes
+    (FS metadata, not a data pass).  With ``sort_by`` the rewrite
+    range-partitions on those columns (preserving/establishing clustering
+    so min/max pruning works after compaction); without it a plain
+    round-robin repartition spreads bytes evenly.
+
+    Production notes baked into the shape: the rewrite streams through the
+    executors (never the driver), and on a transactional format the same
+    two plans are exactly Delta/Iceberg OPTIMIZE / rewrite_data_files —
+    this is the plain-parquet stand-in with a non-atomic swap (write to
+    temp dir + rename would make it atomic per-directory; Delta's commit
+    makes it transactional — have_delta() gates that upgrade elsewhere)."""
+    n_files = max(1, -(-table_bytes(spark, path) // target_file_bytes))
+    df = spark.read.parquet(path)
+    if sort_by:
+        out = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        out = df.repartition(n_files)
+    tmp = path.rstrip("/") + "__compacting"
+    out.write.mode("overwrite").parquet(tmp)
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jvm.org.apache.hadoop.fs.Path(path))
+    return n_files
+
+
+def parquet_file_count(spark: SparkSession, path: str) -> int:
+    """Number of data files the scan of ``path`` would touch (from the
+    file index, metadata only)."""
+    files = spark.read.parquet(path).inputFiles()
+    return len([f for f in files if f.endswith(".parquet")])
+
+
 def merge_into_bucketed(
     spark: SparkSession,
     path: str,

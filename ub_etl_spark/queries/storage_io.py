@@ -22,7 +22,13 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ub_etl_spark.operators.storage import merge_into_bucketed, read_table, write_bucketed
+from ub_etl_spark.operators.storage import (
+    compact_table,
+    merge_into_bucketed,
+    read_table,
+    write_bucketed,
+    write_zordered,
+)
 from ub_etl_spark.registry import register
 from ub_etl_spark.sources.tables import load_table as T
 
@@ -256,6 +262,76 @@ def io_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.decode(F.col("content"), "UTF-8").alias("body"),
         )
     )
+
+
+def _zorder_oracle(bits: int = 8) -> str:
+    """DuckDB twin of operators/storage.zorder_key for two int columns:
+    identical min/max scaling (same double association order, so the
+    floor() result is bit-exact) and the same explicit interleave."""
+    top = (1 << bits) - 1
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((q0 >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((q1 >> {i}) & 1) << {2 * i + 1})")
+    interleave = " | ".join(terms)
+    return f"""
+    WITH b AS (
+      SELECT MIN(l_orderkey) AS mn0, MAX(l_orderkey) AS mx0,
+             MIN(l_partkey)  AS mn1, MAX(l_partkey)  AS mx1
+      FROM lineitem
+    ), s AS (
+      SELECT l_orderkey, l_partkey,
+             CAST(FLOOR(CAST(l_orderkey - mn0 AS DOUBLE)
+                        / CAST(mx0 - mn0 AS DOUBLE) * {top}) AS BIGINT) AS q0,
+             CAST(FLOOR(CAST(l_partkey - mn1 AS DOUBLE)
+                        / CAST(mx1 - mn1 AS DOUBLE) * {top}) AS BIGINT) AS q1
+      FROM lineitem, b
+    )
+    SELECT l_orderkey, l_partkey, {interleave} AS zorder_key FROM s
+    """
+
+
+# Z-order clustered write (SURVEY.md B36): the plain-parquet analogue of
+# Delta's OPTIMIZE ZORDER BY — Morton-interleave the clustering columns,
+# range-partition + sort on the z-key, write.  Rows near each other in
+# EITHER dimension land in the same few files, so parquet min/max stats
+# prune scans filtering on ANY clustered column (a plain sort only serves
+# its leading column).  The z-computation is value-checked bit-for-bit
+# against the DuckDB twin; the file-level clustering property (per-file
+# z-ranges non-overlapping) is pinned in tests/test_storage.py.
+@register("storage_zorder_cluster", tier="B", oracle=_zorder_oracle())
+def storage_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EAGER side effects (clustered write to a wiped fixed temp path):
+    a storage-layout test, not a lazy plan."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    path = os.path.join(tempfile.gettempdir(), "ub_etl_spark_zorder")
+    shutil.rmtree(path, ignore_errors=True)
+    write_zordered(li, path, cols=["l_orderkey", "l_partkey"], n_files=8, bits=8)
+    return spark.read.parquet(path).select(
+        "l_orderkey", "l_partkey", F.col("__zorder").alias("zorder_key")
+    )
+
+
+# Small-file compaction (SURVEY.md B37): a deliberately fragmented table
+# (48 files) is rewritten into ceil(bytes/target) range-clustered files —
+# Delta/Iceberg OPTIMIZE / rewrite_data_files re-expressed over plain
+# parquet.  Data identity under the driver hash proves the rewrite is
+# lossless; the file-count collapse and clustering are pinned in
+# tests/test_storage.py.
+@register(
+    "storage_compact_small_files",
+    tier="B",
+    oracle="SELECT event_id, user_id, value, event_type FROM events",
+)
+def storage_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EAGER side effects (fragmented write, then an in-place compaction
+    rewrite at a wiped fixed temp path)."""
+    e = T(spark, sf_dir, "events").select("event_id", "user_id", "value", "event_type")
+    path = os.path.join(tempfile.gettempdir(), "ub_etl_spark_compact")
+    shutil.rmtree(path, ignore_errors=True)
+    e.repartition(48).write.parquet(path)
+    compact_table(spark, path, target_file_bytes=32 * 1024 * 1024, sort_by=("event_id",))
+    return spark.read.parquet(path)
 
 
 # Schema-evolution ingest (SURVEY.md B34): two parquet batches written at
