@@ -312,6 +312,69 @@ def test_interval_join_stream_matches_within_lag(spark, tmpdir):
     assert got == {(1, 10.0), (2, 20.0)}
 
 
+def test_interval_join_stream_outer_emits_unmatched_on_eviction(spark, tmpdir):
+    """Left-outer variant: a signup with no purchase in its window is
+    emitted null-padded — but only once the watermark proves no match can
+    still arrive, so the fixture carries a far-future sentinel purchase
+    that advances the watermark past every real signup's eviction bound
+    (the subsequent no-data micro-batch then flushes the outer rows)."""
+    from ub_etl_spark.streaming.pipelines import interval_join_stream
+
+    lsrc, rsrc = f"{tmpdir}/l", f"{tmpdir}/r"
+    lschema = "user_id long, left_ts timestamp"
+    rschema = "user_id long, right_ts timestamp, purchase_value double"
+    far = T0 + timedelta(days=10)
+    # u1 matches; u2 has no purchase in-window.  The +10d sentinels on
+    # BOTH sides advance the global watermark (it is the min across the
+    # watermarked streams) past u2's eviction bound at T0+2h.
+    spark.createDataFrame(
+        [(1, T0), (2, T0), (98, far)], lschema
+    ).coalesce(1).write.mode("append").parquet(lsrc)
+    spark.createDataFrame(
+        [
+            (1, T0 + timedelta(minutes=30), 10.0),
+            (99, far, 0.0),
+        ],
+        rschema,
+    ).coalesce(1).write.mode("append").parquet(rsrc)
+
+    joined = interval_join_stream(
+        spark.readStream.schema(lschema).parquet(lsrc),
+        spark.readStream.schema(rschema).parquet(rsrc),
+        key="user_id",
+        left_ts="left_ts",
+        right_ts="right_ts",
+        max_lag="2 hours",
+        watermark="1 hour",
+        right_cols=["purchase_value"],
+        how="left_outer",
+    )
+
+    # one availableNow run is enough: after the data batch commits the
+    # advanced watermark, the trailing no-data micro-batch evicts u2's
+    # state and emits it null-padded before the query terminates
+    run_to_memory(joined, "ijo")
+    got = {
+        (r.user_id, r.purchase_value)
+        for r in spark.sql("SELECT * FROM ijo").collect()
+    }
+    assert (1, 10.0) in got
+    assert (2, None) in got
+
+
+def test_interval_join_rejects_unsupported_type(spark):
+    import pytest as _pytest
+
+    from ub_etl_spark.streaming.pipelines import interval_join_stream
+
+    df = spark.range(1).select(
+        F.col("id").alias("user_id"),
+        F.current_timestamp().alias("left_ts"),
+    )
+    with _pytest.raises(ValueError, match="unsupported interval-join"):
+        interval_join_stream(df, df, how="full_outer")
+
+
 def test_interval_join_stream_agrees_with_batch_twin(spark, sf_dir):
     """The streaming join operator and the registered batch twin produce
     the same matches over the same (static) inputs."""

@@ -241,3 +241,47 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_lag="2 hours",
         right_cols=["purchase_value"],
     )
+
+
+# B35 outer variant: signups with NO purchase inside the window survive
+# null-padded — in streaming mode Spark holds those rows back until the
+# watermark proves no match can arrive, then emits them on eviction; the
+# batch twin value-checks the join semantics that state machinery must
+# reproduce.
+@register(
+    "stream_interval_join_outer",
+    tier="B",
+    oracle="""
+    SELECT s.user_id,
+           s.ts AS left_ts,
+           p.ts AS right_ts,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON s.user_id = p.user_id
+     AND p.ts >= s.ts
+     AND p.ts <= s.ts + INTERVAL '2 hours'
+    """,
+)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ub_etl_spark.streaming.pipelines import interval_join_stream
+
+    e = T(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("left_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("right_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return interval_join_stream(
+        signups,
+        purchases,
+        key="user_id",
+        left_ts="left_ts",
+        right_ts="right_ts",
+        max_lag="2 hours",
+        right_cols=["purchase_value"],
+        how="left_outer",
+    )

@@ -61,17 +61,26 @@ def interval_join_stream(
     max_lag: str = "2 hours",
     watermark: str = "1 hour",
     right_cols: Sequence[str] = (),
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join on ``key`` within a time range: a right
-    row matches a left row when right_ts in [left_ts, left_ts + max_lag].
+    """Stream-stream join on ``key`` within a time range: a right row
+    matches a left row when right_ts in [left_ts, left_ts + max_lag].
 
     Both sides carry watermarks and the join condition bounds right_ts
     against left_ts, so the state store can evict: a buffered left row is
     droppable once the right watermark passes left_ts + max_lag, and vice
     versa — without the time bound the join state would grow forever.
-    Works identically in batch mode (same Catalyst operator), which is
-    what the oracle-checked twin `stream_interval_join` value-checks.
+    ``how="left_outer"`` additionally emits a null-padded row for a left
+    row once the watermark proves no match can still arrive (Spark defers
+    outer results exactly until state eviction — correctness depends on
+    the same time bound).  Works identically in batch mode (same Catalyst
+    operator), which is what the oracle-checked twins
+    `stream_interval_join` / `stream_interval_join_outer` value-check.
     """
+    if how not in ("inner", "left_outer", "leftOuter"):
+        # right/full outer would need the mirrored bound on left_ts to
+        # evict right-side state; not needed by any caller yet
+        raise ValueError(f"unsupported interval-join type: {how!r}")
     # plan-level aliases: both sides may derive from the same source
     # (self-join twin), where bare df[col] references are ambiguous
     lhs = left.withWatermark(left_ts, watermark).alias("__ij_l")
@@ -83,7 +92,7 @@ def interval_join_stream(
         & (rcol(right_ts) >= lcol(left_ts))
         & (rcol(right_ts) <= lcol(left_ts) + F.expr(f"INTERVAL {max_lag}"))
     )
-    return lhs.join(rhs, cond, "inner").select(
+    return lhs.join(rhs, cond, how).select(
         lcol(key).alias(key),
         lcol(left_ts).alias(left_ts),
         rcol(right_ts).alias(right_ts),
