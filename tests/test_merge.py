@@ -133,3 +133,42 @@ def test_scd2_null_tracked_values_are_null_safe(spark):
         (1, "A", 3, 4, False),
         (1, None, 4, None, True),
     }
+
+
+# ---------------------------------------------------------------------------
+# table_diff (SURVEY.md B39)
+# ---------------------------------------------------------------------------
+
+
+def test_table_diff_classifies_all_transitions(spark):
+    from ub_etl_spark.operators.merge import table_diff
+
+    left = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (4, 40.0), (5, 50.0)],
+        "k long, v double",
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0), (2, 21.0), (3, 30.0), (4, None), (6, 60.0)],
+        "k long, v double",
+    )
+    rows = {
+        r.k: r.status
+        for r in table_diff(left, right, keys=["k"], compare_cols=["v"]).collect()
+    }
+    assert rows == {
+        1: "same",
+        2: "changed",
+        3: "changed",  # NULL -> value is a change (null-safe compare)
+        4: "changed",  # value -> NULL too
+        5: "removed",
+        6: "added",
+    }
+
+
+def test_table_diff_null_equals_null_is_same(spark):
+    from ub_etl_spark.operators.merge import table_diff
+
+    left = spark.createDataFrame([(1, None)], "k long, v double")
+    right = spark.createDataFrame([(1, None)], "k long, v double")
+    [r] = table_diff(left, right, keys=["k"], compare_cols=["v"]).collect()
+    assert r.status == "same"

@@ -94,3 +94,39 @@ def test_quantize_unit_norm_and_bounds(spark, sf_dir):
         # floor() rounds toward -inf: each component may gain up to 1/127
         # magnitude, so the norm may inflate to at most 1 + sqrt(64)/127
         assert 0.8 <= n <= 1.07, n
+
+
+# ---------------------------------------------------------------------------
+# timeseries_gapfill (SURVEY.md B38)
+# ---------------------------------------------------------------------------
+
+
+def test_gapfill_fills_interior_gaps_only(spark, monkeypatch, tmp_path):
+    """3-day gap between two observations: interior days are flagged and
+    carry the last observed value; the series starts/ends on observed
+    days (no extrapolation beyond the key's own span)."""
+    from datetime import datetime
+
+    import ub_etl_spark.queries.timeseries as ts
+
+    events = spark.createDataFrame(
+        [
+            (7, datetime(2024, 1, 1, 5), 2.0),
+            (7, datetime(2024, 1, 1, 9), 3.0),  # same day: sums to 5.0
+            (7, datetime(2024, 1, 4, 1), 9.0),
+            (8, datetime(2024, 2, 1, 0), 1.0),  # single-day key: no gaps
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    monkeypatch.setattr(ts, "T", lambda spark, sf, name: events)
+    out = sorted(
+        (r.user_id, str(r.d), r.filled_value, r.is_gap)
+        for r in ts.timeseries_gapfill(spark, "ignored").collect()
+    )
+    assert out == [
+        (7, "2024-01-01", 5.0, False),
+        (7, "2024-01-02", 5.0, True),
+        (7, "2024-01-03", 5.0, True),
+        (7, "2024-01-04", 9.0, False),
+        (8, "2024-02-01", 1.0, False),
+    ]

@@ -87,6 +87,10 @@ EXPECT = {
     # layout maintenance: clustered/compacted read-backs stay codegen scans
     "storage_zorder_cluster": ["codegen id :"],
     "storage_compact_small_files": ["codegen id :"],
+    # reconcile diff: one full-outer equi-join, no nested loop
+    "table_diff_reconcile": ["FullOuter"],
+    # gapfill: distributed grid explode + keyed fill window
+    "timeseries_gapfill": ["Generate", "Window"],
 }
 
 # Kept by hand; prepended to the generated PLANS.md on every regeneration.

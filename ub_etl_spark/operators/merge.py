@@ -112,3 +112,51 @@ def upsert_latest_wins(
         .filter(F.col(_RN_COL) == 1)
         .drop(_RN_COL, _VERSION_COL)
     )
+
+
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Reconciliation diff of two keyed snapshots: one row per key that is
+    ``added`` (only in right), ``removed`` (only in left), ``changed``
+    (present in both, any compare_col differs null-safely) or ``same``.
+
+    The plan is a single full-outer equi-join on the keys (one shuffle on
+    each side, co-partitioned) and a codegen CASE — at 100 TB both sides
+    hash-partition on the same keys, so the join never widens beyond its
+    inputs and the diff streams.  Comparison uses <=> (null-safe) per
+    column, so a NULL -> value transition counts as a change, and NULL =
+    NULL does not.  Output carries every key (coalesced) plus old_/new_
+    versions of the compared columns; callers filter status != 'same' for
+    the usual reconcile report (migration validation: "a user of the
+    reference could switch and verify row-for-row").
+    """
+    l = left.alias("__diff_l")
+    r = right.alias("__diff_r")
+    lc = lambda c: F.col(f"__diff_l.{c}")  # noqa: E731
+    rc = lambda c: F.col(f"__diff_r.{c}")  # noqa: E731
+    cond = None
+    for k in keys:
+        c = lc(k) == rc(k)
+        cond = c if cond is None else cond & c
+    in_left = lc(keys[0]).isNotNull()
+    in_right = rc(keys[0]).isNotNull()
+    changed = None
+    for c in compare_cols:
+        d = ~lc(c).eqNullSafe(rc(c))
+        changed = d if changed is None else changed | d
+    status = (
+        F.when(~in_left, F.lit("added"))
+        .when(~in_right, F.lit("removed"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return l.join(r, cond, "full_outer").select(
+        *[F.coalesce(lc(k), rc(k)).alias(k) for k in keys],
+        status.alias("status"),
+        *[lc(c).alias(f"old_{c}") for c in compare_cols],
+        *[rc(c).alias(f"new_{c}") for c in compare_cols],
+    )

@@ -83,3 +83,62 @@ def dim_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=["o_orderdate", "o_orderkey"],
         valid_from_col="o_orderdate",
     )
+
+
+# B39: snapshot reconciliation diff (operators/merge.table_diff).  The
+# "incoming" snapshot is derived deterministically from orders itself —
+# keys %13==0 dropped, %7==0 repriced, %11==3 re-keyed into a disjoint id
+# space (appearing as adds) — so the full added/removed/changed/same
+# classification is value-checked against a DuckDB FULL JOIN that makes
+# the same edits.  This is the query a reference user runs to verify a
+# migration row-for-row.
+@register(
+    "table_diff_reconcile",
+    tier="B",
+    oracle="""
+    WITH incoming AS (
+      SELECT CASE WHEN o_orderkey % 11 = 3
+                  THEN o_orderkey + 1000000000 ELSE o_orderkey END AS o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 10 AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 13 <> 0
+    )
+    SELECT COALESCE(c.o_orderkey, i.o_orderkey) AS o_orderkey,
+           CASE WHEN c.o_orderkey IS NULL THEN 'added'
+                WHEN i.o_orderkey IS NULL THEN 'removed'
+                WHEN c.o_totalprice IS DISTINCT FROM i.o_totalprice
+                  OR c.o_orderstatus IS DISTINCT FROM i.o_orderstatus
+                THEN 'changed' ELSE 'same' END AS status,
+           c.o_totalprice AS old_o_totalprice,
+           i.o_totalprice AS new_o_totalprice,
+           c.o_orderstatus AS old_o_orderstatus,
+           i.o_orderstatus AS new_o_orderstatus
+    FROM orders c FULL JOIN incoming i ON c.o_orderkey = i.o_orderkey
+    WHERE NOT (c.o_orderkey IS NOT NULL AND i.o_orderkey IS NOT NULL
+               AND c.o_totalprice IS NOT DISTINCT FROM i.o_totalprice
+               AND c.o_orderstatus IS NOT DISTINCT FROM i.o_orderstatus)
+    """,
+)
+def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cur = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    incoming = (
+        cur.filter(F.col("o_orderkey") % 13 != 0)
+        .select(
+            F.when(
+                F.col("o_orderkey") % 11 == 3, F.col("o_orderkey") + 1000000000
+            ).otherwise(F.col("o_orderkey")).alias("o_orderkey"),
+            F.when(
+                F.col("o_orderkey") % 7 == 0,
+                (F.col("o_totalprice").cast("decimal(18,2)") + 10).cast("double"),
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+            "o_orderstatus",
+        )
+    )
+    diff = M.table_diff(
+        cur, incoming, keys=["o_orderkey"], compare_cols=["o_totalprice", "o_orderstatus"]
+    )
+    return diff.filter(F.col("status") != "same")

@@ -132,6 +132,7 @@ def load_all() -> dict[str, QuerySpec]:
             storage_io,
             streaming_batch,
             text,
+            timeseries,
             training,
             udfs,
             udtf_ops,
