@@ -172,3 +172,31 @@ def test_table_diff_null_equals_null_is_same(spark):
     right = spark.createDataFrame([(1, None)], "k long, v double")
     [r] = table_diff(left, right, keys=["k"], compare_cols=["v"]).collect()
     assert r.status == "same"
+
+
+def test_merge_agg_state_equals_full_recompute_any_split(spark):
+    """Algebraic-merge property: for ANY split of the raw rows, merging
+    the two partial states equals the from-scratch aggregate."""
+    from ub_etl_spark.operators.merge import merge_agg_state
+
+    raw = spark.createDataFrame(
+        [(i % 3, float(i)) for i in range(50)], "k int, v double"
+    ).withColumn("vd", F.col("v").cast("decimal(18,2)"))
+
+    def partial(df):
+        return df.groupBy("k").agg(
+            F.sum("vd").alias("s"), F.count("*").alias("n"), F.max("v").alias("mx")
+        )
+
+    full = {(r.k, float(r.s), r.n, r.mx) for r in partial(raw).collect()}
+    for split in (7, 25, 49):
+        merged = merge_agg_state(
+            partial(raw.filter(F.col("v") < split)),
+            partial(raw.filter(F.col("v") >= split)),
+            keys=["k"],
+            sum_cols=["s"],
+            count_col="n",
+            max_cols=["mx"],
+        )
+        got = {(r.k, float(r.s), r.n, r.mx) for r in merged.collect()}
+        assert got == full, f"split at {split} diverged"

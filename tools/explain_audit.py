@@ -91,6 +91,8 @@ EXPECT = {
     "table_diff_reconcile": ["FullOuter"],
     # gapfill: distributed grid explode + keyed fill window
     "timeseries_gapfill": ["Generate", "Window"],
+    # incremental refresh: partial aggs merged by hash agg, no extra scan
+    "agg_incremental_refresh": ["HashAggregate", "Union"],
 }
 
 # Kept by hand; prepended to the generated PLANS.md on every regeneration.

@@ -160,3 +160,35 @@ def table_diff(
         *[lc(c).alias(f"old_{c}") for c in compare_cols],
         *[rc(c).alias(f"new_{c}") for c in compare_cols],
     )
+
+
+def merge_agg_state(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    count_col: str | None = None,
+    max_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Merge two partial-aggregate states (algebraic incremental refresh):
+    because SUM/COUNT/MIN/MAX are associative+commutative, aggregating the
+    union of partials equals aggregating the union of the raw inputs — so
+    a stored rollup is refreshed by aggregating ONLY the new batch and
+    merging, never rescanning history.  At 100 TB this is the difference
+    between a nightly job reading one day and one reading three years.
+
+    Sum columns must already be exact (decimal) partials; keeping them
+    decimal through the merge keeps the refreshed state bit-identical to a
+    from-scratch recompute under any partitioning — the registered query
+    value-checks exactly that equivalence.  AVG is intentionally absent:
+    it is not algebraic — derive it from (sum, count) at read time.
+    """
+    both = state.unionByName(delta)
+    aggs = (
+        [F.sum(c).alias(c) for c in sum_cols]
+        + ([F.sum(count_col).alias(count_col)] if count_col else [])
+        + [F.max(c).alias(c) for c in max_cols]
+        + [F.min(c).alias(c) for c in min_cols]
+    )
+    return both.groupBy(*keys).agg(*aggs)

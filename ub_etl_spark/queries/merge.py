@@ -142,3 +142,55 @@ def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur, incoming, keys=["o_orderkey"], compare_cols=["o_totalprice", "o_orderstatus"]
     )
     return diff.filter(F.col("status") != "same")
+
+
+# B40: incremental aggregate refresh (operators/merge.merge_agg_state).
+# History (event_id % 10 < 7) is pre-aggregated into a stored state; the
+# "new batch" (% 10 >= 7) aggregates alone and merges.  The oracle
+# recomputes the rollup from the FULL raw table — a hash match proves the
+# incremental path is exactly equivalent to a from-scratch rebuild (the
+# batch twin of A18's streaming incremental refresh).  Decimal partials
+# keep the merged sums bit-identical under any partitioning.
+@register(
+    "agg_incremental_refresh",
+    tier="B",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           MAX(value) AS max_value,
+           MIN(value) AS min_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_dec"),
+            F.max("value").alias("max_value"),
+            F.min("value").alias("min_value"),
+        )
+
+    state = partial(e.filter(F.col("event_id") % 10 < 7))
+    delta = partial(e.filter(F.col("event_id") % 10 >= 7))
+    merged = M.merge_agg_state(
+        state,
+        delta,
+        keys=["event_type"],
+        sum_cols=["total_dec"],
+        count_col="n_events",
+        max_cols=["max_value"],
+        min_cols=["min_value"],
+    )
+    return merged.select(
+        "event_type",
+        "n_events",
+        F.col("total_dec").cast("double").alias("total_value"),
+        "max_value",
+        "min_value",
+        (F.col("total_dec").cast("double") / F.col("n_events")).alias("avg_value"),
+    )

@@ -47,19 +47,27 @@ def register(name: str, *, oracle: Optional[str] = None, tier: str = "A", doc: s
 _LOADED = False
 
 # The driver's correctness gate checks the first 50 entries of ``queries()``
-# in registration order.  With 74 registered queries, ordering decides which
+# in registration order.  With 105 registered queries, ordering decides which
 # get a driver row each round.  Round 1 checked the first 50 in import order;
-# this list front-loads (a) the 24 queries that round never reached and
-# (b) queries whose implementation changed this round, so every query ends up
-# with a green driver row across rounds.  Queries already proven by a prior
-# CORRECTNESS_r*.json round may safely fall past position 50.
+# this round's window holds every query with no CORRECTNESS_r01.json row that
+# has a value-checkable oracle, plus the two whose implementation changed
+# (cast_types: decimal-hash fix; pipeline_course_normalize: 13-table oracle).
+# Deferred to round 3 — their driver row would add the least this round:
+#   sim_ann_lsh, sim_ann_ivf, agg_hll_mergeable, agg_cms_term_counts,
+#   agg_approx_percentile  (no oracle -> rows-only row; recall/error bounds
+#   are pinned quantitatively in pytest instead),
+#   stream_interval_join_outer (twin of in-window stream_interval_join,
+#   same operator + eviction machinery), storage_zorder_cluster (identity
+#   under the driver hash; clustering effect pinned in tests/test_storage).
+# Queries proven green by a prior round fall past position 50 safely.
 DRIVER_PRIORITY = [
+    # changed since their round-1 row — re-prove under the driver gate
+    "cast_types",
+    "pipeline_course_normalize",
     # unchecked in round 1 (registration positions 51-74)
     "cast_timestamp",
     "pivot_wide",
     "sim_knn_exact",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
     "dedup_embedding_cosine",
     "storage_bucketed_merge",
     "rest_source_scan",
@@ -79,21 +87,16 @@ DRIVER_PRIORITY = [
     "udf_grouped_map",
     "udf_map_in_pandas",
     "udtf_tokenize",
-    # changed this round — re-prove under the driver gate
-    "cast_types",
-    "pipeline_course_normalize",
     # new this round (training-pipeline tier)
     "split_train_val_test",
     "dedup_normalized_exact",
     "text_ngram_vocab",
     "embedding_quantize",
     "dedup_apply_canonical",
-    "agg_hll_mergeable",
-    "agg_cms_term_counts",
     "io_binary_files",
     "pipeline_corpus_prepare",
     "sample_stratified_exact",
-    # new this round (curation + flagship tier, B21-B29)
+    # new this round (curation + flagship tier)
     "text_pii_redact",
     "text_quality_gopher",
     "contamination_ngram_check",
@@ -102,12 +105,17 @@ DRIVER_PRIORITY = [
     "tpch_q1_pricing",
     "tpch_q3_priority",
     "events_funnel",
-    "agg_approx_percentile",
     "pipeline_training_manifest",
     "join_interval_overlap",
     "json_schema_drift",
     "dim_scd2_history",
     "io_schema_evolution",
+    # new this round (storage / time-series / incremental tier)
+    "table_diff_reconcile",
+    "agg_incremental_refresh",
+    "storage_compact_small_files",
+    "stream_interval_join",
+    "timeseries_gapfill",
 ]
 
 
