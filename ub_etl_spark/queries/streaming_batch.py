@@ -113,8 +113,13 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     # exact-microsecond gap (cast-to-long would truncate subseconds and
-    # disagree with interval arithmetic)
-    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    # disagree with interval arithmetic).  events.ts arrives as
+    # TIMESTAMP_NTZ (Spark 4.1 reads parquet TIMESTAMP(NANOS) natively as
+    # NTZ — see sources/tables.py); unix_micros requires TIMESTAMP, so cast
+    # first.  The NTZ->LTZ cast applies the session timezone as a constant
+    # offset, which cancels in the lag difference — the gap is tz-invariant.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = ts_us - F.lag(ts_us).over(w)
     with_new = e.select(
         "user_id",
         "ts",

@@ -50,15 +50,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-        # parquet reader rejects.  Sessions from session.get_spark already
-        # run with nanosAsLong=true (set once at build, documented there);
-        # for externally-created sessions (the correctness driver's) ensure
-        # the same session-wide invariant here.  NOTE this is deliberately a
-        # permanent, documented session property — not scoped/restored —
-        # because the conf is consulted again at scan *execution*, after
-        # this function returns.  Integer-divide nanos to microseconds
-        # (matching DuckDB's truncation), rebuild the timestamp.
+        # events.parquet stores TIMESTAMP(NANOS).  Spark 4.1 reads it
+        # natively as TIMESTAMP_NTZ (nanos truncated to micros), in which
+        # case no conversion is needed here — queries treat ts as NTZ and
+        # any epoch extraction casts explicitly (see streaming_batch.py).
+        # Older readers reject NANOS unless nanosAsLong=true, so keep that
+        # legacy fallback: read as bigint nanos and rebuild the timestamp.
+        # NOTE the conf is deliberately a permanent, documented session
+        # property — not scoped/restored — because it is consulted again at
+        # scan *execution*, after this function returns.
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
