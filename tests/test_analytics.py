@@ -1,0 +1,97 @@
+"""Warehouse-analytics composite tests (SURVEY.md B41-B45): semantic
+invariants the oracle hash alone doesn't pin — local-supplier join
+restriction, cohort accounting identities, histogram completeness,
+per-group rank bounds, survivorship priority order."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ub_etl_spark.queries.analytics import (
+    agg_histogram_fixed_width,
+    dedup_source_priority,
+    events_retention_cohort,
+    tpch_q5_local_supplier,
+    window_topk_per_group,
+)
+from ub_etl_spark.sources.tables import load_table
+
+
+def test_q5_local_supplier_nations_within_region(spark, sf_dir):
+    """Every output nation must belong to the filtered region (the join
+    chain region->nation->customer enforces it; a bad join key would leak
+    other regions' nations)."""
+    out = {r.n_name for r in tpch_q5_local_supplier(spark, sf_dir).collect()}
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = {
+        row.n_name
+        for row in n.join(r, n.n_regionkey == r.r_regionkey).select("n_name").collect()
+    }
+    assert out and out <= asia
+
+
+def test_retention_cohort_week_zero_counts_all_users(spark, sf_dir):
+    """Offset 0 per cohort must count exactly the users whose first event
+    falls in that week — summing offset-0 rows equals the distinct user
+    count (every user is active in their own first week)."""
+    df = events_retention_cohort(spark, sf_dir)
+    week0 = df.filter(F.col("week_offset") == 0).agg(F.sum("n_users")).collect()[0][0]
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert week0 == n_users
+    # offsets are never negative (activity cannot precede the first event)
+    assert df.filter(F.col("week_offset") < 0).count() == 0
+
+
+def test_histogram_buckets_partition_the_table(spark, sf_dir):
+    """Bucket counts must sum to the row count (total partition, no row
+    dropped or double-bucketed) and bucket ids stay in [0, 19]."""
+    rows = agg_histogram_fixed_width(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n_orders for r in rows) == total
+    assert all(0 <= r.bucket <= 19 for r in rows)
+
+
+def test_topk_per_group_rank_bounds(spark, sf_dir):
+    """Each nation contributes at most 3 rows, ranks are 1..3 without
+    gaps, and revenue is non-increasing in rank within a nation."""
+    rows = window_topk_per_group(spark, sf_dir).collect()
+    by_nation: dict[str, list] = {}
+    for r in rows:
+        by_nation.setdefault(r.n_name, []).append(r)
+    for grp in by_nation.values():
+        grp.sort(key=lambda r: r.rn)
+        assert [r.rn for r in grp] == list(range(1, len(grp) + 1))
+        assert len(grp) <= 3
+        revs = [r.revenue for r in grp]
+        assert revs == sorted(revs, reverse=True)
+
+
+def test_dedup_source_priority_picks_lowest_rank(spark):
+    """Within a duplicate group the survivor is the lowest source rank,
+    tie-broken by doc_id; member count covers the whole group."""
+    df = spark.createDataFrame(
+        [
+            (1, "src5", "Same   doc!"),
+            (2, "src2", "same doc"),
+            (3, "src2", "SAME DOC"),
+            (9, "src0", "a unique doc"),
+        ],
+        "doc_id long, source string, text string",
+    )
+
+    from ub_etl_spark.operators.training import survivorship_dedup
+
+    rank = F.substring("source", 4, 10).cast("bigint")
+    out = survivorship_dedup(df, "doc_id", "source", rank, "text")
+    got = {(r.doc_id, r.source, r.n_members) for r in out.collect()}
+    # group {1,2,3}: rank 2 beats rank 5; doc 2 beats doc 3 on the tie
+    assert got == {(2, "src2", 3), (9, "src0", 1)}
+
+
+def test_dedup_source_priority_total_membership(spark, sf_dir):
+    """Member counts sum to the corpus size (survivorship never drops or
+    double-counts a record)."""
+    out = dedup_source_priority(spark, sf_dir)
+    total = out.agg(F.sum("n_members")).collect()[0][0]
+    assert total == load_table(spark, sf_dir, "documents").count()

@@ -97,6 +97,33 @@ def normalize_text(text: Column) -> Column:
     return F.trim(t)
 
 
+def survivorship_dedup(
+    df: DataFrame, id_col: str, source_col: str, rank: Column, text_col: str
+) -> DataFrame:
+    """Cross-source survivorship: one row per normalized-text group, the
+    survivor being the lowest `rank` (most trusted source), tie-broken by
+    id.  Same 8-byte xxhash64 shuffle key as dedup_normalized_exact; the
+    pick is a single deterministic min_by over a composite long ordinal
+    (rank * 2^33 + id — unique as long as ids stay under 2^33; widen the
+    shift for larger id spaces).  Output: (id, source, n_members)."""
+    ordinal = rank.cast("bigint") * F.lit(8589934592) + F.col(id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(source_col),
+            ordinal.alias("__ord"),
+            F.xxhash64(normalize_text(F.col(text_col))).alias("__nh"),
+        )
+        .groupBy("__nh")
+        .agg(
+            F.min_by(id_col, F.col("__ord")).alias(id_col),
+            F.min_by(source_col, F.col("__ord")).alias(source_col),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(id_col, source_col, "n_members")
+    )
+
+
 def dedup_normalized_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup on the normalized text: keep the smallest id per
     normalized form (first-writer-wins), count the members it absorbs.

@@ -1,0 +1,252 @@
+"""Warehouse-analytics composites (SURVEY.md §2 B41-B45): deep multi-way
+join (TPC-H Q5 shape), cohort retention, fixed-width histogram, grouped
+top-k, and priority-ranked canonical dedup.
+
+These are the day-2 queries a user of the reference's warehouse schema
+(hub/dim/bridge/fact — course_catalog_database.sql) runs once the tables
+exist: revenue by geography, user retention by signup cohort, value
+distributions, per-group leaders, and cross-source record survivorship.
+Each is one declarative Catalyst plan — broadcasts for the dim chain,
+exact-cents money arithmetic (functions/exact.py), deterministic
+tie-breaks so the oracle hash is stable across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ub_etl_spark.functions.exact import cents_disc, csum, sql_cents, sql_cents_disc, sql_csum
+from ub_etl_spark.operators.training import survivorship_dedup
+from ub_etl_spark.registry import register
+from ub_etl_spark.sources.tables import load_table as T
+
+
+# B41: TPC-H Q5 shape — the deepest join chain in the flagship tier
+# (region -> nation -> customer + supplier -> orders -> lineitem, with the
+# local-supplier condition c_nationkey = s_nationkey).  Exercises CBO/AQE
+# join ordering: region/nation/supplier are broadcast (tiny dims), the
+# orders⋈lineitem shuffle on l_orderkey carries the plan, and the
+# customer-nation restriction prunes before the fact join.
+@register(
+    "tpch_q5_local_supplier",
+    tier="B",
+    oracle=f"""
+    SELECT n.n_name,
+           SUM({sql_cents_disc("l.l_extendedprice", "l.l_discount")}) / 10000.0
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey   = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey   = s.s_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue per nation where the
+    supplier is in the customer's nation.  The three dims (region 5,
+    nation 25, supplier |S|) broadcast; lineitem⋈orders is the one real
+    shuffle (on l_orderkey).  At 100 TB the same plan holds — supplier
+    broadcast gives way to a shuffle join via AQE only past the broadcast
+    threshold, and the dim-side filters (r_name, o_orderdate) prune
+    before any fact-table data moves."""
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = T(spark, sf_dir, "nation")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
+    )
+    li = T(spark, sf_dir, "lineitem")
+    asian_cust = c.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        c.c_nationkey == n.n_nationkey,
+    ).select("c_custkey", "c_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(asian_cust, o.o_custkey == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            (F.sum(cents_disc("l_extendedprice", "l_discount")) / 10000.0).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# B42: weekly cohort retention — the canonical product-analytics rollup
+# over an event stream.  Both week truncations land on Monday in Spark
+# and DuckDB; the offset is an exact multiple of 7 days so the /7 is
+# exact in doubles before the long cast.
+@register(
+    "events_retention_cohort",
+    tier="B",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('day', f.cohort_week,
+                            CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS BIGINT)
+               AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset, COUNT(*) AS n_users
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort = Monday of each user's first event week; one row per
+    (cohort_week, week_offset) counting users still active.  Two shuffles
+    on user_id (first-event agg, then the activity distinct — co-keyed,
+    so AQE can reuse the exchange partitioning), one final small agg on
+    (cohort, offset).  The events⋈firsts join is per-user keyed: AQE
+    broadcasts `firsts` while it fits and falls back to a co-partitioned
+    shuffle join at 1e9 users — no hint pinned, deliberately."""
+    e = T(spark, sf_dir, "events")
+    week = lambda c: F.date_trunc("week", c).cast("date")  # noqa: E731
+    firsts = (
+        e.groupBy("user_id")
+        .agg(week(F.min("ts")).alias("cohort_week"))
+        .select(F.col("user_id").alias("f_user"), "cohort_week")
+    )
+    activity = (
+        e.join(firsts, e.user_id == F.col("f_user"))
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(week(F.col("ts")), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+# B43: fixed-width histogram of order value.  Bucketing runs in exact
+# integer cents (quantize -> integer DIV), so bucket assignment is
+# bit-identical across engines — no width_bucket float edge cases.  One
+# map-side-combined aggregation; the shuffle moves |buckets| rows.
+@register(
+    "agg_histogram_fixed_width",
+    tier="B",
+    oracle=f"""
+    SELECT LEAST(19, {sql_cents("o_totalprice")} // 2500000) AS bucket,
+           COUNT(*) AS n_orders,
+           {sql_csum("o_totalprice", "sum_total")}
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bucket $25k-wide histogram of o_totalprice: bucket index is
+    least(19, cents DIV 2_500_000) — pure long arithmetic after the one
+    quantize, exact and associative, so partial aggregation on 1000
+    executors reproduces the single-node answer bit-for-bit."""
+    o = T(spark, sf_dir, "orders")
+    # integer division via expr: Column has no DIV operator in the Python API
+    o2 = o.select(
+        F.least(
+            F.lit(19).cast("long"),
+            F.expr("CAST(FLOOR((o_totalprice) * 100 + 0.5) AS BIGINT) DIV 2500000"),
+        ).alias("bucket"),
+        "o_totalprice",
+    )
+    return o2.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        csum("o_totalprice", "sum_total"),
+    )
+
+
+# B44: grouped top-k — the per-group twin of sort_limit_topk (global).
+# Revenue ranks are computed from exact-cents sums, tie-broken on the
+# key, so rank boundaries agree across engines.
+@register(
+    "window_topk_per_group",
+    tier="B",
+    oracle=f"""
+    SELECT n_name, c_custkey, revenue, rn FROM (
+      SELECT n.n_name, c.c_custkey,
+             SUM({sql_cents("o.o_totalprice")}) / 100.0 AS revenue,
+             ROW_NUMBER() OVER (
+               PARTITION BY n.n_name
+               ORDER BY SUM({sql_cents("o.o_totalprice")}) DESC, c.c_custkey
+             ) AS rn
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, c.c_custkey
+    ) t WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by lifetime order value per nation: fact⋈dim join,
+    exact-cents revenue agg keyed (nation, customer), then a rank window
+    partitioned on nation — every window partition is bounded by the
+    nation's customer count, never the fact-row count, so the sort state
+    stays small at any scale.  Deterministic: ties broken by c_custkey."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg((F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")) / 100.0).alias("revenue"))
+    )
+    w = W.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        rev.select("n_name", "c_custkey", "revenue", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# B45: cross-source survivorship — when the same document arrives from
+# several sources, keep the copy from the most-trusted source (lowest
+# source rank), tie-broken on doc_id.  The pick is a single min_by over a
+# composite long ordinal (rank * 2^33 + doc_id — unique, so min_by is
+# deterministic), one hash aggregation on the 8-byte normalized-text key.
+@register(
+    "dedup_source_priority",
+    tier="B",
+    oracle="""
+    SELECT arg_min(doc_id, source_rank * 8589934592 + doc_id) AS doc_id,
+           arg_min(source, source_rank * 8589934592 + doc_id) AS source,
+           COUNT(*) AS n_members
+    FROM (
+      SELECT doc_id, source,
+             CAST(substr(source, 4) AS BIGINT) AS source_rank,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                 ' +', ' ', 'g')) AS norm
+      FROM documents
+    ) t
+    GROUP BY norm
+    """,
+)
+def dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship dedup: group on the normalized-text key, keep the row
+    from the lowest-ranked (= most trusted) source.  The group key is
+    engine-local (Spark shuffles the 8-byte xxhash64 of the normalized
+    form — operators/training.dedup_normalized_exact rationale — while
+    the oracle groups the string itself), so the key is NOT an output
+    column; the checked multiset (doc_id, source, n_members) is identical
+    because both engines group on the same normalized preimage."""
+    d = T(spark, sf_dir, "documents")
+    rank = F.substring("source", 4, 10).cast("bigint")
+    return survivorship_dedup(d, "doc_id", "source", rank, "text")

@@ -125,6 +125,7 @@ def load_all() -> dict[str, QuerySpec]:
     global _LOADED
     if not _LOADED:
         from ub_etl_spark.queries import (  # noqa: F401
+            analytics,
             curation,
             dedup,
             extras,
