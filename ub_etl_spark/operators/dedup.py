@@ -90,7 +90,9 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(F.array(text))
 
 
-def shingle_rows(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def shingle_rows(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
     """Distinct (doc_id, shingle) rows, codegen-friendly and shuffle-free.
 
     posexplode the token array and build each n-gram with element_at on the
@@ -101,6 +103,11 @@ def shingle_rows(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
 
     Short texts (< n tokens) contribute the whole text as one shingle,
     matching word_shingles().
+
+    distinct=False skips the (doc_id, shingle) dedup shuffle — for
+    consumers whose downstream aggregate is duplicate-insensitive (min)
+    or deduplicates inside the agg (collect_set), paying that shuffle
+    twice is pure waste.
     """
     toks = F.split(F.col(text_col), " ")
     base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
@@ -117,7 +124,8 @@ def shingle_rows(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
     short = base.filter(F.size("__toks") < n).select(
         "doc_id", F.concat_ws(" ", "__toks").alias("shingle")
     )
-    return grams.unionByName(short).dropDuplicates(["doc_id", "shingle"])
+    out = grams.unionByName(short)
+    return out.dropDuplicates(["doc_id", "shingle"]) if distinct else out
 
 
 def exact_jaccard_pairs(
@@ -188,21 +196,32 @@ def minhash_lsh_pairs(
     bands * rows_per_band == num_perm; a pair collides if any band's rows all
     match — the classic S-curve.  Candidates are verified with exact n-gram
     Jaccard so the output has no false positives (recall is probabilistic).
-    Verification runs ONLY on candidate pairs — cost is sum over candidates
-    of |shingles(id_a)|, never all-pairs — and the shingle-set sizes ride
-    from the signature aggregate through the band join, so the verify step
-    adds no size-lookup joins.  The (doc_id, shingle) exchange is shared by
-    the signature and verify branches (Spark ReuseExchange): shingling
-    happens once.  Output: (id_a, id_b, jaccard).
+
+    One aggregate per doc produces the num_perm minima AND the doc's
+    hashed-shingle set (collect_set deduplicates inside the agg, so the
+    exploded shingle stream is consumed by exactly one shuffle — no
+    pre-dedup exchange, no second pass over shingle rows).  Verification
+    is then array_intersect on the two compact per-doc sets joined to the
+    candidate pairs — cost per candidate is |set_a| + |set_b|, never
+    all-pairs, and the plan has no post-band-join re-aggregation.
+    Intersecting 64-bit shingle hashes instead of strings can over-count
+    n_common only on an intra-pair hash collision (P ~ |set|^2 / 2^64 —
+    ~5e-12 for 10k-shingle docs).  Memory note: per-doc sets ride through
+    doc_id-keyed exchanges only (never the banded explosion); for
+    pathological documents (>~100k shingles) switch the verify step back
+    to an exploded (doc_id, shingle) join.  Output: (id_a, id_b, jaccard).
     """
     rows_per = num_perm // bands
-    sh = shingle_rows(docs, id_col, text_col, n).persist(_REUSE)
-    # one aggregate produces the num_perm minima AND the shingle-set size,
-    # so no separate sizes branch (and no join to attach it later)
+    sh = shingle_rows(docs, id_col, text_col, n, distinct=False)
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_perm)
-    ] + [F.count(F.lit(1)).alias("n_sh")]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+    ] + [F.collect_set(F.xxhash64(F.col("shingle"))).alias("shs")]
+    sig = (
+        sh.groupBy("doc_id")
+        .agg(*aggs)
+        .withColumn("n_sh", F.size("shs"))
+        .persist(_REUSE)  # consumed by the band explode and both verify joins
+    )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -211,14 +230,12 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     buckets = (
-        sig.select("doc_id", "n_sh", F.explode(F.array(*band_cols)).alias("bk"))
-        .select("doc_id", "n_sh", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
         .persist(_REUSE)  # consumed by both sides of the band self-join
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
-    # candidate pairs carry both set sizes through the band join — the
-    # verify step then needs no extra joins beyond the shingle intersection
     cand = (
         a.join(
             b,
@@ -229,24 +246,19 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    a_sh = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    b_sh = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("sa"), F.col("n_sh").alias("n_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("sb"), F.col("n_sh").alias("n_b"))
+    common = F.size(F.array_intersect("sa", "sb"))
     verified = (
-        cand.join(a_sh, "id_a")
-        .join(b_sh, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
-            (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias(
-                "jaccard"
-            ),
+            (common / (F.col("n_a") + F.col("n_b") - common)).alias("jaccard"),
         )
     )
     return verified.filter(F.col("jaccard") >= threshold)
