@@ -95,3 +95,77 @@ def test_dedup_source_priority_total_membership(spark, sf_dir):
     out = dedup_source_priority(spark, sf_dir)
     total = out.agg(F.sum("n_members")).collect()[0][0]
     assert total == load_table(spark, sf_dir, "documents").count()
+
+
+def test_multi_rollup_levels_are_consistent(spark, sf_dir):
+    """Rollup accounting: hourly rows sum to the daily subtotal, daily
+    subtotals sum to the grand total, grand total equals the table count."""
+    from ub_etl_spark.queries.timeseries import timeseries_multi_rollup
+
+    rows = timeseries_multi_rollup(spark, sf_dir).collect()
+    hourly = [r for r in rows if r.gid == 0]
+    daily = [r for r in rows if r.gid == 1]
+    total = [r for r in rows if r.gid == 3]
+    assert len(total) == 1
+    assert sum(r.n_events for r in hourly) == total[0].n_events
+    assert sum(r.n_events for r in daily) == total[0].n_events
+    n = load_table(spark, sf_dir, "events").count()
+    assert total[0].n_events == n
+
+
+def test_transition_counts_total(spark, sf_dir):
+    """Each user with k events contributes exactly k-1 transitions."""
+    from ub_etl_spark.queries.analytics import events_transition_counts
+
+    got = (
+        events_transition_counts(spark, sf_dir)
+        .agg(F.sum("n_transitions"))
+        .collect()[0][0]
+    )
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").count().collect()
+    assert got == sum(r["count"] - 1 for r in per_user)
+
+
+def test_anomaly_mad_flags_planted_outlier(spark):
+    """A planted far outlier is flagged; the tight cluster is not."""
+    from ub_etl_spark.operators import asof  # noqa: F401  (import parity)
+
+    rows = [(i, "a", 10.0 + (i % 3) * 0.1) for i in range(20)] + [(99, "a", 1e6)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    m = df.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    d = df.join(m, "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    s = d.groupBy("event_type").agg(F.percentile("dev", 0.5).alias("mad"))
+    out = (
+        d.join(s, "event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("dev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            ).alias("n")
+        )
+        .collect()[0][0]
+    )
+    assert out == 1
+
+
+def test_centroid_shape_and_zero_mean_pair(spark):
+    """Two opposite vectors under one label average to the zero vector;
+    output is exactly |labels| x dim rows."""
+    from ub_etl_spark.functions.exact import cavg
+
+    df = spark.createDataFrame(
+        [(1, 0, [1.5, -2.0]), (2, 0, [-1.5, 2.0]), (3, 1, [4.0, 4.0])],
+        "vec_id long, label int, embedding array<float>",
+    )
+    out = (
+        df.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(cavg(F.col("val").cast("double"), "centroid_val", scale=6))
+        .collect()
+    )
+    assert len(out) == 4
+    vals = {(r.label, r.pos): r.centroid_val for r in out}
+    assert vals[(0, 0)] == 0.0 and vals[(0, 1)] == 0.0
+    assert vals[(1, 0)] == 4.0 and vals[(1, 1)] == 4.0

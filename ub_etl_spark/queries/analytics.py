@@ -250,3 +250,92 @@ def dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     rank = F.substring("source", 4, 10).cast("bigint")
     return survivorship_dedup(d, "doc_id", "source", rank, "text")
+
+
+# B47: event-type transition counts (first-order Markov edge weights) —
+# the path-analysis primitive behind funnels and next-action models.
+# One user_id-keyed window (same shuffle the sessionization family
+# uses), then a tiny (prev, next) aggregation.
+@register(
+    "events_transition_counts",
+    tier="B",
+    oracle="""
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+    FROM (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ) t WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-order transition matrix: lag window over (ts,
+    event_id) — deterministic ordering — then count per (prev, next)
+    pair.  Window partitions are per-user (bounded), the final agg is
+    |event_types|^2 rows; both stages map-side-combine."""
+    e = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+# B48: robust anomaly counting via median absolute deviation — the
+# outlier gate that, unlike mean/stddev, a single corrupt batch can't
+# drag.  Two exact-percentile aggregations (per event_type — group count
+# is small, so exact sort-based percentile is fine; the 100 TB path for
+# high-cardinality groups is agg_approx_percentile's GK sketch) with the
+# tiny per-type stats broadcast back onto the scan by AQE.
+@register(
+    "events_anomaly_mad",
+    tier="B",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ), d AS (
+      SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+      FROM events e JOIN m USING (event_type)
+    ), s AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      FROM d GROUP BY 1
+    )
+    SELECT d.event_type, MIN(d.med) AS med, MIN(s.mad) AS mad,
+           COUNT(*) AS n_events,
+           SUM(CASE WHEN d.dev > 3 * 1.4826 * s.mad THEN 1 ELSE 0 END)
+             AS n_anomalies
+    FROM d JOIN s USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type median + MAD, then count events beyond 3 robust sigmas
+    (MAD * 1.4826 ~ sigma under normality).  Both engines compute the
+    identical interpolated medians and double arithmetic, so the
+    boundary comparisons agree bit-for-bit."""
+    e = T(spark, sf_dir, "events")
+    m = e.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    d = e.join(m, "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    s = d.groupBy("event_type").agg(F.percentile("dev", 0.5).alias("mad"))
+    return (
+        d.join(s, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("dev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_anomalies"),
+        )
+    )

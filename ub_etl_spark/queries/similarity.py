@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ub_etl_spark.functions.exact import cavg, sql_cavg
 from ub_etl_spark.operators import vectors as V
 from ub_etl_spark.registry import register
 from ub_etl_spark.sources.tables import load_table as T
@@ -114,3 +115,35 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
     out = V.cosine_near_dup_pairs(e, threshold=0.35, block_col="label")
     return out.withColumn("cos_sim", F.floor(F.col("cos_sim") * 1e6) / 1e6)
+
+
+# B49: per-label centroid of the embedding column — the cluster-profile /
+# class-prototype aggregation (and the building block IVF coarse
+# quantizers refresh with).  posexplode is pure codegen; the (label, pos)
+# aggregation map-side-combines so the shuffle carries |labels| x dim
+# rows regardless of corpus size.  Long-form output (label, pos, value)
+# keeps the result hash-checkable with no array-ordering caveats;
+# consumers reassemble with collect_list over pos when they need vectors.
+@register(
+    "embedding_centroid_per_label",
+    tier="B",
+    oracle=f"""
+    SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+           {sql_cavg("CAST(embedding[i] AS DOUBLE)", "centroid_val", 6)}
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+    GROUP BY label, i
+    """,
+)
+def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean embedding per label.  Components quantize to 1e-6 fixed-point
+    longs (float32 carries ~7 significant digits at |v| <= 1, so this is
+    lossless-in-practice; engines disagree on float->DECIMAL widening,
+    which is why the decimal path is NOT used here), sum exactly, divide
+    once by the member count — a 1000-executor partial-aggregate tree
+    reproduces the single-node centroid bit-for-bit."""
+    e = T(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(cavg(F.col("val").cast("double"), "centroid_val", scale=6))
+    )

@@ -76,3 +76,47 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day_value").isNull().alias("is_gap"),
         )
     )
+
+
+# B46: hypertable-style continuous-aggregate rollup — hour AND day
+# granularities materialized from ONE event scan via ROLLUP on the two
+# truncations (day is functionally determined by hour, so the rollup
+# lattice (day, hour) -> (day) -> () is exactly the hour/day/total
+# hierarchy).  Catalyst plans a single Expand + one hash aggregation:
+# the scan is never repeated per granularity, and map-side partials keep
+# the shuffle at |buckets| rows — the Spark-native shape of a
+# TimescaleDB continuous aggregate refresh.
+@register(
+    "timeseries_multi_rollup",
+    tier="B",
+    oracle="""
+    SELECT CAST(2 * grouping(bucket_day) + grouping(bucket_hour) AS BIGINT)
+             AS gid,
+           bucket_day, bucket_hour, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day,
+             date_trunc('hour', ts) AS bucket_hour, value
+      FROM events
+    ) t
+    GROUP BY ROLLUP(bucket_day, bucket_hour)
+    """,
+)
+def timeseries_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour + day + grand-total event rollup from a single scan.  gid
+    disambiguates granularity levels (0 = hourly row, 1 = daily subtotal,
+    3 = grand total) the same way both engines number grouping bits."""
+    e = T(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("bucket_day"),
+        F.date_trunc("hour", "ts").alias("bucket_hour"),
+        "value",
+    )
+    return (
+        e.rollup("bucket_day", "bucket_hour")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+        .select("gid", "bucket_day", "bucket_hour", "n_events", "sum_value")
+    )
