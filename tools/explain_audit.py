@@ -93,6 +93,20 @@ EXPECT = {
     "timeseries_gapfill": ["Generate", "Window"],
     # incremental refresh: partial aggs merged by hash agg, no extra scan
     "agg_incremental_refresh": ["HashAggregate", "Union"],
+    # warehouse-analytics tier (B41-B49)
+    "tpch_q5_local_supplier": ["BroadcastHashJoin", "HashAggregate", "PushedFilters: [IsNotNull(o_orderdate)"],
+    "events_retention_cohort": ["HashAggregate", "Exchange hashpartitioning(user_id"],
+    "agg_histogram_fixed_width": ["HashAggregate", "codegen id :"],
+    "window_topk_per_group": ["Window", "BroadcastHashJoin"],
+    # min_by(string) buffers a non-primitive -> Spark plans SortAggregate,
+    # but WITH partial_min_by map-side combine: the exchange still carries
+    # one row per (partition, group).  Pin the partials + the keyed
+    # exchange, which is what scale-safety actually requires.
+    "dedup_source_priority": ["partial_min_by", "Exchange hashpartitioning(__nh"],
+    "timeseries_multi_rollup": ["Expand", "HashAggregate"],
+    "events_transition_counts": ["Window", "HashAggregate"],
+    "events_anomaly_mad": ["HashAggregate"],
+    "embedding_centroid_per_label": ["Generate", "HashAggregate"],
 }
 
 # Kept by hand; prepended to the generated PLANS.md on every regeneration.

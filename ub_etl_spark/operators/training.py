@@ -105,7 +105,12 @@ def survivorship_dedup(
     id.  Same 8-byte xxhash64 shuffle key as dedup_normalized_exact; the
     pick is a single deterministic min_by over a composite long ordinal
     (rank * 2^33 + id — unique as long as ids stay under 2^33; widen the
-    shift for larger id spaces).  Output: (id, source, n_members)."""
+    shift for larger id spaces).  Plan note: min_by over a string value
+    buffers a non-primitive, so Spark plans SortAggregate rather than
+    HashAggregate — still with partial_min_by map-side combine, so the
+    exchange carries one row per (partition, group); the extra cost vs a
+    hash agg is an in-memory map-side sort.  Output: (id, source,
+    n_members)."""
     ordinal = rank.cast("bigint") * F.lit(8589934592) + F.col(id_col)
     return (
         df.select(
