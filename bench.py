@@ -67,6 +67,10 @@ HEADLINE = [
     "tpch_q3_priority",
     "events_funnel",
     "pipeline_training_manifest",
+    "tpch_q5_local_supplier",
+    "events_retention_cohort",
+    "timeseries_multi_rollup",
+    "embedding_centroid_per_label",
 ]
 
 

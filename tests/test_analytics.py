@@ -169,3 +169,51 @@ def test_centroid_shape_and_zero_mean_pair(spark):
     vals = {(r.label, r.pos): r.centroid_val for r in out}
     assert vals[(0, 0)] == 0.0 and vals[(0, 1)] == 0.0
     assert vals[(1, 0)] == 4.0 and vals[(1, 1)] == 4.0
+
+
+def test_incremental_batch_dedup_excludes_corpus_forms(spark):
+    """Batch rows whose normalized form exists in the corpus are dropped;
+    fresh forms fold to min id with the right member count."""
+    from ub_etl_spark.operators.training import normalize_text
+
+    d = spark.createDataFrame(
+        [
+            (10, "brand new doc"),
+            (20, "Brand NEW doc!"),   # same form as 10 -> folds, id 10 wins
+            (30, "already ingested"),  # exists in corpus (id 7) -> dropped
+            (7, "Already ingested."),  # corpus
+            (3, "other corpus doc"),   # corpus
+        ],
+        "doc_id long, text string",
+    )
+    key = F.xxhash64(normalize_text(F.col("text"))).alias("__nh")
+    batch = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", key)
+        .groupBy("__nh")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_members"))
+    )
+    corpus = d.filter(F.col("doc_id") % 10 != 0).select(key)
+    got = {
+        (r.doc_id, r.n_members)
+        for r in batch.join(corpus, "__nh", "left_anti").collect()
+    }
+    assert got == {(10, 2)}
+
+
+def test_trending_topk_per_day_bounds(spark, sf_dir):
+    """At most 3 rows per day, ranks contiguous from 1, counts
+    non-increasing in rank."""
+    from ub_etl_spark.queries.analytics import stream_topk_trending
+
+    rows = stream_topk_trending(spark, sf_dir).collect()
+    by_day: dict = {}
+    for r in rows:
+        by_day.setdefault(r.day, []).append(r)
+    assert by_day
+    for grp in by_day.values():
+        grp.sort(key=lambda r: r.rn)
+        assert [r.rn for r in grp] == list(range(1, len(grp) + 1))
+        assert len(grp) <= 3
+        ns = [r.n for r in grp]
+        assert ns == sorted(ns, reverse=True)

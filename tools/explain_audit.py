@@ -107,6 +107,8 @@ EXPECT = {
     "events_transition_counts": ["Window", "HashAggregate"],
     "events_anomaly_mad": ["HashAggregate"],
     "embedding_centroid_per_label": ["Generate", "HashAggregate"],
+    "dedup_incremental_batch": ["LeftAnti", "HashAggregate"],
+    "stream_topk_trending": ["Window", "HashAggregate"],
 }
 
 # Kept by hand; prepended to the generated PLANS.md on every regeneration.

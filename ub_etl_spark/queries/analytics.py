@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ub_etl_spark.functions.exact import cents_disc, csum, sql_cents, sql_cents_disc, sql_csum
-from ub_etl_spark.operators.training import survivorship_dedup
+from ub_etl_spark.operators.training import normalize_text, survivorship_dedup
 from ub_etl_spark.registry import register
 from ub_etl_spark.sources.tables import load_table as T
 
@@ -339,3 +339,84 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_anomalies"),
         )
     )
+
+
+# B50: incremental batch dedup — tonight's batch against the already-
+# ingested corpus.  Within-batch survivors (min id per normalized form)
+# anti-join the corpus's normalized-hash index; every exchange carries
+# 8-byte keys.  At 100 TB the corpus side is a maintained hash index
+# table (bucketed on __nh), so the nightly cost is the batch shuffle plus
+# a co-partitioned anti-join probe — never a corpus rescan per batch
+# (the rescan here stands in for reading that index).
+@register(
+    "dedup_incremental_batch",
+    tier="B",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                 ' +', ' ', 'g')) AS norm
+      FROM documents
+    ), b AS (
+      SELECT norm, MIN(doc_id) AS doc_id, COUNT(*) AS n_members
+      FROM norm WHERE doc_id % 10 = 0 GROUP BY norm
+    )
+    SELECT b.doc_id, b.n_members FROM b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM norm c WHERE c.doc_id % 10 <> 0 AND c.norm = b.norm
+    )
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch dedup: batch docs (doc_id % 10 = 0) fold within the
+    batch (min id per normalized hash), then drop any form the corpus
+    (doc_id % 10 <> 0) already contains, via left-anti on the 8-byte
+    normalized-text hash."""
+    d = T(spark, sf_dir, "documents")
+    key = F.xxhash64(normalize_text(F.col("text"))).alias("__nh")
+    batch = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", key)
+        .groupBy("__nh")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_members"))
+    )
+    corpus = d.filter(F.col("doc_id") % 10 != 0).select(key)
+    return batch.join(corpus, "__nh", "left_anti").select("doc_id", "n_members")
+
+
+# B51: windowed trending top-k — the "what's hot today" rollup and the
+# batch twin of a streaming trending feed.  Daily tumbling counts then a
+# rank window partitioned on the day: window state is bounded by
+# |event_types| per day, and the count aggregation map-side-combines, so
+# the plan is one |buckets|-row shuffle plus a tiny ranked projection.
+@register(
+    "stream_topk_trending",
+    tier="B",
+    oracle="""
+    SELECT day, event_type, n, rn FROM (
+      SELECT day, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY day ORDER BY n DESC, event_type)
+               AS rn
+      FROM (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+      ) c
+    ) r WHERE rn <= 3
+    """,
+)
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per day, deterministically tie-broken (count
+    desc, type asc)."""
+    e = T(spark, sf_dir, "events")
+    counts = (
+        e.groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("day").orderBy(F.desc("n"), F.asc("event_type"))
+    return counts.select(
+        "day", "event_type", "n", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)

@@ -58,7 +58,15 @@ _LOADED = False
 #   are pinned quantitatively in pytest instead),
 #   stream_interval_join_outer (twin of in-window stream_interval_join,
 #   same operator + eviction machinery), storage_zorder_cluster (identity
-#   under the driver hash; clustering effect pinned in tests/test_storage).
+#   under the driver hash; clustering effect pinned in tests/test_storage),
+#   and the warehouse-analytics tier added mid-round-2 after the window
+#   was already full of never-driver-checked queries (all parity PASS at
+#   sf0.01 locally): tpch_q5_local_supplier, events_retention_cohort,
+#   agg_histogram_fixed_width, window_topk_per_group,
+#   dedup_source_priority, timeseries_multi_rollup,
+#   events_transition_counts, events_anomaly_mad,
+#   embedding_centroid_per_label.  Rotate these into the round-3 window in
+#   place of whatever CORRECTNESS_r02 proves green.
 # Queries proven green by a prior round fall past position 50 safely.
 DRIVER_PRIORITY = [
     # changed since their round-1 row — re-prove under the driver gate
