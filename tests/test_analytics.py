@@ -217,3 +217,26 @@ def test_trending_topk_per_day_bounds(spark, sf_dir):
         assert len(grp) <= 3
         ns = [r.n for r in grp]
         assert ns == sorted(ns, reverse=True)
+
+
+def test_dpp_join_prunes_partitions(spark, sf_dir):
+    """The fact scan's PartitionFilters must contain a dynamicpruning
+    expression (join-time directory pruning), and results must match a
+    plain filtered aggregate."""
+    from ub_etl_spark.queries.storage_io import storage_dpp_join
+
+    df = storage_dpp_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "dynamicpruningexpression" in plan
+    got = {(r.event_type, r.n) for r in df.collect()}
+    e = load_table(spark, sf_dir, "events")
+    want = {
+        (r.event_type, r.n)
+        for r in e.filter(F.col("event_type").isin("purchase", "signup"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want

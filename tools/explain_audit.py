@@ -109,6 +109,9 @@ EXPECT = {
     "embedding_centroid_per_label": ["Generate", "HashAggregate"],
     "dedup_incremental_batch": ["LeftAnti", "HashAggregate"],
     "stream_topk_trending": ["Window", "HashAggregate"],
+    # join-time dynamic partition pruning must inject a runtime pruning
+    # predicate into the fact scan's PartitionFilters
+    "storage_dpp_join": ["dynamicpruningexpression(event_type"],
 }
 
 # Kept by hand; prepended to the generated PLANS.md on every regeneration.

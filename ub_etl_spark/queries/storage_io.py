@@ -29,6 +29,7 @@ from ub_etl_spark.operators.storage import (
     write_bucketed,
     write_zordered,
 )
+from ub_etl_spark.functions.exact import csum
 from ub_etl_spark.registry import register
 from ub_etl_spark.sources.tables import load_table as T
 
@@ -370,4 +371,57 @@ def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.option("mergeSchema", "true")
         .parquet(os.path.join(root, "v1"), os.path.join(root, "v2"))
         .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+# Join-time dynamic partition pruning (DPP): the fact table is laid out
+# by event_type; the dim side's filter is only known at run time, so
+# Catalyst injects a dynamicpruning expression into the fact scan's
+# PartitionFilters (asserted by tools/explain_audit.py) and the scan
+# reads ONLY the dim-selected directories — at 100 TB this is the
+# difference between scanning 2 partitions and scanning all of them.
+# The dim here derives from `nation` (an unrelated tiny table) so the
+# pruning value genuinely flows through the join, not a static filter.
+@register(
+    "storage_dpp_join",
+    tier="B",
+    oracle="""
+    SELECT e.event_type, COUNT(*) AS n,
+           SUM(CAST(FLOOR((e.value) * 100 + 0.5) AS BIGINT)) / 100.0
+             AS total_value
+    FROM events e
+    JOIN (
+      SELECT DISTINCT CASE WHEN n_nationkey % 2 = 0 THEN 'purchase'
+                           ELSE 'signup' END AS event_type
+      FROM nation WHERE n_regionkey = 2
+    ) d ON e.event_type = d.event_type
+    GROUP BY 1
+    """,
+)
+def storage_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate only the partitions a runtime-filtered dim selects.
+    The partitioned copy is written once per (tmpdir, sf) and reused —
+    DPP's usage shape is many queries over one layout."""
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"ub_etl_spark_dpp_events_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        e = T(spark, sf_dir, "events").select("event_id", "value", "event_type")
+        e.write.partitionBy("event_type").mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+    n = T(spark, sf_dir, "nation")
+    dim = (
+        n.filter(F.col("n_regionkey") == 2)
+        .select(
+            F.when(F.col("n_nationkey") % 2 == 0, F.lit("purchase"))
+            .otherwise(F.lit("signup"))
+            .alias("event_type")
+        )
+        .distinct()
+    )
+    return (
+        fact.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), csum("value", "total_value"))
     )
