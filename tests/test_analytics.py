@@ -240,3 +240,21 @@ def test_dpp_join_prunes_partitions(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_resize_truncates_payload_and_scales(spark):
+    """Resized payload is a prefix of the source bytes capped at the
+    deterministic resized length; scale factors match dst/src."""
+    from ub_etl_spark.operators.multimodal import resize_media, with_binary_payload
+
+    df = spark.createDataFrame(
+        [(1, "x" * 2000), (2, "short")], "doc_id long, text string"
+    )
+    out = resize_media(
+        with_binary_payload(df, "doc_id", "text"), 224, 224, fake=True
+    ).collect()
+    rows = {r.doc_id: r for r in out}
+    assert len(rows[1].payload) == 224 * 224 // 64  # capped
+    assert bytes(rows[1].payload) == b"x" * (224 * 224 // 64)  # true prefix
+    assert len(rows[2].payload) == 5  # under cap: untouched
+    assert rows[2].scale_x == 224 / (5 % 640)

@@ -182,7 +182,25 @@ def corpus_queries(spark, d: str):
             n=5,
         ),
         "pack_sequences": pack_sequences(docs, "doc_id", "text", budget=256, n_parts=8),
+        # analytics tier: survivorship is one keyed agg with map-side
+        # partial_min_by; centroid shuffles |labels| x dim rows regardless
+        # of corpus size (both expect ~linear map cost, flat shuffle)
+        "survivorship": _survivorship(docs),
+        "centroid_per_label": emb.select(
+            "label", F.posexplode("embedding").alias("pos", "val")
+        )
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum(F.floor(F.col("val").cast("double") * 1e6 + F.lit(0.5)).cast("long")) / 1e6 / F.count(F.lit(1))).alias("c")
+        ),
     }
+
+
+def _survivorship(docs):
+    from ub_etl_spark.operators.training import survivorship_dedup
+
+    rank = F.substring("source", 4, 10).cast("bigint")
+    return survivorship_dedup(docs, "doc_id", "source", rank, "text")
 
 
 def run(df) -> float:

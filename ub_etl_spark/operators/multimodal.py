@@ -106,3 +106,54 @@ def sample_frames(df: DataFrame, every_nth: int = 10, fake: bool = True) -> Data
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx"])
 
     return df.mapInPandas(sampler, schema="doc_id long, frame_idx long")
+
+
+def resize_media(
+    df: DataFrame, dst_w: int = 224, dst_h: int = 224, fake: bool = True
+) -> DataFrame:
+    """Resize stub: binary in -> (resized) binary out + geometry metadata.
+
+    Real path would decode, resample to (dst_w, dst_h), re-encode per
+    Arrow batch; stubbed here (no codecs in this container).  The fake
+    keeps the contract honest end-to-end: the output payload really is
+    derived from the input bytes (truncated to the deterministic resized
+    length), so downstream code consuming the binary column exercises the
+    same schema and batch shape as a real resize.  Source dims come from
+    the same arithmetic fake as decode_features, floored at 1 so scale
+    factors are well-defined.
+    """
+    cap = dst_w * dst_h // 64
+
+    def resizer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image codecs not available in this environment; "
+                    "use fake=True for the deterministic stand-in"
+                )
+            n = pdf["payload"].map(len).astype("int64")
+            src_w = (n % 640).clip(lower=1)
+            src_h = (n % 480).clip(lower=1)
+            out_len = n.clip(upper=cap)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        p[:l] for p, l in zip(pdf["payload"], out_len)
+                    ],
+                    "src_w": src_w,
+                    "src_h": src_h,
+                    "dst_w": dst_w,
+                    "dst_h": dst_h,
+                    "scale_x": dst_w / src_w,
+                    "scale_y": dst_h / src_h,
+                }
+            )
+
+    return df.mapInPandas(
+        resizer,
+        schema=(
+            "doc_id long, payload binary, src_w long, src_h long, "
+            "dst_w long, dst_h long, scale_x double, scale_y double"
+        ),
+    )

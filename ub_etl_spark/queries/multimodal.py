@@ -74,3 +74,36 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = T(spark, sf_dir, "documents")
     return sample_frames(with_binary_payload(d, "doc_id", "text"), every_nth=10, fake=True)
+
+
+# mapInPandas resize stub: binary -> resized binary + geometry.  The
+# output projects octet_length of the RESIZED payload (proof the binary
+# column flowed through the Arrow batch and was transformed), then drops
+# the binary before anything wide — the B6 scale rule.
+@register(
+    "multimodal_resize",
+    tier="B",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEAST(octet_length(encode(text)), 784) AS BIGINT)
+             AS resized_bytes,
+           CAST(GREATEST(octet_length(encode(text)) % 640, 1) AS BIGINT) AS src_w,
+           CAST(GREATEST(octet_length(encode(text)) % 480, 1) AS BIGINT) AS src_h,
+           224.0 / GREATEST(octet_length(encode(text)) % 640, 1) AS scale_x,
+           224.0 / GREATEST(octet_length(encode(text)) % 480, 1) AS scale_y
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ub_etl_spark.operators.multimodal import resize_media
+
+    d = T(spark, sf_dir, "documents")
+    out = resize_media(with_binary_payload(d, "doc_id", "text"), 224, 224, fake=True)
+    return out.select(
+        "doc_id",
+        F.octet_length("payload").cast("bigint").alias("resized_bytes"),
+        "src_w",
+        "src_h",
+        "scale_x",
+        "scale_y",
+    )
