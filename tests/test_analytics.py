@@ -258,3 +258,26 @@ def test_resize_truncates_payload_and_scales(spark):
     assert bytes(rows[1].payload) == b"x" * (224 * 224 // 64)  # true prefix
     assert len(rows[2].payload) == 5  # under cap: untouched
     assert rows[2].scale_x == 224 / (5 % 640)
+
+
+def test_bucketed_join_has_no_exchange_on_key(spark, sf_dir):
+    """Both sides bucketed on the join key -> the executed plan must not
+    shuffle either side; results match the plain join."""
+    from ub_etl_spark.queries.storage_io import storage_bucketed_join
+
+    df = storage_bucketed_join(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    want = {
+        (r.o_orderstatus, r.n)
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {(r.o_orderstatus, r.n) for r in df.collect()}
+    assert got == want

@@ -112,6 +112,14 @@ EXPECT = {
     # join-time dynamic partition pruning must inject a runtime pruning
     # predicate into the fact scan's PartitionFilters
     "storage_dpp_join": ["dynamicpruningexpression(event_type"],
+    # bucketed co-located join: SortMergeJoin with NO exchange on the join
+    # key — bucket i zips with bucket i straight off disk
+    "storage_bucketed_join": [
+        "SortMergeJoin",
+        "Bucketed: true",
+        "!Exchange hashpartitioning(l_orderkey",
+        "!Exchange hashpartitioning(o_orderkey",
+    ],
 }
 
 # Kept by hand; prepended to the generated PLANS.md on every regeneration.
@@ -212,7 +220,13 @@ def main() -> int:
         # executed plan (with final codegen ids) lives on queryExecution
         executed = df._jdf.queryExecution().executedPlan().toString()
         plan += "\n== Executed (final adaptive) plan ==\n" + executed
-        missing = [s for s in EXPECT.get(name, []) if s not in plan]
+        # "!substr" = substring must NOT appear (negative assertion, e.g.
+        # "no exchange on the join key" for bucketed co-located joins)
+        missing = [
+            s
+            for s in EXPECT.get(name, [])
+            if ((s[1:] in plan) if s.startswith("!") else (s not in plan))
+        ]
         status = "OK" if not missing else f"MISSING {missing}"
         print(f"[{'PASS' if not missing else 'FAIL'}] {name:26s} {status}")
         failures += bool(missing)

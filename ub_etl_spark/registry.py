@@ -65,7 +65,9 @@ _LOADED = False
 #   agg_histogram_fixed_width, window_topk_per_group,
 #   dedup_source_priority, timeseries_multi_rollup,
 #   events_transition_counts, events_anomaly_mad,
-#   embedding_centroid_per_label.  Rotate these into the round-3 window in
+#   embedding_centroid_per_label, dedup_incremental_batch,
+#   stream_topk_trending, storage_dpp_join, multimodal_resize,
+#   timeseries_multi_rollup.  Rotate these into the round-3 window in
 #   place of whatever CORRECTNESS_r02 proves green.
 # Queries proven green by a prior round fall past position 50 safely.
 DRIVER_PRIORITY = [
