@@ -138,13 +138,16 @@ machine (min of 5, steady-state, shared session):
 | one shuffle under AQE (2 query-stage jobs + re-plan) | ~0.20-0.35 s |
 | any Python-touching plan (ArrowEvalPython / mapInPandas worker round-trip) | +0.15-0.25 s |
 
-DuckDB's mean oracle time across the 34 oracle'd headline queries is ~0.13 s
-— BELOW Spark's single-stage floor — so a >=2-3x ratio at this scale is the
-cost of the distributed execution machinery itself, not a plan defect.  With
-34 oracle'd queries the floor alone (34 x ~0.25 s ~= 8.5 s) exceeds 2x the
-DuckDB total (2 x 4.4 s), i.e. the 2x aggregate target is unreachable at
-sf0.1 by construction.  SCALING.md shows the same plans cost only 3.4-11.2x
-more at 100x the data — the floor amortizes; these plans win at scale.
+DuckDB's mean oracle time across the 39 oracle'd headline queries is
+~0.085 s — BELOW Spark's single-stage floor — so a >=2-3x ratio at this
+scale is the cost of the distributed execution machinery itself, not a plan
+defect.  With 39 oracle'd queries the floor alone (39 x ~0.25 s ~= 9.8 s)
+exceeds 2x the DuckDB total (2 x 3.3 s), i.e. the 2x aggregate target is
+unreachable at sf0.1 by construction.  SCALING.md shows the same plans cost
+only ~4-19x more at 100x the data — the floor amortizes; these plans win
+at scale.  The worst per-query ratios are consistently the CHEAPEST
+queries (join_broadcast 0.29 s vs 9 ms; multimodal_decode 0.34 s vs 12 ms;
+timeseries_multi_rollup 0.36 s vs 21 ms) — pure floor, audited plans.
 
 Bench methodology note: per-query time is the min over two full interleaved
 passes of the headline list (not back-to-back reps) — this VM shows
