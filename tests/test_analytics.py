@@ -281,3 +281,16 @@ def test_bucketed_join_has_no_exchange_on_key(spark, sf_dir):
     }
     got = {(r.o_orderstatus, r.n) for r in df.collect()}
     assert got == want
+
+
+def test_scd2_point_in_time_unique_version_per_probe(spark, sf_dir):
+    """Every probe row matches exactly one dim version (intervals
+    partition the timeline): output count equals the probe count, and
+    probe ts always falls inside its matched interval."""
+    from ub_etl_spark.queries.merge import dim_scd2_point_in_time
+
+    out = dim_scd2_point_in_time(spark, sf_dir)
+    n_probe = load_table(spark, sf_dir, "orders").count()
+    assert out.count() == n_probe
+    assert out.select("o_orderkey").distinct().count() == n_probe
+    assert out.filter(F.col("as_of_ts") < F.col("valid_from")).count() == 0

@@ -112,6 +112,9 @@ EXPECT = {
     # join-time dynamic partition pruning must inject a runtime pruning
     # predicate into the fact scan's PartitionFilters
     "storage_dpp_join": ["dynamicpruningexpression(event_type"],
+    # PIT join: shuffle on the dim key only; the interval predicate must
+    # ride as a join condition, never a nested loop
+    "dim_scd2_point_in_time": ["Join condition:", "Exchange hashpartitioning(o_custkey"],
     # bucketed co-located join: SortMergeJoin with NO exchange on the join
     # key — bucket i zips with bucket i straight off disk
     "storage_bucketed_join": [

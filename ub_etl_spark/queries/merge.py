@@ -194,3 +194,77 @@ def agg_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         (F.col("total_dec").cast("double") / F.col("n_events")).alias("avg_value"),
     )
+
+
+# B55: point-in-time (as-of) join against the SCD2 dimension — the query
+# the history table exists for: "which version was in effect for this
+# key at time T".  Equi-join on the dim key carries the one shuffle; the
+# validity-interval predicate rides as a join condition (each probe ts
+# falls in at most one [valid_from, valid_to) interval, so no fan-out).
+# Probe timestamps are order dates shifted +3 days, so they land both
+# inside and between version intervals.
+@register(
+    "dim_scd2_point_in_time",
+    tier="B",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+             LAG(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev
+      FROM orders
+    ), changes AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority
+      FROM ranked WHERE prev IS NULL OR prev <> o_orderpriority
+    ), dim AS (
+      SELECT o_custkey,
+             o_orderpriority,
+             o_orderdate AS valid_from,
+             LEAD(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS valid_to
+      FROM changes
+    )
+    SELECT p.o_orderkey, p.as_of_ts,
+           d.o_orderpriority AS effective_priority,
+           d.valid_from
+    FROM (
+      SELECT o_orderkey, o_custkey, o_orderdate + INTERVAL 3 DAY AS as_of_ts
+      FROM orders
+    ) p
+    JOIN dim d
+      ON p.o_custkey = d.o_custkey
+     AND p.as_of_ts >= d.valid_from
+     AND (d.valid_to IS NULL OR p.as_of_ts < d.valid_to)
+    """,
+)
+def dim_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    dim = M.scd2_history(
+        o,
+        keys=["o_custkey"],
+        tracked=["o_orderpriority"],
+        order_by=["o_orderdate", "o_orderkey"],
+        valid_from_col="o_orderdate",
+    ).select(
+        F.col("o_custkey").alias("d_custkey"),
+        F.col("o_orderpriority").alias("effective_priority"),
+        "valid_from",
+        "valid_to",
+    )
+    probe = o.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_orderdate") + F.make_dt_interval(days=F.lit(3))).alias("as_of_ts"),
+    )
+    return (
+        probe.join(
+            dim,
+            (probe.o_custkey == dim.d_custkey)
+            & (F.col("as_of_ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("as_of_ts") < F.col("valid_to"))),
+        )
+        .select("o_orderkey", "as_of_ts", "effective_priority", "valid_from")
+    )
