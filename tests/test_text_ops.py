@@ -65,3 +65,29 @@ def test_bpe_ish_token_count_monotone_in_length(spark):
     )
     assert short == 1
     assert long > short
+
+
+def test_pmi_ranks_true_collocation_over_independents(spark):
+    """A pair that always co-occurs scores higher PMI than a pair of
+    frequent-but-independent words."""
+    rows = []
+    for i in range(20):
+        rows.append((i, "new york " + ("the cat " if i % 2 else "a dog ") * 3))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import ub_etl_spark.queries.text as tmod
+
+    t_orig = tmod.T
+    tmod.T = lambda s, d, n: df  # noqa: E731
+    try:
+        out = {
+            (r.w1, r.w2): r.pmi
+            for r in tmod.text_collocation_pmi(spark, "x").collect()
+        }
+    finally:
+        tmod.T = t_orig
+    # "new york" is a perfect collocation (every 'new' precedes 'york');
+    # "the cat" repeats within docs but 'the'/'cat' are also adjacent to
+    # others across the corpus boundary-free construction, so PMI still
+    # ranks the exclusive pair at least as high
+    assert ("new", "york") in out
+    assert out[("new", "york")] == max(out.values())

@@ -206,3 +206,82 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint(F.col("text")).alias("fp"),
         bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
     )
+
+
+# B56: PMI-scored bigram collocations — the association-mining pass of
+# vocabulary/tokenizer analysis ("new york" vs "the the").  Three
+# aggregations over one tokenized scan (bigram counts, unigram counts,
+# scalar totals); the unigram table joins back twice on the word —
+# AQE broadcasts it while the vocab fits and shuffle-joins beyond.
+# PMI arithmetic runs in doubles with one canonical operation order on
+# both engines, ln floored at 6dp (the ulp-insensitive idiom tf-idf
+# established); min-support 5 and a deterministic top-100.
+@register(
+    "text_collocation_pmi",
+    tier="B",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+    ), pairs AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+    ), big AS (
+      SELECT w1, w2, COUNT(*) AS c_ab FROM pairs GROUP BY 1, 2
+    ), uni AS (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      ) GROUP BY 1
+    ), tot AS (
+      SELECT (SELECT SUM(c) FROM uni) AS n1, (SELECT SUM(c_ab) FROM big) AS n2
+    )
+    SELECT w1, w2, c_ab,
+           floor(ln(((CAST(c_ab AS DOUBLE) / n2)
+                     / ((CAST(a.c AS DOUBLE) / n1) * (CAST(b.c AS DOUBLE) / n1))))
+                 * 1000000) / 1000000 AS pmi
+    FROM big JOIN uni a ON big.w1 = a.w JOIN uni b ON big.w2 = b.w
+    CROSS JOIN tot
+    WHERE c_ab >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 100
+    """,
+)
+def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = d.select(toks.alias("__toks"))
+    pairs = (
+        base.select(F.posexplode("__toks").alias("__pos", "__tok"), F.col("__toks"))
+        .filter(F.col("__pos") <= F.size("__toks") - 2)
+        .select(
+            F.element_at("__toks", F.col("__pos") + 1).alias("w1"),
+            F.element_at("__toks", F.col("__pos") + 2).alias("w2"),
+        )
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = (
+        base.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("n1")).crossJoin(
+        big.agg(F.sum("c_ab").alias("n2"))
+    )
+    a = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    b = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    ratio = (F.col("c_ab").cast("double") / F.col("n2")) / (
+        (F.col("c_a").cast("double") / F.col("n1"))
+        * (F.col("c_b").cast("double") / F.col("n1"))
+    )
+    return (
+        big.join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("c_ab") >= 5)
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            (F.floor(F.log(ratio) * 1e6) / 1e6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(100)
+    )
