@@ -112,6 +112,11 @@ EXPECT = {
     # join-time dynamic partition pruning must inject a runtime pruning
     # predicate into the fact scan's PartitionFilters
     "storage_dpp_join": ["dynamicpruningexpression(event_type"],
+    # SQL front door: grouping sets plan the same Expand+agg as rollup;
+    # the correlated scalar subquery must decorrelate into an aggregate +
+    # join (never a per-row nested-loop re-execution)
+    "agg_grouping_sets_explicit": ["Expand", "HashAggregate"],
+    "scalar_subquery_correlated": ["HashAggregate", "!BroadcastNestedLoopJoin"],
     # PIT join: shuffle on the dim key only; the interval predicate must
     # ride as a join condition, never a nested loop
     "dim_scd2_point_in_time": ["Join condition:", "Exchange hashpartitioning(o_custkey"],

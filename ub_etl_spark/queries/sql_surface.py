@@ -1,0 +1,82 @@
+"""Spark SQL API surface (SURVEY.md §2 B57-B58): queries expressed as
+`spark.sql(...)` over registered temp views — the same Catalyst plans as
+the DataFrame API, proving the engine's SQL front door works end-to-end.
+
+Two shapes the DataFrame-API inventory doesn't already cover:
+  - explicit GROUPING SETS (non-hierarchical — rollup/cube only express
+    nested lattices),
+  - a correlated scalar subquery, which Catalyst decorrelates into an
+    aggregate + left outer join (never a per-row re-execution — the
+    RewriteCorrelatedScalarSubquery rule; audited: no nested loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ub_etl_spark.registry import register
+from ub_etl_spark.sources.tables import register_views
+
+
+# B57: arbitrary grouping sets — (status) and (priority) side by side,
+# which ROLLUP/CUBE cannot express (they generate nested/full lattices).
+# One Expand + one hash aggregation, same physical shape as rollup.
+@register(
+    "agg_grouping_sets_explicit",
+    tier="B",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR((o_totalprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR((o_totalprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+# B58: correlated scalar subquery — "orders whose total is more than 3x
+# the exact average line price of their own lineitems".  Catalyst
+# rewrites the per-row subquery into a grouped aggregate joined back on
+# the correlation key; the audit pins the decorrelated HashAggregate +
+# join and the absence of any nested-loop execution.
+@register(
+    "scalar_subquery_correlated",
+    tier="B",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 3 * (
+      SELECT CAST(SUM(CAST(FLOOR((l.l_extendedprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 / COUNT(l.l_extendedprice)
+      FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+    )
+    """,
+)
+def scalar_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 3 * (
+          SELECT CAST(SUM(CAST(FLOOR((l.l_extendedprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 100.0 / COUNT(l.l_extendedprice)
+          FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        )
+        """
+    )

@@ -148,6 +148,7 @@ def load_all() -> dict[str, QuerySpec]:
             relational,
             similarity,
             sketches,
+            sql_surface,
             storage_io,
             streaming_batch,
             text,
