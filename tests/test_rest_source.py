@@ -32,9 +32,13 @@ class StubHandler(BaseHTTPRequestHandler):
             self.end_headers()
             return
         base = (page - 1) * size
-        results = [
-            {"rec_id": base + i, "name": f"r{base + i}"} for i in range(size)
-        ]
+        # pages beyond the dataset are empty with no next link — the shape
+        # a drained API reports, and what pins the streaming offset
+        results = (
+            [{"rec_id": base + i, "name": f"r{base + i}"} for i in range(size)]
+            if page <= N_PAGES
+            else []
+        )
         nxt = None if page >= N_PAGES else f"?page={page + 1}&page_size={size}"
         body = json.dumps({"next": nxt, "results": results}).encode()
         self.send_response(200)
@@ -133,3 +137,40 @@ def test_rest_source_cursor_chain_request_cap(spark, stub_url):
         .load()
     )
     assert df.count() == 2 * PAGE_SIZE
+
+
+def test_rest_stream_restarts_resume_from_checkpoint(spark, stub_url, tmp_path):
+    """Streaming REST source: each availableNow start processes the next
+    prefetched page window from the checkpointed offset; restarting the
+    query resumes where the last run committed, every record lands
+    exactly once, and the offset pins on the drained (empty) page so
+    later runs are no-ops."""
+    spark.dataSource.register(RestPaginatedDataSource)
+    sdf = (
+        spark.readStream.format("rest_paginated")
+        .schema("rec_id long, name string")
+        .option("url", stub_url)
+        .option("page_size", PAGE_SIZE)
+        .option("pages_per_batch", 3)
+        .load()
+    )
+    got: list[int] = []
+    n_nonempty: list[int] = []
+
+    def sink(df, batch_id):
+        rows = df.collect()
+        if rows:
+            n_nonempty.append(batch_id)
+        got.extend(r.rec_id for r in rows)
+
+    for _ in range(5):  # 7 pages / 3 per batch -> 3 productive runs
+        q = (
+            sdf.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    assert sorted(got) == list(range(N_PAGES * PAGE_SIZE))
+    assert len(got) == len(set(got))  # exactly once across restarts
+    assert len(n_nonempty) >= 3  # really incremental, not one giant pull

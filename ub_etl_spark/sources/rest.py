@@ -27,6 +27,14 @@ Registration:
           .option("partitions", 8)         # page-ranges fetched in parallel
           .load())
 
+Streaming (`spark.readStream.format("rest_paginated")`): a
+SimpleDataSourceStreamReader whose checkpointed offset IS the page
+cursor — each micro-batch pulls `pages_per_batch` pages, recovery
+replays the exact page window (readBetweenOffsets), and the offset pins
+when the API drains so `trigger(availableNow)` terminates.  This is the
+Spark-native form of the reference's incremental-refresh contract
+(README.md:156-163) feeding the idempotent merge sinks (A10/A11).
+
 Cursor mode (`.option("mode", "cursor")`): for APIs whose `next` is an
 opaque token/URL rather than a page number.  One InputPartition (cursor
 chains are inherently serial — each response reveals the next URL);
@@ -45,7 +53,12 @@ import urllib.error
 import urllib.request
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 RETRYABLE_STATUSES = {429, 503, 524}  # scripts/user_course_activity.py:165-178
 
@@ -156,6 +169,70 @@ class RestPaginatedReader(DataSourceReader):
                 yield tuple(rec.get(f) for f in fields)
 
 
+class RestStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch incremental REST ingestion — the Spark-native shape of
+    the reference's refresh contract (README.md:156-163): each trigger
+    pulls the next `pages_per_batch` pages, the page cursor IS the
+    checkpointed offset, and failure recovery replays the exact page
+    window via readBetweenOffsets (deterministic: page-addressed APIs
+    return the same window for the same offsets — exactly-once lands on
+    the idempotent sink, A10/A17).
+
+    When a page reports no `next` link the offset stops advancing, so
+    `trigger(availableNow=True)` drains the API and terminates — the
+    batch-job usage — while a processing-time trigger keeps polling for
+    newly published pages (the incremental-refresh usage, A18).
+    """
+
+    def __init__(self, schema, options):
+        self.schema_ = schema
+        self.url = options["url"]
+        self.page_size = int(options.get("page_size", 20))
+        self.pages_per_batch = int(options.get("pages_per_batch", 10))
+        self.timeout = float(options.get("timeout", 10.0))
+        self.max_retries = int(options.get("max_retries", 3))
+        self.backoff_s = float(options.get("backoff_s", 0.1))
+        self.results_key = options.get("results_key", "results")
+        self.next_key = options.get("next_key", "next")
+
+    def initialOffset(self) -> dict:
+        return {"page": 1}
+
+    def _fetch_page(self, page: int):
+        sep = "&" if "?" in self.url else "?"
+        url = f"{self.url}{sep}page={page}&page_size={self.page_size}"
+        return fetch_json(url, self.timeout, self.max_retries, self.backoff_s)
+
+    def read(self, start: dict):
+        fields = [f.name for f in self.schema_.fields]
+        first = start["page"]
+        rows: list[tuple] = []
+        page = first
+        while page < first + self.pages_per_batch:
+            data = self._fetch_page(page)
+            recs = data.get(self.results_key, [])
+            if not recs and not data.get(self.next_key):
+                # drained: do NOT consume this page — the offset pins here,
+                # which is what lets trigger(availableNow) terminate and a
+                # processing-time trigger pick up pages published later
+                break
+            rows.extend(tuple(rec.get(f) for f in fields) for rec in recs)
+            page += 1
+            if not data.get(self.next_key):
+                break
+        if page == first:
+            return iter(()), start
+        return iter(rows), {"page": page}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        """Deterministic replay of [start.page, end.page) after recovery."""
+        fields = [f.name for f in self.schema_.fields]
+        for page in range(start["page"], end["page"]):
+            data = self._fetch_page(page)
+            for rec in data.get(self.results_key, []):
+                yield tuple(rec.get(f) for f in fields)
+
+
 class RestPaginatedDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -163,3 +240,6 @@ class RestPaginatedDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return RestPaginatedReader(schema, self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return RestStreamReader(schema, self.options)
