@@ -234,13 +234,13 @@ def main() -> int:
         # "!substr" = substring must NOT appear (negative assertion, e.g.
         # "no exchange on the join key" for bucketed co-located joins)
         missing = [
-            s
-            for s in EXPECT.get(name, [])
-            if ((s[1:] in plan) if s.startswith("!") else (s not in plan))
+            s for s in EXPECT.get(name, []) if not s.startswith("!") and s not in plan
         ]
-        status = "OK" if not missing else f"MISSING {missing}"
-        print(f"[{'PASS' if not missing else 'FAIL'}] {name:26s} {status}")
-        failures += bool(missing)
+        present = [s[1:] for s in EXPECT.get(name, []) if s.startswith("!") and s[1:] in plan]
+        bad = missing + [f"PRESENT(must be absent): {s}" for s in present]
+        status = "OK" if not bad else f"MISSING {missing}" if not present else f"BAD {bad}"
+        print(f"[{'PASS' if not bad else 'FAIL'}] {name:26s} {status}")
+        failures += bool(bad)
         out.append(f"\n## {name}\n\n```\n{plan}\n```\n")
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("".join(out))

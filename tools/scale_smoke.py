@@ -25,6 +25,7 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F  # noqa: E402
 
 from ub_etl_spark.functions.exact import cents, cents_disc, csum  # noqa: E402
+from ub_etl_spark.functions.exact import cavg as _cavg  # noqa: E402
 from ub_etl_spark.session import get_spark  # noqa: E402
 
 
@@ -190,9 +191,7 @@ def corpus_queries(spark, d: str):
             "label", F.posexplode("embedding").alias("pos", "val")
         )
         .groupBy("label", "pos")
-        .agg(
-            (F.sum(F.floor(F.col("val").cast("double") * 1e6 + F.lit(0.5)).cast("long")) / 1e6 / F.count(F.lit(1))).alias("c")
-        ),
+        .agg(_cavg(F.col("val").cast("double"), "c", scale=6)),
     }
 
 

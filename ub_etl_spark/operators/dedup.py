@@ -261,7 +261,11 @@ def minhash_lsh_pairs(
             (common / (F.col("n_a") + F.col("n_b") - common)).alias("jaccard"),
         )
     )
-    return verified.filter(F.col("jaccard") >= threshold)
+    # jaccard > 0 preserves the pre-rewrite invariant that zero-overlap
+    # band collisions never reach the output (the old inner shingle-join
+    # dropped them structurally), even when a caller passes threshold <= 0
+    # to mean "all verified candidates with scores"
+    return verified.filter((F.col("jaccard") >= threshold) & (F.col("jaccard") > 0))
 
 
 def connected_components(

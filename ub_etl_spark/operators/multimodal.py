@@ -47,8 +47,11 @@ def with_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _fake_dims(n_bytes: int) -> tuple[int, int, int]:
-    """Deterministic stand-in for decoded media dimensions."""
-    return n_bytes % 640, n_bytes % 480, n_bytes % 30 + 1
+    """Deterministic stand-in for decoded media dimensions.  Width and
+    height floor at 1 (a decoded image can't be 0-wide) so every consumer
+    of the fake geometry — decode, resize scale factors — agrees on the
+    same well-defined values."""
+    return max(n_bytes % 640, 1), max(n_bytes % 480, 1), n_bytes % 30 + 1
 
 
 def decode_features(df: DataFrame, fake: bool = True) -> DataFrame:
@@ -72,8 +75,8 @@ def decode_features(df: DataFrame, fake: bool = True) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": n_bytes.astype("int64"),
-                    "width": (n_bytes % 640).astype("int64"),
-                    "height": (n_bytes % 480).astype("int64"),
+                    "width": (n_bytes % 640).clip(lower=1).astype("int64"),
+                    "height": (n_bytes % 480).clip(lower=1).astype("int64"),
                     "n_frames": (n_bytes % 30 + 1).astype("int64"),
                 }
             )

@@ -104,8 +104,9 @@ def survivorship_dedup(
     survivor being the lowest `rank` (most trusted source), tie-broken by
     id.  Same 8-byte xxhash64 shuffle key as dedup_normalized_exact; the
     pick is a single deterministic min_by over a composite long ordinal
-    (rank * 2^33 + id — unique as long as ids stay under 2^33; widen the
-    shift for larger id spaces).  Plan note: min_by over a string value
+    (rank * 2^33 + id — unique as long as ids stay under 2^33 AND ranks
+    under 2^30; beyond either bound the long product wraps, so widen to
+    a struct ordering or re-shift for larger spaces).  Plan note: min_by over a string value
     buffers a non-primitive, so Spark plans SortAggregate rather than
     HashAggregate — still with partial_min_by map-side combine, so the
     exchange carries one row per (partition, group); the extra cost vs a

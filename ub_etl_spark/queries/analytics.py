@@ -208,7 +208,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name", "c_custkey")
-        .agg((F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")) / 100.0).alias("revenue"))
+        .agg(csum("o_totalprice", "revenue"))
     )
     w = W.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("c_custkey"))
     return (

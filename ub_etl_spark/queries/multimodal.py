@@ -43,8 +43,8 @@ def multimodal_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
-           CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height,
+           CAST(GREATEST(octet_length(encode(text)) % 640, 1) AS BIGINT) AS width,
+           CAST(GREATEST(octet_length(encode(text)) % 480, 1) AS BIGINT) AS height,
            CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS n_frames
     FROM documents
     """,

@@ -400,15 +400,17 @@ def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def storage_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate only the partitions a runtime-filtered dim selects.
-    The partitioned copy is written once per (tmpdir, sf) and reused —
-    DPP's usage shape is many queries over one layout."""
+    Fixed path wiped on entry (sibling idiom, storage_partitioned_write):
+    an existence-checked cache keyed on the sf basename would silently
+    serve stale data when the source regenerates, and two concurrent
+    first runs could race-write the same path."""
     path = os.path.join(
         tempfile.gettempdir(),
         f"ub_etl_spark_dpp_events_{os.path.basename(sf_dir.rstrip('/'))}",
     )
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        e = T(spark, sf_dir, "events").select("event_id", "value", "event_type")
-        e.write.partitionBy("event_type").mode("overwrite").parquet(path)
+    shutil.rmtree(path, ignore_errors=True)
+    e = T(spark, sf_dir, "events").select("event_id", "value", "event_type")
+    e.write.partitionBy("event_type").mode("overwrite").parquet(path)
     fact = spark.read.parquet(path)
     n = T(spark, sf_dir, "nation")
     dim = (

@@ -112,19 +112,19 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    # exact-microsecond gap (cast-to-long would truncate subseconds and
-    # disagree with interval arithmetic).  events.ts arrives as
-    # TIMESTAMP_NTZ (Spark 4.1 reads parquet TIMESTAMP(NANOS) natively as
-    # NTZ — see sources/tables.py); unix_micros requires TIMESTAMP, so cast
-    # first.  The NTZ->LTZ cast applies the session timezone as a constant
-    # offset, which cancels in the lag difference — the gap is tz-invariant.
-    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    gap_us = ts_us - F.lag(ts_us).over(w)
+    # gap as a day-time INTERVAL (ts - lag(ts)), exactly the oracle's
+    # formulation: wall-clock arithmetic on the NTZ values, independent of
+    # the session timezone.  (An NTZ->LTZ cast + unix_micros would be
+    # DST-dependent in non-UTC sessions: two wall-clock times 25 min apart
+    # straddling a fall-back transition are 85 epoch-minutes apart.)
+    gap = F.col("ts") - F.lag(F.col("ts")).over(w)
     with_new = e.select(
         "user_id",
         "ts",
         "event_id",
-        F.when(gap_us <= 30 * 60 * 1_000_000, F.lit(0)).otherwise(F.lit(1)).alias("is_new"),
+        F.when(gap <= F.expr("INTERVAL 30 MINUTES"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("is_new"),
     )
     with_sid = with_new.select(
         "user_id",
