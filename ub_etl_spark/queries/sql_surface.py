@@ -80,3 +80,33 @@ def scalar_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# B60: ANSI fail-soft arithmetic — this engine runs ANSI mode (division
+# by zero / bad casts ERROR, matching the reference's psycopg2 type
+# strictness, SURVEY A13); try_cast / try_divide are the per-expression
+# opt-outs that turn corrupt cells into NULLs instead of failing a
+# 100 TB job at row 9 billion.  Oracle mirrors with TRY_CAST and
+# NULLIF-guarded division (identical semantics).
+@register(
+    "scalar_try_safe",
+    tier="B",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           TRY_CAST(event_type AS INTEGER) AS bad_int,
+           value / NULLIF(event_id % 5, 0) AS safe_ratio
+    FROM events
+    """,
+)
+def scalar_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_id,
+               TRY_CAST(get_json_object(props, '$.k') AS INT) AS k_int,
+               TRY_CAST(event_type AS INT) AS bad_int,
+               TRY_DIVIDE(value, event_id % 5) AS safe_ratio
+        FROM events
+        """
+    )
