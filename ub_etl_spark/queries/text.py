@@ -285,3 +285,34 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(100)
     )
+
+
+# B61: inverted-index build — term -> sorted posting list of doc ids,
+# the search-index construction pass.  One distinct on (doc_id, term)
+# then one aggregation; posting arrays only travel the term-keyed
+# exchange.  At 100 TB stop-word terms produce |corpus|-sized postings:
+# the scale levers are a document-frequency cap (drop terms above a df
+# ceiling before collecting) and delta/bitmap-encoding the lists —
+# named here, not needed at test scale.
+@register(
+    "text_inverted_index",
+    tier="B",
+    oracle="""
+    SELECT term, list_sort(list(doc_id)) AS postings, COUNT(*) AS df
+    FROM (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ) t
+    GROUP BY term
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .distinct()
+    )
+    return tok.groupBy("term").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        F.count(F.lit(1)).alias("df"),
+    )
