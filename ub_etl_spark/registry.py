@@ -67,8 +67,11 @@ _LOADED = False
 #   events_transition_counts, events_anomaly_mad,
 #   embedding_centroid_per_label, dedup_incremental_batch,
 #   stream_topk_trending, storage_dpp_join, multimodal_resize,
-#   timeseries_multi_rollup.  Rotate these into the round-3 window in
-#   place of whatever CORRECTNESS_r02 proves green.
+#   timeseries_multi_rollup, storage_bucketed_join, dim_scd2_point_in_time,
+#   text_collocation_pmi, agg_grouping_sets_explicit,
+#   scalar_subquery_correlated, scalar_try_safe, text_inverted_index.
+#   Rotate these into the round-3 window in place of whatever
+#   CORRECTNESS_r02 proves green.
 # Queries proven green by a prior round fall past position 50 safely.
 DRIVER_PRIORITY = [
     # changed since their round-1 row — re-prove under the driver gate
