@@ -294,3 +294,31 @@ def test_scd2_point_in_time_unique_version_per_probe(spark, sf_dir):
     assert out.count() == n_probe
     assert out.select("o_orderkey").distinct().count() == n_probe
     assert out.filter(F.col("as_of_ts") < F.col("valid_from")).count() == 0
+
+
+def test_bloom_prefilter_never_drops_matches_and_prunes(spark, sf_dir):
+    """Bloom probe keeps every true match (no false negatives) while
+    pruning a meaningful fraction of non-matching fact rows before the
+    join; end-to-end results equal the plain semi join."""
+    from ub_etl_spark.operators.bloom import bloom_build, bloom_might_contain
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F")
+    )
+    bitmap = bloom_build(o, F.col("o_orderkey"))
+    pruned = li.filter(bloom_might_contain(bitmap, F.col("l_orderkey")))
+    exact = li.join(
+        o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_semi"
+    )
+    n_all, n_pruned, n_exact = li.count(), pruned.count(), exact.count()
+    # no false negatives: every exact match survives the bloom
+    assert (
+        pruned.join(
+            o.select("o_orderkey"), pruned.l_orderkey == F.col("o_orderkey"), "left_semi"
+        ).count()
+        == n_exact
+    )
+    # real pruning: the bloom removed most non-matching rows
+    assert n_pruned < n_all
+    assert n_pruned - n_exact < 0.05 * n_all  # false-positive fraction small

@@ -420,3 +420,40 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         "day", "event_type", "n", F.row_number().over(w).alias("rn")
     ).filter(F.col("rn") <= 3)
+
+
+# B62: Bloom-prefiltered semi join — the runtime-filter pattern made
+# explicit.  A KB-sized bitmap built from the selective side in one
+# bit_or aggregation prunes the fact scan BEFORE the join shuffle (pure
+# codegen probe, no false negatives); the exact semi join then removes
+# the bloom's false positives, so the result is exact and the oracle is
+# the plain IN-subquery.
+@register(
+    "join_bloom_prefilter",
+    tier="B",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           SUM(CAST(FLOOR((l_extendedprice) * 100 + 0.5) AS BIGINT)) / 100.0
+             AS total
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+    )
+    GROUP BY 1
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ub_etl_spark.operators.bloom import bloom_build, bloom_might_contain
+
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F")
+    )
+    bitmap = bloom_build(o, F.col("o_orderkey"))
+    pruned = li.filter(bloom_might_contain(bitmap, F.col("l_orderkey")))
+    return (
+        pruned.join(o.select("o_orderkey"), pruned.l_orderkey == F.col("o_orderkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), csum("l_extendedprice", "total"))
+    )
