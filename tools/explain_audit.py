@@ -112,6 +112,15 @@ EXPECT = {
     # join-time dynamic partition pruning must inject a runtime pruning
     # predicate into the fact scan's PartitionFilters
     "storage_dpp_join": ["dynamicpruningexpression(event_type"],
+    # PMI: unigram side joins back twice; deterministic top-100 plans
+    # TakeOrderedAndProject, never a full sort
+    "text_collocation_pmi": ["TakeOrderedAndProject", "HashAggregate", "Generate"],
+    # posting-list build: distinct + term-keyed agg, generate stays codegen
+    "text_inverted_index": ["HashAggregate", "Generate", "codegen id :"],
+    # bloom prefilter: the probe must run as a codegen Filter BEFORE the
+    # semi join (prune-then-join, not join-then-prune)
+    "join_bloom_prefilter": ["LeftSemi", "getbit", "codegen id :"],
+    "scalar_try_safe": ["codegen id :"],
     # SQL front door: grouping sets plan the same Expand+agg as rollup;
     # the correlated scalar subquery must decorrelate into an aggregate +
     # join (never a per-row nested-loop re-execution)
