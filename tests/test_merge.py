@@ -200,3 +200,27 @@ def test_merge_agg_state_equals_full_recompute_any_split(spark):
         )
         got = {(r.k, float(r.s), r.n, r.mx) for r in merged.collect()}
         assert got == full, f"split at {split} diverged"
+
+
+def test_cdc_apply_semantics(spark, sf_dir):
+    """Delete keys vanish, update keys carry the new value, insert keys
+    appear, untouched base keys pass through unchanged."""
+    from pyspark.sql import functions as F
+
+    from ub_etl_spark.queries.merge import cdc_apply_changes
+    from ub_etl_spark.sources.tables import load_table
+
+    out = {r.o_orderkey: r.o_totalprice for r in cdc_apply_changes(spark, sf_dir).collect()}
+    orders = {
+        r.o_orderkey: r.o_totalprice
+        for r in load_table(spark, sf_dir, "orders").collect()
+    }
+    for k, v in orders.items():
+        if k % 8 == 0:
+            assert k not in out  # latest op is D
+        elif k % 4 == 0:
+            assert abs(out[k] - (v + 5)) < 1e-9  # updated
+        elif k % 2 == 1:
+            assert out[k] == v  # inserted
+        else:
+            assert out[k] == v  # untouched base

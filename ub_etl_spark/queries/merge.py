@@ -268,3 +268,70 @@ def dim_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "as_of_ts", "effective_priority", "valid_from")
     )
+
+
+# B63: CDC apply — merge an ordered change feed (I/U/D per key, seq
+# order) onto a base snapshot: the changefeed-consumption twin of A11's
+# upsert (which has no deletes).  Latest change per key wins (one keyed
+# window), deletes drop the key, inserts/updates replace the row; one
+# shuffle on the key for the window + co-keyed anti-join/union.  The
+# feed and base both derive deterministically from orders so the whole
+# apply is value-checked.
+@register(
+    "cdc_apply_changes",
+    tier="B",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    ), changes AS (
+      SELECT o_orderkey, 'U' AS op,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 5 AS DOUBLE) AS o_totalprice,
+             1 AS seq
+      FROM orders WHERE o_orderkey % 4 = 0
+      UNION ALL
+      SELECT o_orderkey, 'D', NULL, 2 FROM orders WHERE o_orderkey % 8 = 0
+      UNION ALL
+      SELECT o_orderkey, 'I', o_totalprice, 1 FROM orders WHERE o_orderkey % 2 = 1
+    ), latest AS (
+      SELECT o_orderkey, op, o_totalprice FROM (
+        SELECT c.*, ROW_NUMBER() OVER (
+          PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        FROM changes c
+      ) t WHERE rn = 1
+    )
+    SELECT o_orderkey, o_totalprice FROM latest WHERE op IN ('I', 'U')
+    UNION ALL
+    SELECT b.o_orderkey, b.o_totalprice FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.o_orderkey = b.o_orderkey)
+    """,
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    o = T(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    upd = o.filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice").cast("decimal(18,2)") + 5).cast("double").alias("o_totalprice"),
+        F.lit(1).alias("seq"),
+    )
+    dele = o.filter(F.col("o_orderkey") % 8 == 0).select(
+        "o_orderkey", F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("o_totalprice"), F.lit(2).alias("seq"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", F.lit("I").alias("op"), "o_totalprice", F.lit(1).alias("seq")
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    w = W.partitionBy("o_orderkey").orderBy(F.desc("seq"))
+    latest = (
+        changes.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "seq")
+    )
+    survivors = latest.filter(F.col("op").isin("I", "U")).select(
+        "o_orderkey", "o_totalprice"
+    )
+    untouched = base.join(latest.select("o_orderkey"), "o_orderkey", "left_anti")
+    return survivors.unionByName(untouched)
