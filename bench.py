@@ -71,8 +71,10 @@ HEADLINE = [
     "events_retention_cohort",
     "timeseries_multi_rollup",
     "embedding_centroid_per_label",
-    # write-once layouts: pass 1 pays the bucketed/SCD2 build, the
-    # reported min is the steady-state read-side join
+    # storage_bucketed_join: pass 1 pays the bucketed-table write (session
+    # catalog caches it), so the reported min is the read-side co-located
+    # join.  dim_scd2_point_in_time recomputes the SCD2 dim every pass —
+    # its number IS the full dim-build + PIT-join cost.
     "storage_bucketed_join",
     "dim_scd2_point_in_time",
 ]

@@ -210,11 +210,18 @@ def test_cdc_apply_semantics(spark, sf_dir):
     from ub_etl_spark.queries.merge import cdc_apply_changes
     from ub_etl_spark.sources.tables import load_table
 
-    out = {r.o_orderkey: r.o_totalprice for r in cdc_apply_changes(spark, sf_dir).collect()}
+    rows = cdc_apply_changes(spark, sf_dir).collect()
+    out = {r.o_orderkey: r.o_totalprice for r in rows}
+    assert len(rows) == len(out)  # exactly one output row per key
     orders = {
         r.o_orderkey: r.o_totalprice
         for r in load_table(spark, sf_dir, "orders").collect()
     }
+    # total-count identity: base evens minus deletes plus inserts
+    expected = sum(
+        1 for k in orders if (k % 2 == 0 and k % 8 != 0) or k % 2 == 1
+    )
+    assert len(rows) == expected
     for k, v in orders.items():
         if k % 8 == 0:
             assert k not in out  # latest op is D

@@ -120,7 +120,9 @@ EXPECT = {
     # bloom prefilter: the probe must run as a codegen Filter BEFORE the
     # semi join (prune-then-join, not join-then-prune)
     "join_bloom_prefilter": ["LeftSemi", "getbit", "codegen id :"],
-    "scalar_try_safe": ["codegen id :"],
+    # try_cast must stay in the single codegen projection (renders
+    # literally as try_cast(...) inside the *(1) Project span)
+    "scalar_try_safe": ["try_cast(event_type", "*(1) Project"],
     # SQL front door: grouping sets plan the same Expand+agg as rollup;
     # the correlated scalar subquery must decorrelate into an aggregate +
     # join (never a per-row nested-loop re-execution)

@@ -3,8 +3,9 @@
 The runtime-filter pattern made explicit from public primitives (Spark's
 internal bloom_filter_agg is not exposed to the Python function
 registry): the build side's keys hash to k bit positions, ONE bit_or
-aggregation folds them into a (m/64)-word bitmap — the shuffle carries
-at most m/64 rows — and the driver collects only that KB-sized bitmap
+aggregation folds them into a (m/64)-word bitmap — the exchange carries
+per-map-task partials, n_map_tasks x m/64 word rows at most — and the
+driver collects only that KB-sized bitmap
 (metadata, like IVF centroids) to inline it as a literal probe
 expression on the big side.  The probe is pure codegen (element_at +
 getbit), prunes before any join shuffle, and can never produce a false
@@ -32,8 +33,11 @@ def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
 def bloom_build(df: DataFrame, key: Column, m_bits: int = 1 << 16, k: int = 5) -> list[int]:
     """One aggregation -> dense bitmap as a Python list of m_bits/64 longs.
 
-    Shuffle volume: at most m_bits/64 rows (word index -> OR of masks);
-    the collect moves only the bitmap (8 KB at the default m), never data.
+    Shuffle volume: map-side partial bit_or emits at most m_bits/64 rows
+    PER MAP TASK, so the exchange carries up to n_map_partitions x
+    m_bits/64 word rows (8 KB per task at the default m) — still
+    metadata-sized next to the data it prunes; the collect moves only
+    the final bitmap.
     """
     n_words = m_bits // 64
     words = (
@@ -52,11 +56,14 @@ def bloom_build(df: DataFrame, key: Column, m_bits: int = 1 << 16, k: int = 5) -
     return bitmap
 
 
-def bloom_might_contain(
-    bitmap: list[int], key: Column, m_bits: int = 1 << 16, k: int = 5
-) -> Column:
+def bloom_might_contain(bitmap: list[int], key: Column, k: int = 5) -> Column:
     """Codegen probe: AND over the k bit tests against the literal bitmap.
-    Guaranteed no false negatives (same hash family as bloom_build)."""
+    Guaranteed no false negatives as long as k matches the build: m_bits
+    is DERIVED from the bitmap length (a separately-passed m that
+    disagreed with the build would hash positions modulo the wrong m and
+    silently drop true matches — the one mismatch the exact join after
+    the probe could never repair)."""
+    m_bits = len(bitmap) * 64
     lit_map = F.array(*[F.lit(w) for w in bitmap])
     cond = F.lit(True)
     for p in _positions(key, m_bits, k):
