@@ -70,8 +70,8 @@ _LOADED = False
 #   timeseries_multi_rollup, storage_bucketed_join, dim_scd2_point_in_time,
 #   text_collocation_pmi, agg_grouping_sets_explicit,
 #   scalar_subquery_correlated, scalar_try_safe, text_inverted_index,
-#   join_bloom_prefilter.  Rotate these into the round-3 window in place
-#   of whatever CORRECTNESS_r02 proves green.
+#   join_bloom_prefilter, cdc_apply_changes.  Rotate these into the
+#   round-3 window in place of whatever CORRECTNESS_r02 proves green.
 # Queries proven green by a prior round fall past position 50 safely.
 DRIVER_PRIORITY = [
     # changed since their round-1 row — re-prove under the driver gate
