@@ -431,3 +431,75 @@ def json_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p")["k"].alias("k"),
         F.col("p")["_corrupt_record"].isNull().alias("is_valid"),
     )
+
+
+# B64: value-positional window functions — first/last/nth over a full
+# frame, completing the window family (rank Q9, analytic/lag Q10,
+# frames/ntile in extras).  Raw doubles pass through unaggregated, so
+# values are engine-identical without quantization.
+@register(
+    "window_value_functions",
+    tier="Q",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           first_value(o_totalprice) OVER w AS first_total,
+           last_value(o_totalprice) OVER w AS last_total,
+           nth_value(o_totalprice, 3) OVER w AS third_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy("o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.first("o_totalprice").over(w).alias("first_total"),
+        F.last("o_totalprice").over(w).alias("last_total"),
+        F.nth_value("o_totalprice", 3).over(w).alias("third_total"),
+    )
+
+
+# B65: advanced array functions — sequence generation, element-wise
+# transform/zip_with, flatten, position — the remaining members of the
+# Q17 array family.  All interpreted HOFs, acceptable for a map-only
+# projection (the corpus-scale operators use codegen formulations; this
+# query is the API-surface proof, and its cost is one narrow pass).
+@register(
+    "array_advanced_funcs",
+    tier="Q",
+    oracle="""
+    SELECT o_orderkey,
+           seq,
+           list_transform(seq, x -> x * 2) AS doubled,
+           flatten([seq, list_transform(seq, x -> x * 2)]) AS flat,
+           CAST(list_position(flatten([seq, list_transform(seq, x -> x * 2)]), 2)
+                AS BIGINT) AS pos2,
+           list_transform(generate_series(1, len(seq)),
+                          i -> seq[i] + 2 * seq[i]) AS zsum
+    FROM (
+      SELECT o_orderkey, generate_series(1, CAST(o_orderkey % 5 + 1 AS INT)) AS seq
+      FROM orders
+    ) t
+    """,
+)
+def array_advanced_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    seq = F.sequence(F.lit(1), (F.col("o_orderkey") % 5 + 1).cast("int"))
+    base = o.select("o_orderkey", seq.alias("seq"))
+    doubled = F.transform(F.col("seq"), lambda x: x * 2)
+    flat = F.flatten(F.array(F.col("seq"), doubled))
+    return base.select(
+        "o_orderkey",
+        "seq",
+        doubled.alias("doubled"),
+        flat.alias("flat"),
+        F.array_position(flat, 2).alias("pos2"),
+        F.zip_with(F.col("seq"), doubled, lambda x, y: x + y).alias("zsum"),
+    )
