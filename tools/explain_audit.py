@@ -158,11 +158,11 @@ machine (min of 5, steady-state, shared session):
 | one shuffle under AQE (2 query-stage jobs + re-plan) | ~0.20-0.35 s |
 | any Python-touching plan (ArrowEvalPython / mapInPandas worker round-trip) | +0.15-0.25 s |
 
-DuckDB's mean oracle time across the 39 oracle'd headline queries is
+DuckDB's mean oracle time across the 41 oracle'd headline queries is
 ~0.085 s — BELOW Spark's single-stage floor — so a >=2-3x ratio at this
 scale is the cost of the distributed execution machinery itself, not a plan
-defect.  With 39 oracle'd queries the floor alone (39 x ~0.25 s ~= 9.8 s)
-exceeds 2x the DuckDB total (2 x 3.3 s), i.e. the 2x aggregate target is
+defect.  With 41 oracle'd queries the floor alone (41 x ~0.25 s ~= 10.3 s)
+exceeds 2x the DuckDB total (2 x 3.6 s), i.e. the 2x aggregate target is
 unreachable at sf0.1 by construction.  SCALING.md shows the same plans cost
 only ~4-19x more at 100x the data — the floor amortizes; these plans win
 at scale.  The worst per-query ratios are consistently the CHEAPEST
