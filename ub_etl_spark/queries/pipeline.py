@@ -160,3 +160,85 @@ def pipeline_course_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bridge("course_categories", "categories", "category_id"))
         .unionByName(bridge("course_subcategories", "subcategories", "subcategory_id"))
     )
+
+
+# A11/A12/A18 end-to-end: the reference's SECOND job
+# (scripts/user_course_activity.py) under the driver hash, like
+# pipeline_course_normalize covers the first.  A deterministic two-
+# generation fixture runs the full typed-facts + latest-wins-merge
+# pipeline: ISO-8601 'Z' strings parse with null-through (A12), the
+# newer generation's row wins per (user_id, course_id) (A11), and
+# batch-only keys insert (A18's incremental contract).
+@register(
+    "pipeline_user_activity",
+    tier="A",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 101, CAST(0.8 AS DOUBLE), TIMESTAMP '2024-01-05 09:30:00',
+                    TIMESTAMP '2024-02-01 10:00:00'),
+      (2, 101, CAST(0.3 AS DOUBLE), CAST(NULL AS TIMESTAMP),
+                    TIMESTAMP '2024-01-02 08:00:00'),
+      (3, 202, CAST(1.0 AS DOUBLE), TIMESTAMP '2024-01-03 12:00:00',
+                    TIMESTAMP '2024-02-02 11:00:00')
+    ) AS t(user_id, course_id, completion_ratio, course_enroll_date,
+           course_last_accessed_date)
+    """,
+)
+def pipeline_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ub_etl_spark.pipelines.user_activity import (
+        RAW_SCHEMA,
+        merge_activity,
+        typed_facts,
+    )
+
+    def row(**kw):
+        base = {f.name: None for f in RAW_SCHEMA.fields}
+        base.update(kw)
+        return base
+
+    gen1 = spark.createDataFrame(
+        [
+            row(
+                user_id=1,
+                course_id=101,
+                completion_ratio=0.2,
+                course_enroll_date="2024-01-05T09:30:00Z",
+                course_last_accessed_date="2024-01-01T10:00:00Z",
+            ),
+            row(
+                user_id=2,
+                course_id=101,
+                completion_ratio=0.3,
+                course_enroll_date=None,  # null-through cast (A12)
+                course_last_accessed_date="2024-01-02T08:00:00Z",
+            ),
+        ],
+        RAW_SCHEMA,
+    )
+    gen2 = spark.createDataFrame(
+        [
+            row(
+                user_id=1,
+                course_id=101,
+                completion_ratio=0.8,
+                course_enroll_date="2024-01-05T09:30:00Z",
+                course_last_accessed_date="2024-02-01T10:00:00Z",
+            ),
+            row(
+                user_id=3,
+                course_id=202,
+                completion_ratio=1.0,
+                course_enroll_date="2024-01-03T12:00:00Z",
+                course_last_accessed_date="2024-02-02T11:00:00Z",
+            ),
+        ],
+        RAW_SCHEMA,
+    )
+    merged = merge_activity(typed_facts(gen1), typed_facts(gen2))
+    return merged.select(
+        "user_id",
+        "course_id",
+        "completion_ratio",
+        "course_enroll_date",
+        "course_last_accessed_date",
+    )

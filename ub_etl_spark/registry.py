@@ -77,9 +77,11 @@ DRIVER_PRIORITY = [
     # changed since their round-1 row — re-prove under the driver gate
     "cast_types",
     "pipeline_course_normalize",
+    # reference entry point 2 end-to-end (new this round; displaces
+    # pivot_wide, whose Q17 family already has two green r1 rows)
+    "pipeline_user_activity",
     # unchecked in round 1 (registration positions 51-74)
     "cast_timestamp",
-    "pivot_wide",
     "sim_knn_exact",
     "dedup_embedding_cosine",
     "storage_bucketed_merge",
