@@ -503,3 +503,51 @@ def array_advanced_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_position(flat, 2).alias("pos2"),
         F.zip_with(F.col("seq"), doubled, lambda x, y: x + y).alias("zsum"),
     )
+
+
+# B66: map higher-order functions — create/transform_values/map_filter/
+# map_concat, the MapType side of the HOF surface (arrays: B65).  Map
+# outputs are emitted as SORTED "k=v" entry arrays: map column order is
+# engine-dependent, entry arrays are not, so the hash stays stable.  The
+# oracle computes the same final arrays directly — it checks VALUES, not
+# Spark's map representation.
+@register(
+    "map_advanced_funcs",
+    tier="Q",
+    oracle="""
+    SELECT o_orderkey,
+           list_sort(['s=' || o_orderstatus, 'p=' || o_orderpriority])
+             AS entries,
+           list_sort(['s=' || upper(o_orderstatus),
+                      'p=' || upper(o_orderpriority)]) AS upper_entries,
+           ['s=' || o_orderstatus] AS filtered_entries,
+           list_sort(['s=' || o_orderstatus, 'p=' || o_orderpriority, 'x=y'])
+             AS merged_entries
+    FROM orders
+    """,
+)
+def map_advanced_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("s"), F.col("o_orderstatus"), F.lit("p"), F.col("o_orderpriority")
+    )
+
+    def entries(mm):
+        return F.array_sort(
+            F.transform(
+                F.map_entries(mm),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            )
+        )
+
+    return o.select(
+        "o_orderkey",
+        entries(m).alias("entries"),
+        entries(F.transform_values(m, lambda k, v: F.upper(v))).alias("upper_entries"),
+        entries(F.map_filter(m, lambda k, v: k == F.lit("s"))).alias(
+            "filtered_entries"
+        ),
+        entries(F.map_concat(m, F.create_map(F.lit("x"), F.lit("y")))).alias(
+            "merged_entries"
+        ),
+    )
