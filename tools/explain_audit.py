@@ -120,7 +120,7 @@ EXPECT = {
     # bloom prefilter: the probe must run as a codegen Filter BEFORE the
     # semi join (prune-then-join, not join-then-prune)
     "join_bloom_prefilter": ["LeftSemi", "getbit", "codegen id :"],
-    "window_value_functions": ["Window", "Exchange hashpartitioning(o_orderstatus"],
+    "window_value_functions": ["Window", "Exchange hashpartitioning(o_custkey"],
     # try_cast must stay in the single codegen projection (renders
     # literally as try_cast(...) inside the *(1) Project span)
     "scalar_try_safe": ["try_cast(event_type", "*(1) Project"],

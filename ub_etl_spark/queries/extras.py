@@ -435,31 +435,35 @@ def json_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # B64: value-positional window functions — first/last/nth over a full
 # frame, completing the window family (rank Q9, analytic/lag Q10,
-# frames/ntile in extras).  Raw doubles pass through unaggregated, so
-# values are engine-identical without quantization.
+# frames/ntile in extras).  Partitioned on o_custkey (|customers|
+# groups, each bounded by one customer's orders) — NOT on a low-
+# cardinality status column, which would funnel the table into a handful
+# of unsplittable WindowExec partitions at scale.  Raw doubles pass
+# through unaggregated, so values are engine-identical without
+# quantization.
 @register(
     "window_value_functions",
     tier="Q",
     oracle="""
-    SELECT o_orderkey, o_orderstatus,
+    SELECT o_orderkey, o_custkey,
            first_value(o_totalprice) OVER w AS first_total,
            last_value(o_totalprice) OVER w AS last_total,
            nth_value(o_totalprice, 3) OVER w AS third_total
     FROM orders
-    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
 )
 def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
     w = (
-        W.partitionBy("o_orderstatus")
+        W.partitionBy("o_custkey")
         .orderBy("o_orderkey")
         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     )
     return o.select(
         "o_orderkey",
-        "o_orderstatus",
+        "o_custkey",
         F.first("o_totalprice").over(w).alias("first_total"),
         F.last("o_totalprice").over(w).alias("last_total"),
         F.nth_value("o_totalprice", 3).over(w).alias("third_total"),
