@@ -91,3 +91,30 @@ def test_pmi_ranks_true_collocation_over_independents(spark):
     # ranks the exclusive pair at least as high
     assert ("new", "york") in out
     assert out[("new", "york")] == max(out.values())
+
+
+def test_chunking_covers_every_token_with_overlap(spark):
+    """Chunks tile the document: first chunk starts at token 1, strides
+    are 24, the final token appears in the last chunk, and short docs
+    yield exactly one whole-document chunk."""
+    import ub_etl_spark.queries.text as tmod
+
+    rows = [(1, " ".join(f"w{i}" for i in range(100))), (2, "a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t_orig = tmod.T
+    tmod.T = lambda s, d, n: df  # noqa: E731
+    try:
+        out = tmod.text_chunk_sliding(spark, "x").collect()
+    finally:
+        tmod.T = t_orig
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    long = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    # 100 tokens, size 32, stride 24 -> ceil((100-32)/24)=3 extra -> 4 chunks
+    assert len(long) == 4
+    assert long[0].chunk_text.startswith("w0 ")
+    assert all(r.n_tokens == 32 for r in long[:-1])
+    assert long[-1].chunk_text.endswith("w99")  # full coverage
+    short = by_doc[2]
+    assert len(short) == 1 and short[0].chunk_text == "a b c"

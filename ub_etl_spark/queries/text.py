@@ -316,3 +316,50 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_list("doc_id")).alias("postings"),
         F.count(F.lit(1)).alias("df"),
     )
+
+
+# B67: sliding-window document chunking — long documents become
+# fixed-size overlapping token chunks (size 32, stride 24), the
+# embedding/retrieval prep step between curation and encoding.  Chunk
+# count and boundaries are exact integer arithmetic (ceil via integer
+# DIV), the chunk extraction is slice + concat_ws — all codegen, one
+# Generate, no shuffle at all: chunking parallelizes embarrassingly.
+@register(
+    "text_chunk_sliding",
+    tier="B",
+    oracle="""
+    SELECT doc_id, chunk_idx,
+           CAST(len(list_slice(t, chunk_idx * 24 + 1, chunk_idx * 24 + 32))
+                AS INTEGER) AS n_tokens,
+           array_to_string(list_slice(t, chunk_idx * 24 + 1, chunk_idx * 24 + 32),
+                           ' ') AS chunk_text
+    FROM (
+      SELECT doc_id, t,
+             UNNEST(generate_series(0,
+               CASE WHEN len(t) > 32
+                    THEN (len(t) - 32 + 23) // 24 ELSE 0 END)) AS chunk_idx
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) s
+    ) g
+    """,
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    size, stride = 32, 24
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = d.select("doc_id", toks.alias("__toks"), F.size(toks).alias("__n"))
+    n_extra = F.when(
+        F.col("__n") > size,
+        F.expr(f"(__n - {size} + {stride - 1}) DIV {stride}"),
+    ).otherwise(F.lit(0))
+    chunks = base.select(
+        "doc_id",
+        "__toks",
+        F.explode(F.sequence(F.lit(0), n_extra.cast("int"))).alias("chunk_idx"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, size)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(piece).alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
