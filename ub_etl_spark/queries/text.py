@@ -363,3 +363,33 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(piece).alias("n_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     )
+
+
+# B68: language-ID confusion matrix — the evaluation rollup for the B5
+# classifier: labeled lang (truth) x heuristic prediction, with per-cell
+# counts and the diagonal flag.  Reuses text_lang_id's exact scoring
+# expression tree on both engines, then one tiny (truth, predicted) agg
+# — the quality-evaluation query a curation pipeline runs after every
+# classifier change.
+@register(
+    "text_lang_confusion",
+    tier="B",
+    oracle=f"""
+    SELECT lang AS actual, predicted, COUNT(*) AS n,
+           lang = predicted AS is_correct
+    FROM (
+      SELECT lang, {_PRED_CASE} AS predicted
+      FROM (SELECT doc_id, lang, {_SCORE_COLS} FROM documents) t
+    ) p
+    GROUP BY 1, 2, 4
+    """,
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = text_lang_id(spark, sf_dir).select(
+        F.col("lang").alias("actual"), "predicted"
+    )
+    return pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        "actual", "predicted", "n", (F.col("actual") == F.col("predicted")).alias("is_correct")
+    )
