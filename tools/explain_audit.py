@@ -112,6 +112,10 @@ EXPECT = {
     # join-time dynamic partition pruning must inject a runtime pruning
     # predicate into the fact scan's PartitionFilters
     "storage_dpp_join": ["dynamicpruningexpression(event_type"],
+    # chunking is embarrassingly parallel: one Generate, NO exchange of
+    # any kind in the plan
+    "text_chunk_sliding": ["Generate", "!Exchange"],
+    "text_lang_confusion": ["HashAggregate"],
     # PMI: unigram side joins back twice; deterministic top-100 plans
     # TakeOrderedAndProject, never a full sort
     "text_collocation_pmi": ["TakeOrderedAndProject", "HashAggregate", "Generate"],
