@@ -116,3 +116,60 @@ def test_ann_ivf_full_probe_matches_exact(spark, sf_dir):
         ).collect()
     }
     assert ivf == exact, "full-probe IVF must equal exact knn"
+
+
+def test_mmr_rerank_matches_python_reference_and_diversifies(spark, sf_dir):
+    """MMR output equals a pure-python greedy reference per query, rank 1
+    is the plain top-relevance hit, and the selected set's mean pairwise
+    similarity is no higher than the naive top-k's."""
+    import numpy as np
+
+    from ub_etl_spark.operators import vectors as V
+    from ub_etl_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    cand = V.knn_exact(q, e, k=20).select("query_id", "neighbor_id", "score")
+    got = V.mmr_rerank(cand, e, k=5, lam=0.7).collect()
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype="float64") for r in e.collect()}
+
+    def unit(v):
+        n = np.linalg.norm(v)
+        return v / n if n else v
+
+    cand_rows = cand.collect()
+    by_q: dict = {}
+    for r in cand_rows:
+        by_q.setdefault(r.query_id, []).append((r.neighbor_id, r.score))
+    for qid, items in by_q.items():
+        items.sort(key=lambda t: (-t[1], t[0]))
+        chosen: list[int] = []
+        rel = {nid: s for nid, s in items}
+        remaining = [nid for nid, _ in items]
+        while remaining and len(chosen) < 5:
+            if not chosen:
+                best = remaining[0]
+            else:
+                def mmr(nid):
+                    ms = max(
+                        float(unit(vecs[nid]) @ unit(vecs[c])) for c in chosen
+                    )
+                    return 0.7 * rel[nid] - 0.3 * ms
+                scores = [mmr(nid) for nid in remaining]
+                best = remaining[int(np.argmax(scores))]
+            chosen.append(best)
+            remaining.remove(best)
+        spark_order = [
+            r.neighbor_id for r in sorted(
+                (r for r in got if r.query_id == qid), key=lambda r: r.mmr_rank
+            )
+        ]
+        assert spark_order == chosen, f"query {qid}"
+        # diversity: mean pairwise sim of MMR picks <= naive top-5's
+        def mean_pair_sim(ids):
+            us = [unit(vecs[i]) for i in ids]
+            sims = [float(a @ b) for i, a in enumerate(us) for b in us[i + 1:]]
+            return sum(sims) / len(sims)
+        naive = [nid for nid, _ in items[:5]]
+        assert mean_pair_sim(chosen) <= mean_pair_sim(naive) + 1e-9

@@ -371,3 +371,66 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-rank of knn candidates: greedily pick
+    the candidate maximizing lam*relevance - (1-lam)*max_cosine_to_already
+    _selected — relevance-with-diversity, the standard retrieval re-rank.
+
+    MMR is inherently sequential WITHIN a query (each pick depends on the
+    previous picks) but embarrassingly parallel ACROSS queries, so the
+    shape is applyInPandas over groupBy(query_id): each group holds one
+    query's <= k_cand candidate rows (bounded, typically 10-100), and the
+    greedy loop runs vectorized numpy inside the Arrow batch.  This is
+    the sanctioned per-group-iterative pattern — a window/join
+    formulation cannot express the data-dependent selection order.
+    Ties break on neighbor_id (deterministic).  Input `candidates`:
+    (query_id, neighbor_id, score) from knn_exact; `corpus` supplies the
+    candidate vectors.  Output: (query_id, neighbor_id, score, mmr_rank).
+    """
+    import numpy as np
+    import pandas as pd
+
+    withvec = candidates.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", "score", "c_vec")
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["score", "neighbor_id"], ascending=[False, True])
+        vecs = np.stack(pdf["c_vec"].to_numpy()).astype("float64")
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        rel = pdf["score"].to_numpy()
+        n = len(pdf)
+        chosen: list[int] = []
+        remaining = list(range(n))
+        while remaining and len(chosen) < k:
+            if not chosen:
+                best = remaining[0]  # pre-sorted: top relevance, id tie-break
+            else:
+                sims = unit[remaining] @ unit[chosen].T
+                max_sim = sims.max(axis=1)
+                mmr = lam * rel[remaining] - (1.0 - lam) * max_sim
+                # stable argmax: first index wins ties (sorted order above)
+                best = remaining[int(np.argmax(mmr))]
+            chosen.append(best)
+            remaining.remove(best)
+        out = pdf.iloc[chosen][["query_id", "neighbor_id", "score"]].copy()
+        out["mmr_rank"] = range(1, len(chosen) + 1)
+        return out
+
+    return withvec.groupBy("query_id").applyInPandas(
+        rerank, schema="query_id long, neighbor_id long, score double, mmr_rank int"
+    )

@@ -147,3 +147,16 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "pos")
         .agg(cavg(F.col("val").cast("double"), "centroid_val", scale=6))
     )
+
+
+# B69: MMR diversity re-rank of exact-knn candidates (rows-only: the
+# greedy selection has no SQL analogue; determinism + diversity
+# properties are pinned against a pure-python reference in
+# tests/test_similarity.py).  Sequential within a query, parallel across
+# queries — the applyInPandas per-group-iterative pattern.
+@register("sim_rerank_mmr", tier="B", oracle=None)
+def sim_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    cand = V.knn_exact(q, e, k=20).select("query_id", "neighbor_id", "score")
+    return V.mmr_rerank(cand, e, k=5, lam=0.7)
