@@ -160,3 +160,115 @@ def sim_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 10)
     cand = V.knn_exact(q, e, k=20).select("query_id", "neighbor_id", "score")
     return V.mmr_rerank(cand, e, k=5, lam=0.7)
+
+
+# B70: hybrid search — reciprocal-rank fusion of a lexical ranking
+# (distinct shared terms) and an embedding ranking (cosine), the
+# standard two-tower retrieval combiner.  Both component rankings are
+# deterministic (exact term counts; floor-6dp cosine; id tie-breaks), so
+# the WHOLE fusion is oracle-checked — rare for a retrieval op.  Fixture
+# convention: embeddings.vec_id aligns with documents.doc_id (same
+# entity).  Scale shape: lexical candidates come from a term-keyed join
+# (inverted-index probe, never all-pairs); the dense side here scores
+# all candidates because |queries| is bounded — at corpus scale both
+# sides would feed top-N candidate lists into the same fusion.
+@register(
+    "hybrid_search_rrf",
+    tier="B",
+    oracle="""
+    WITH qt AS (
+      SELECT doc_id AS q_id,
+             unnest(list_distinct(string_split(lower(text), ' '))) AS term
+      FROM documents WHERE doc_id < 3
+    ), dt AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split(lower(text), ' '))) AS term
+      FROM documents
+    ), lex AS (
+      SELECT q.q_id, d.doc_id, COUNT(*) AS lex_score
+      FROM qt q JOIN dt d USING (term)
+      WHERE d.doc_id <> q.q_id
+      GROUP BY 1, 2
+    ), emb AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS doc_id,
+             floor(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[]))
+                   * 1000000) / 1000000 AS cos
+      FROM embeddings q CROSS JOIN embeddings c
+      WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id
+    ), scored AS (
+      SELECT e.q_id, e.doc_id,
+             COALESCE(l.lex_score, 0) AS lex_score, e.cos
+      FROM emb e LEFT JOIN lex l ON e.q_id = l.q_id AND e.doc_id = l.doc_id
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY lex_score DESC, doc_id) AS lex_rank,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, doc_id) AS emb_rank
+      FROM scored
+    )
+    SELECT q_id, doc_id, CAST(lex_rank AS INTEGER) AS lex_rank,
+           CAST(emb_rank AS INTEGER) AS emb_rank, rrf
+    FROM (
+      SELECT *, 1.0 / (60 + lex_rank) + 1.0 / (60 + emb_rank) AS rrf,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY 1.0 / (60 + lex_rank) + 1.0 / (60 + emb_rank) DESC,
+                        doc_id) AS rn
+      FROM ranked
+    ) t WHERE rn <= 5
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = T(spark, sf_dir, "documents")
+    e = T(spark, sf_dir, "embeddings")
+    terms = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower(F.col("text")), " "))).alias(
+            "term"
+        ),
+    )
+    qt = terms.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("q_id"), "term"
+    )
+    lex = (
+        qt.join(terms, "term")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("lex_score"))
+    )
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    emb = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("doc_id"),
+            (F.floor(V.cosine(F.col("q_vec"), F.col("embedding")) * 1e6) / 1e6).alias(
+                "cos"
+            ),
+        )
+    )
+    scored = emb.join(lex, ["q_id", "doc_id"], "left").withColumn(
+        "lex_score", F.coalesce("lex_score", F.lit(0))
+    )
+    wl = W.partitionBy("q_id").orderBy(F.desc("lex_score"), F.asc("doc_id"))
+    we = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("doc_id"))
+    ranked = scored.select(
+        "q_id",
+        "doc_id",
+        F.row_number().over(wl).alias("lex_rank"),
+        F.row_number().over(we).alias("emb_rank"),
+    )
+    rrf = 1.0 / (F.col("lex_rank") + 60) + 1.0 / (F.col("emb_rank") + 60)
+    wr = W.partitionBy("q_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        ranked.withColumn("rrf", rrf)
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "doc_id", "lex_rank", "emb_rank", "rrf")
+    )

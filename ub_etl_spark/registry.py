@@ -59,6 +59,8 @@ _LOADED = False
 #   stream_interval_join_outer (twin of in-window stream_interval_join,
 #   same operator + eviction machinery), storage_zorder_cluster (identity
 #   under the driver hash; clustering effect pinned in tests/test_storage),
+#   sim_rerank_mmr (rows-only; pinned against a python reference in
+#   tests/test_similarity.py),
 #   and the warehouse-analytics tier added mid-round-2 after the window
 #   was already full of never-driver-checked queries (all parity PASS at
 #   sf0.01 locally): tpch_q5_local_supplier, events_retention_cohort,
@@ -72,7 +74,7 @@ _LOADED = False
 #   scalar_subquery_correlated, scalar_try_safe, text_inverted_index,
 #   join_bloom_prefilter, cdc_apply_changes, window_value_functions,
 #   array_advanced_funcs, map_advanced_funcs, text_chunk_sliding,
-#   text_lang_confusion, and pivot_wide (displaced
+#   text_lang_confusion, hybrid_search_rrf, and pivot_wide (displaced
 #   from this round's window by pipeline_user_activity — its Q17 family
 #   holds two green r1 rows, but it still needs its own row).  Rotate
 #   these into the round-3 window in place of whatever CORRECTNESS_r02
