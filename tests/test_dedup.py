@@ -161,3 +161,36 @@ def test_connected_components_chain_and_singleton(spark):
         for r in connected_components(nodes, pairs, "doc_id").collect()
     }
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+
+
+def test_star_cc_matches_minlabel_on_deep_chain(spark):
+    """Large-star/small-star must produce the exact min-label components
+    on a diameter-120 chain plus random clusters — the graph shape where
+    plain propagation needs 120 rounds and the star algorithm O(log n)."""
+    import random
+
+    from ub_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    random.seed(7)
+    nodes = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    edges = [(i, i + 1) for i in range(0, 120)]
+    edges += [
+        (random.randrange(130, 200), random.randrange(130, 200)) for _ in range(40)
+    ]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+    )
+    a = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(nodes, pairs, max_iter=200).collect()
+    }
+    b = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components_star(nodes, pairs).collect()
+    }
+    assert a == b
+    # the chain collapses to a single cluster rooted at 0
+    assert {c for i, c in b if i <= 120} == {0}

@@ -397,3 +397,89 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star (Kiveris
+    et al., "Connected Components in MapReduce and Beyond") — the
+    O(log n)-round scale path named by connected_components' docstring,
+    for graphs whose diameter outgrows min-label propagation (long chains
+    of borderline near-dups, entity-resolution graphs).
+
+    Each round is two edge rewrites, both one groupBy + one join away:
+      large-star(u): every neighbor v > u re-points to m = min(N(u) u {u})
+      small-star(u): every neighbor v <= u (and u itself) points to m
+    The edge set monotonically contracts toward stars whose centers are
+    the component minima; termination = the canonical edge set stops
+    changing (count + order-independent hash — cheap, no full diff).
+    Output matches connected_components exactly: (id, cluster_id = min
+    member id), singletons included.
+    """
+    ids = nodes.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
+    e0 = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).dropDuplicates(["u", "v"])
+
+    def _star(e_sym: DataFrame, large: bool) -> DataFrame:
+        # m(u) = min over N(u) and u itself
+        m = e_sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        nb = e_sym.join(m, "u")
+        cond = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        out = nb.filter(cond).select(F.col("v").alias("u"), F.col("m").alias("v"))
+        if not large:
+            out = out.unionByName(m.select("u", F.col("m").alias("v")))
+        return out.filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
+
+    def _sig(e: DataFrame) -> tuple[int, int]:
+        lo, hi = F.least("u", "v"), F.greatest("u", "v")
+        row = (
+            e.select(lo.alias("a"), hi.alias("b"))
+            .dropDuplicates(["a", "b"])
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                # bit_xor: order-independent and overflow-free under ANSI
+                # (a 64-bit hash SUM would overflow long and abort)
+                F.bit_xor(F.xxhash64("a", "b")).alias("h"),
+            )
+            .collect()[0]
+        )
+        return row.n, row.h
+
+    edges = _sym(e0).localCheckpoint(eager=True)
+    sig = _sig(edges)
+    for _ in range(max_iter):
+        edges = _sym(_star(_sym(edges), large=True))
+        edges = _sym(_star(edges, large=False)).localCheckpoint(eager=True)
+        new_sig = _sig(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    # converged: stars — every node's min neighbor (or itself) is the root
+    assign = (
+        edges.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("cluster_id"))
+        .select(F.col("u").alias("id"), "cluster_id")
+    )
+    return (
+        ids.join(assign, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("cluster_id", F.col("id")).alias("cluster_id"),
+        )
+    )

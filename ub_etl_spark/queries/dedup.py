@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ub_etl_spark.operators import dedup as D
 from ub_etl_spark.operators import merge as M
-from ub_etl_spark.registry import register
+from ub_etl_spark.registry import REGISTRY, register
 from ub_etl_spark.sources.tables import load_table as T
 
 
@@ -203,4 +203,27 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b"
     )
     cc = D.connected_components(docs, pairs, "doc_id")
+    return cc.withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+
+
+# B71: the same cluster assignment via alternating large-star/small-star
+# (Kiveris et al.) — O(log n) rounds regardless of graph diameter, the
+# scale path for deep near-dup chains and entity-resolution graphs
+# where min-label propagation's round count tracks the diameter.  Same
+# recursive-CTE oracle as dedup_cluster_cc: both algorithms must land on
+# identical components, and tests additionally race them on a
+# diameter-120 chain.
+@register(
+    "dedup_cluster_cc_star",
+    tier="B",
+    oracle=REGISTRY["dedup_cluster_cc"].oracle,
+)
+def dedup_cluster_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 400) & (F.size(F.split("text", " ")) >= 3)
+    )
+    pairs = D.exact_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.25).select(
+        "id_a", "id_b"
+    )
+    cc = D.connected_components_star(docs, pairs, "doc_id")
     return cc.withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
