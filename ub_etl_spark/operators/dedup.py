@@ -418,11 +418,18 @@ def connected_components_star(
     the component minima; termination = the canonical edge set stops
     changing (count + order-independent hash — cheap, no full diff).
     Output matches connected_components exactly: (id, cluster_id = min
-    member id), singletons included.
+    member id), singletons included — including edge endpoints absent
+    from `nodes` (min-label propagation surfaces those too, via the
+    label union; the id set here is nodes ∪ endpoints for parity).
     """
-    ids = nodes.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
     e0 = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).filter(
         F.col("u") != F.col("v")
+    )
+    ids = (
+        nodes.select(F.col(id_col).alias("id"))
+        .unionByName(e0.select(F.col("u").alias("id")))
+        .unionByName(e0.select(F.col("v").alias("id")))
+        .dropDuplicates(["id"])
     )
 
     def _sym(e: DataFrame) -> DataFrame:
@@ -457,10 +464,12 @@ def connected_components_star(
         )
         return row.n, row.h
 
+    # invariant: `edges` is symmetric at every loop entry (initialized and
+    # reassigned through _sym), so no re-symmetrization inside the round
     edges = _sym(e0).localCheckpoint(eager=True)
     sig = _sig(edges)
     for _ in range(max_iter):
-        edges = _sym(_star(_sym(edges), large=True))
+        edges = _sym(_star(edges, large=True))
         edges = _sym(_star(edges, large=False)).localCheckpoint(eager=True)
         new_sig = _sig(edges)
         if new_sig == sig:

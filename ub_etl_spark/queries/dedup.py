@@ -156,6 +156,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # min member id as canonical — the step a dedup pipeline runs after pair
 # generation.  Oracle: recursive CTE transitive closure over the same
 # exact-Jaccard pairs (fully value-checked, including singletons).
+def _cc_inputs(spark: SparkSession, sf_dir: str):
+    """Shared (docs, pairs) for both CC twins — they MUST stay identical
+    for the common recursive-CTE oracle and the equal-components
+    guarantee to hold.  Node set matches dedup_fuzzy's short-doc guard so
+    cluster rows align with the oracle's `len(t) >= 3` restriction."""
+    docs = T(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 400) & (F.size(F.split("text", " ")) >= 3)
+    )
+    pairs = D.exact_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.25).select(
+        "id_a", "id_b"
+    )
+    return docs, pairs
+
+
 @register(
     "dedup_cluster_cc",
     tier="B",
@@ -194,14 +208,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # node set matches dedup_fuzzy's short-doc guard so cluster rows align
-    # with the oracle's `len(t) >= 3` shingle restriction
-    docs = T(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") < 400) & (F.size(F.split("text", " ")) >= 3)
-    )
-    pairs = D.exact_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.25).select(
-        "id_a", "id_b"
-    )
+    docs, pairs = _cc_inputs(spark, sf_dir)
     cc = D.connected_components(docs, pairs, "doc_id")
     return cc.withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
 
@@ -219,11 +226,6 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=REGISTRY["dedup_cluster_cc"].oracle,
 )
 def dedup_cluster_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") < 400) & (F.size(F.split("text", " ")) >= 3)
-    )
-    pairs = D.exact_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.25).select(
-        "id_a", "id_b"
-    )
+    docs, pairs = _cc_inputs(spark, sf_dir)
     cc = D.connected_components_star(docs, pairs, "doc_id")
     return cc.withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))

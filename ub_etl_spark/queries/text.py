@@ -338,14 +338,17 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
              UNNEST(generate_series(0,
                CASE WHEN len(t) > 32
                     THEN (len(t) - 32 + 23) // 24 ELSE 0 END)) AS chunk_idx
-      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) s
+      FROM (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS t
+            FROM documents) s
     ) g
     """,
 )
 def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, stride = 32, 24
     d = T(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    # null-safe: concat_ws('') and array_to_string(NULL) disagree across
+    # engines, so fold NULL text to '' before tokenizing on BOTH sides
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
     base = d.select("doc_id", toks.alias("__toks"), F.size(toks).alias("__n"))
     n_extra = F.when(
         F.col("__n") > size,
