@@ -555,3 +555,60 @@ def map_advanced_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "merged_entries"
         ),
     )
+
+
+# B72: exact per-group mode with deterministic tie-break.  Spark's
+# built-in mode() is tie-nondeterministic, so the portable formulation
+# is count + rank — two map-side-combined aggs whose shuffles carry
+# |group x value| then |group| rows.
+@register(
+    "agg_mode_per_group",
+    tier="Q",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+      FROM orders GROUP BY 1, 2
+    ) t WHERE rn = 1
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(F.desc("n"), F.asc("o_orderpriority"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n")
+    )
+
+
+# B73: edit-distance fuzzy string matching — levenshtein pairs over a
+# dimension's natural keys, the character-level complement of the
+# token/shingle dedup family (catches typos n-gram Jaccard misses on
+# short strings).  Self-join is fine for dimension-sized inputs; at
+# corpus scale the blocking comes first (length bucket / first-char /
+# q-gram prefilter), named here — edit distance only runs on candidate
+# pairs, exactly like the LSH verify stage.
+@register(
+    "string_fuzzy_levenshtein",
+    tier="B",
+    oracle="""
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           levenshtein(a.n_name, b.n_name) AS dist
+    FROM nation a JOIN nation b ON a.n_name < b.n_name
+    WHERE levenshtein(a.n_name, b.n_name) <= 6
+    """,
+)
+def string_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = T(spark, sf_dir, "nation")
+    a = n.select(F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_name").alias("name_b"))
+    return (
+        a.join(b, F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 6)
+    )
