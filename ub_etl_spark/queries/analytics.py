@@ -457,3 +457,67 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n"), csum("l_extendedprice", "total"))
     )
+
+
+# B74: funnel conversion-rate summary — the stage-count rollup over the
+# per-user funnel (B28 emits per-user rows; this is the executive
+# number).  Stage membership via per-user conditional MINs, then ONE
+# scalar aggregation: three counts + two ratios, computed identically on
+# both engines (double division of exact longs).
+@register(
+    "events_funnel_rates",
+    tier="B",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    ), flags AS (
+      SELECT CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END AS s,
+             CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                  THEN 1 ELSE 0 END AS v,
+             CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                       AND t_purchase > t_view
+                  THEN 1 ELSE 0 END AS p
+      FROM stages
+    )
+    SELECT SUM(s) AS n_signup, SUM(v) AS n_view_after, SUM(p) AS n_purchase_after,
+           CAST(SUM(v) AS DOUBLE) / SUM(s) AS view_rate,
+           CAST(SUM(p) AS DOUBLE) / SUM(s) AS purchase_rate
+    FROM flags
+    """,
+)
+def events_funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOTE the simplified ordering check (first view after first signup,
+    first purchase after first view) — a summary-level approximation of
+    B28's exact per-stage recursion, chosen because it needs only ONE
+    per-user aggregation; both engines compute the identical rule."""
+    e = T(spark, sf_dir, "events")
+    stages = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    s = F.when(F.col("t_signup").isNotNull(), 1).otherwise(0)
+    v = F.when(
+        F.col("t_signup").isNotNull() & (F.col("t_view") > F.col("t_signup")), 1
+    ).otherwise(0)
+    p = F.when(
+        F.col("t_signup").isNotNull()
+        & (F.col("t_view") > F.col("t_signup"))
+        & (F.col("t_purchase") > F.col("t_view")),
+        1,
+    ).otherwise(0)
+    return stages.select(
+        s.alias("s"), v.alias("v"), p.alias("p")
+    ).agg(
+        F.sum("s").alias("n_signup"),
+        F.sum("v").alias("n_view_after"),
+        F.sum("p").alias("n_purchase_after"),
+        (F.sum("v").cast("double") / F.sum("s")).alias("view_rate"),
+        (F.sum("p").cast("double") / F.sum("s")).alias("purchase_rate"),
+    )
