@@ -183,6 +183,11 @@ def corpus_queries(spark, d: str):
             n=5,
         ),
         "pack_sequences": pack_sequences(docs, "doc_id", "text", budget=256, n_parts=8),
+        # chunking is shuffle-free (expect ~linear map cost); the inverted
+        # index shuffles (doc, term) pairs — expect ~linear with vocab
+        # growth absorbed by map-side combine
+        "chunk_sliding": _chunks(docs),
+        "inverted_index": _inverted(docs),
         # analytics tier: survivorship is one keyed agg with map-side
         # partial_min_by; centroid shuffles |labels| x dim rows regardless
         # of corpus size (both expect ~linear map cost, flat shuffle)
@@ -200,6 +205,34 @@ def _survivorship(docs):
 
     rank = F.substring("source", 4, 10).cast("bigint")
     return survivorship_dedup(docs, "doc_id", "source", rank, "text")
+
+
+def _chunks(docs):
+    size, stride = 32, 24
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    base = docs.select("doc_id", toks.alias("__toks"), F.size(toks).alias("__n"))
+    n_extra = F.when(
+        F.col("__n") > size, F.expr(f"(__n - {size} + {stride - 1}) DIV {stride}")
+    ).otherwise(F.lit(0))
+    chunks = base.select(
+        "doc_id",
+        "__toks",
+        F.explode(F.sequence(F.lit(0), n_extra.cast("int"))).alias("chunk_idx"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, size)
+    return chunks.select(
+        "doc_id", "chunk_idx", F.concat_ws(" ", piece).alias("chunk_text")
+    )
+
+
+def _inverted(docs):
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    return tok.groupBy("term").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        F.count(F.lit(1)).alias("df"),
+    )
 
 
 def run(df) -> float:
