@@ -44,3 +44,23 @@ def test_asof_grouped_variant_agrees(spark):
     a = asof_join(left, right, ["user_id"], "ts", "rts", ["rid"])
     b = asof_join_grouped(left, right, ["user_id"], "ts", "rts", ["rid"])
     assert {(r.pid, r.rid) for r in b.collect()} == {(r.pid, r.rid) for r in a.collect()}
+
+
+def test_asof_forward_picks_earliest_at_or_after(spark):
+    """Forward direction: inclusive on equal ts, earliest match wins,
+    NULL when no right row at-or-after."""
+    from ub_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (1, 40)], "k long, lts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 30, "c")], "k long, rts long, v string"
+    )
+    out = {
+        r.lts: r.v
+        for r in asof_join(
+            left, right, ["k"], "lts", "rts", ["v"], direction="forward"
+        ).collect()
+    }
+    assert out == {10: "a", 25: "c", 40: None}

@@ -28,14 +28,23 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_cols: Sequence[str],
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: every left row + the latest right row with
-    right.ts <= left.ts in the same key group (NULLs when none).
+    right.ts <= left.ts ("backward", default) or the EARLIEST right row
+    with right.ts >= left.ts ("forward" — time-to-next-event queries),
+    in the same key group (NULLs when none).  Both inclusive on ties.
+
+    Forward is the same single window pass with the traversal reversed
+    (ts descending): "last right seen so far" then means the smallest
+    right ts at-or-after the left row.
 
     ``value_cols`` are the right-side columns to carry.  Right-side rows
     must be unique per (key, ts) for deterministic results — pre-dedupe if
     not.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = list(key)
     l_tag = left.withColumn(_SIDE, F.lit(1))
     # All value_cols ride in ONE struct: the struct itself is non-null for
@@ -56,10 +65,12 @@ def asof_join(
     for c in left_payload:
         r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     unioned = l_tag.unionByName(r_tag)
-    # right rows sort before left rows at equal ts -> inclusive match
+    # right rows sort before left rows at equal ts -> inclusive match;
+    # forward reverses the ts traversal (side ordering unchanged)
+    ts_order = F.col(left_ts) if direction == "backward" else F.col(left_ts).desc()
     w = (
         W.partitionBy(*keys)
-        .orderBy(F.col(left_ts), F.col(_SIDE))
+        .orderBy(ts_order, F.col(_SIDE))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = unioned.select(

@@ -612,3 +612,58 @@ def string_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= 6)
     )
+
+
+# B75: forward as-of join — time-to-next-event: each signup matched to
+# the user's earliest at-or-after purchase (NULLs when none).  Same
+# one-window-pass operator as the backward as-of, traversal reversed;
+# right side pre-deduped per (key, ts) for determinism.  DuckDB's ASOF
+# JOIN is backward-only, so the oracle ranks candidates explicitly.
+@register(
+    "join_asof_forward",
+    tier="B",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, ts AS signup_ts FROM events
+      WHERE event_type = 'signup'
+    ), p AS (
+      SELECT user_id, ts AS rts,
+             MIN(CAST(FLOOR((value) * 100 + 0.5) AS BIGINT)) / 100.0 AS pval
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), m AS (
+      SELECT s.event_id, p.rts, p.pval,
+             ROW_NUMBER() OVER (PARTITION BY s.event_id ORDER BY p.rts) AS rn
+      FROM s JOIN p ON s.user_id = p.user_id AND p.rts >= s.signup_ts
+    )
+    SELECT s.event_id, s.user_id, s.signup_ts,
+           m.rts AS next_purchase_ts, m.pval AS purchase_value
+    FROM s LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id)
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", F.col("ts").alias("signup_ts")
+    )
+    # pre-dedupe per (user, ts) with MIN cents — mirrors the oracle and
+    # makes the as-of pick deterministic under duplicate timestamps
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("rts"))
+        .agg((F.min(cents("value")) / 100.0).alias("pval"))
+        .select(
+            "user_id",
+            "rts",
+            F.col("rts").alias("next_purchase_ts"),
+            F.col("pval").alias("purchase_value"),
+        )
+    )
+    return asof_join(
+        signups,
+        purchases,
+        key=["user_id"],
+        left_ts="signup_ts",
+        right_ts="rts",
+        value_cols=["next_purchase_ts", "purchase_value"],
+        direction="forward",
+    )
