@@ -667,3 +667,58 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["next_purchase_ts", "purchase_value"],
         direction="forward",
     )
+
+
+# B76: correlation + covariance from exact integer sums.  Built-in
+# corr()/covar_pop() accumulate doubles order-dependently (hash-unstable
+# across partitionings and engines); the portable exact form aggregates
+# the five power sums in longs (quantity <= 50, price cents-at-scale-0
+# <= 1e7: all five sums stay far under long range at any group size the
+# testdata reaches) and evaluates the closed forms in doubles with ONE
+# canonical operation order — the same discipline agg_stats_exact
+# established for variance.
+@register(
+    "agg_corr_exact",
+    tier="Q",
+    oracle="""
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE)) AS covar_pop,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             AS corr
+    FROM (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(CAST(FLOOR((l_quantity) * 1 + 0.5) AS BIGINT)) AS sx,
+             SUM(CAST(FLOOR((l_extendedprice) * 1 + 0.5) AS BIGINT)) AS sy,
+             SUM(CAST(FLOOR((l_quantity) * 1 + 0.5) AS BIGINT)
+                 * CAST(FLOOR((l_quantity) * 1 + 0.5) AS BIGINT)) AS sxx,
+             SUM(CAST(FLOOR((l_extendedprice) * 1 + 0.5) AS BIGINT)
+                 * CAST(FLOOR((l_extendedprice) * 1 + 0.5) AS BIGINT)) AS syy,
+             SUM(CAST(FLOOR((l_quantity) * 1 + 0.5) AS BIGINT)
+                 * CAST(FLOOR((l_extendedprice) * 1 + 0.5) AS BIGINT)) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    ) t
+    """,
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    x = cents("l_quantity", scale=0)
+    y = cents("l_extendedprice", scale=0)
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    covar = num / nd / nd
+    corr = num / F.sqrt(
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return agg.select("l_returnflag", "n", covar.alias("covar_pop"), corr.alias("corr"))

@@ -76,7 +76,7 @@ _LOADED = False
 #   array_advanced_funcs, map_advanced_funcs, text_chunk_sliding,
 #   text_lang_confusion, hybrid_search_rrf, dedup_cluster_cc_star,
 #   agg_mode_per_group, string_fuzzy_levenshtein, events_funnel_rates,
-#   join_asof_forward, and pivot_wide (displaced
+#   join_asof_forward, agg_corr_exact, and pivot_wide (displaced
 #   from this round's window by pipeline_user_activity — its Q17 family
 #   holds two green r1 rows, but it still needs its own row).  Rotate
 #   these into the round-3 window in place of whatever CORRECTNESS_r02
