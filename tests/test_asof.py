@@ -64,3 +64,20 @@ def test_asof_forward_picks_earliest_at_or_after(spark):
         ).collect()
     }
     assert out == {10: "a", 25: "c", 40: None}
+
+
+def test_asof_null_left_ts_yields_null_both_directions(spark):
+    """A NULL left timestamp matches nothing in either direction (ADVICE
+    r2: desc's default nulls-last made forward mode hand a NULL-ts row
+    the smallest right ts)."""
+    left = spark.createDataFrame([(1, None), (1, 25)], "k long, lts long")
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 30, "c")], "k long, rts long, v string"
+    )
+    for direction in ("backward", "forward"):
+        rows = asof_join(
+            left, right, ["k"], "lts", "rts", ["v"], direction=direction
+        ).collect()
+        got = {r.lts: r.v for r in rows}
+        assert got[None] is None, direction
+        assert got[25] == ("a" if direction == "backward" else "c")

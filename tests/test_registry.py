@@ -32,3 +32,22 @@ def test_driver_window_holds_all_new_or_changed():
     ks = list(load_all().keys())
     window = set(ks[:50])
     assert set(DRIVER_PRIORITY) <= window
+
+
+def test_oracled_queries_emit_atomic_columns_only(spark, sf_dir):
+    """The driver's pandas canonicalizer cannot sort/hash list cells
+    (round-2's embedding_quantize red row was exactly that crash), so
+    every query with an oracle must emit only atomic column types.
+    Array-valued results are serialized long-form (posexplode) or as
+    joined strings on both engines."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, spec in load_all().items():
+        if spec.oracle is None:
+            continue
+        df = spec.fn(spark, sf_dir)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, f"complex-typed oracle outputs: {offenders}"

@@ -66,8 +66,16 @@ def asof_join(
         r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     unioned = l_tag.unionByName(r_tag)
     # right rows sort before left rows at equal ts -> inclusive match;
-    # forward reverses the ts traversal (side ordering unchanged)
-    ts_order = F.col(left_ts) if direction == "backward" else F.col(left_ts).desc()
+    # forward reverses the ts traversal (side ordering unchanged).
+    # desc_nulls_first mirrors asc's nulls-first: a NULL left ts must see
+    # no right rows in either direction and yield NULL (with desc's
+    # default nulls-last it would sort after every right row and pick up
+    # the smallest right ts as its "next event").
+    ts_order = (
+        F.col(left_ts)
+        if direction == "backward"
+        else F.col(left_ts).desc_nulls_first()
+    )
     w = (
         W.partitionBy(*keys)
         .orderBy(ts_order, F.col(_SIDE))

@@ -469,11 +469,17 @@ def connected_components_star(
     edges = _sym(e0).localCheckpoint(eager=True)
     sig = _sig(edges)
     for _ in range(max_iter):
+        prev = edges
         edges = _sym(_star(edges, large=True))
         edges = _sym(_star(edges, large=False)).localCheckpoint(eager=True)
         new_sig = _sig(edges)
         if new_sig == sig:
-            break
+            # (count, xor-of-hashes) is probabilistic; confirm the
+            # fixpoint exactly before terminating (ADVICE r2).  Counts are
+            # equal by signature, so one-sided exceptAll proves set
+            # equality — and it runs once per converged execution.
+            if prev.exceptAll(edges).isEmpty():
+                break
         sig = new_sig
     else:
         raise RuntimeError(

@@ -484,8 +484,8 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM stages
     )
     SELECT SUM(s) AS n_signup, SUM(v) AS n_view_after, SUM(p) AS n_purchase_after,
-           CAST(SUM(v) AS DOUBLE) / SUM(s) AS view_rate,
-           CAST(SUM(p) AS DOUBLE) / SUM(s) AS purchase_rate
+           CAST(SUM(v) AS DOUBLE) / NULLIF(SUM(s), 0) AS view_rate,
+           CAST(SUM(p) AS DOUBLE) / NULLIF(SUM(s), 0) AS purchase_rate
     FROM flags
     """,
 )
@@ -518,6 +518,8 @@ def events_funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s").alias("n_signup"),
         F.sum("v").alias("n_view_after"),
         F.sum("p").alias("n_purchase_after"),
-        (F.sum("v").cast("double") / F.sum("s")).alias("view_rate"),
-        (F.sum("p").cast("double") / F.sum("s")).alias("purchase_rate"),
+        # try_divide, NULLIF in the oracle: with zero signups ANSI mode
+        # would abort the Spark job where DuckDB returns NULL (ADVICE r2)
+        F.try_divide(F.sum("v").cast("double"), F.sum("s")).alias("view_rate"),
+        F.try_divide(F.sum("p").cast("double"), F.sum("s")).alias("purchase_rate"),
     )

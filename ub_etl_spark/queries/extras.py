@@ -475,18 +475,23 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q17 array family.  All interpreted HOFs, acceptable for a map-only
 # projection (the corpus-scale operators use codegen formulations; this
 # query is the API-surface proof, and its cost is one narrow pass).
+# Array outputs are serialized to ","-joined strings on BOTH sides: the
+# driver's pandas canonicalizer cannot sort list cells (the r2
+# embedding_quantize red row), so every oracle'd query emits atomic
+# columns only (pinned by tests/test_registry.py).
 @register(
     "array_advanced_funcs",
     tier="Q",
     oracle="""
     SELECT o_orderkey,
-           seq,
-           list_transform(seq, x -> x * 2) AS doubled,
-           flatten([seq, list_transform(seq, x -> x * 2)]) AS flat,
+           array_to_string(seq, ',') AS seq,
+           array_to_string(list_transform(seq, x -> x * 2), ',') AS doubled,
+           array_to_string(flatten([seq, list_transform(seq, x -> x * 2)]), ',')
+             AS flat,
            CAST(list_position(flatten([seq, list_transform(seq, x -> x * 2)]), 2)
                 AS BIGINT) AS pos2,
-           list_transform(generate_series(1, len(seq)),
-                          i -> seq[i] + 2 * seq[i]) AS zsum
+           array_to_string(list_transform(generate_series(1, len(seq)),
+                          i -> seq[i] + 2 * seq[i]), ',') AS zsum
     FROM (
       SELECT o_orderkey, generate_series(1, CAST(o_orderkey % 5 + 1 AS INT)) AS seq
       FROM orders
@@ -499,33 +504,41 @@ def array_advanced_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = o.select("o_orderkey", seq.alias("seq"))
     doubled = F.transform(F.col("seq"), lambda x: x * 2)
     flat = F.flatten(F.array(F.col("seq"), doubled))
+
+    def as_str(c):
+        return F.array_join(F.transform(c, lambda x: x.cast("string")), ",")
+
     return base.select(
         "o_orderkey",
-        "seq",
-        doubled.alias("doubled"),
-        flat.alias("flat"),
+        as_str(F.col("seq")).alias("seq"),
+        as_str(doubled).alias("doubled"),
+        as_str(flat).alias("flat"),
         F.array_position(flat, 2).alias("pos2"),
-        F.zip_with(F.col("seq"), doubled, lambda x, y: x + y).alias("zsum"),
+        as_str(F.zip_with(F.col("seq"), doubled, lambda x, y: x + y)).alias("zsum"),
     )
 
 
 # B66: map higher-order functions — create/transform_values/map_filter/
 # map_concat, the MapType side of the HOF surface (arrays: B65).  Map
-# outputs are emitted as SORTED "k=v" entry arrays: map column order is
-# engine-dependent, entry arrays are not, so the hash stays stable.  The
-# oracle computes the same final arrays directly — it checks VALUES, not
-# Spark's map representation.
+# outputs are emitted as SORTED "k=v" entry lists joined to one string:
+# map column order is engine-dependent, sorted entry strings are not, so
+# the hash stays stable AND the column is atomic for the driver's pandas
+# canonicalizer (see array_advanced_funcs note).  The oracle computes
+# the same final strings directly — it checks VALUES, not Spark's map
+# representation.
 @register(
     "map_advanced_funcs",
     tier="Q",
     oracle="""
     SELECT o_orderkey,
-           list_sort(['s=' || o_orderstatus, 'p=' || o_orderpriority])
+           array_to_string(list_sort(['s=' || o_orderstatus,
+                                      'p=' || o_orderpriority]), ',')
              AS entries,
-           list_sort(['s=' || upper(o_orderstatus),
-                      'p=' || upper(o_orderpriority)]) AS upper_entries,
-           ['s=' || o_orderstatus] AS filtered_entries,
-           list_sort(['s=' || o_orderstatus, 'p=' || o_orderpriority, 'x=y'])
+           array_to_string(list_sort(['s=' || upper(o_orderstatus),
+                      'p=' || upper(o_orderpriority)]), ',') AS upper_entries,
+           's=' || o_orderstatus AS filtered_entries,
+           array_to_string(list_sort(['s=' || o_orderstatus,
+                                      'p=' || o_orderpriority, 'x=y']), ',')
              AS merged_entries
     FROM orders
     """,
@@ -537,11 +550,14 @@ def map_advanced_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def entries(mm):
-        return F.array_sort(
-            F.transform(
-                F.map_entries(mm),
-                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
-            )
+        return F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(mm),
+                    lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+                )
+            ),
+            ",",
         )
 
     return o.select(

@@ -189,6 +189,122 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q18_large_orders",
+    tier="B",
+    oracle=f"""
+    SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           {sql_csum("l.l_quantity", "sum_qty")}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    HAVING SUM({sql_cents("l.l_quantity")}) / 100.0 > 250
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume orders): the large-group semi-join shape.
+
+    Spark-first formulation aggregates lineitem BEFORE the joins — the
+    shuffle carries one row per orderkey instead of one per lineitem, and
+    the HAVING filter prunes to the rare heavy orders before any join
+    runs, so the orders/customer joins see only the qualifying keys (the
+    semantics of Q18's IN-subquery without scanning lineitem twice).
+    Equivalent to the oracle's join-then-group because o_orderkey is
+    unique in orders (1:1 join preserves groups).  Deterministic top-100
+    via (o_totalprice desc, o_orderkey) -> TakeOrderedAndProject."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    heavy = (
+        li.groupBy("l_orderkey")
+        .agg(csum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        heavy.join(o, heavy.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    tier="B",
+    oracle="""
+    SELECT s.s_name, n.n_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_nationkey < 5
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY s.s_name, n.n_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) — the multi-self-join
+    EXISTS/NOT-EXISTS anti pattern, adapted to this schema: "late" is
+    l_shipdate > o_orderdate + 90 days (the testdata carries no
+    commit/receipt dates).
+
+    The oracle keeps the textbook correlated EXISTS shape; the Spark plan
+    deliberately does NOT self-join lineitem three times.  One pass over
+    lineitem+orders computes per-order (distinct suppliers, distinct LATE
+    suppliers); a late lineitem qualifies iff its order has >=2 suppliers
+    but exactly 1 late one (necessarily this row's).  That turns two
+    correlated subqueries into one groupBy on the key the join already
+    shuffles on — at 100 TB the classic formulation's l2/l3 self-joins
+    re-shuffle the fact table twice; this shape shuffles it once and
+    joins the per-order summary back broadcast-or-shuffle as AQE picks.
+    Supplier and nation dims broadcast."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 5)
+
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "__late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias(
+            "__n_late_supp"
+        ),
+    )
+    solo_late = per_order.filter(
+        (F.col("__n_supp") >= 2) & (F.col("__n_late_supp") == 1)
+    ).select(F.col("l_orderkey").alias("__ok"))
+    return (
+        lo.filter(F.col("__late"))
+        .join(solo_late, F.col("l_orderkey") == F.col("__ok"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
 # GK-sketch percentiles: mergeable, bounded-memory, one pass — the scale
 # path when exact percentiles (agg_percentile) would sort 100 TB.  No
 # cross-engine oracle by construction (DuckDB's approx_quantile is a

@@ -450,9 +450,23 @@ def storage_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def storage_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join two bucketed tables on the bucket key and aggregate.  Tables
-    are written once per (catalog, sf) and reused — bucketing's usage
-    shape is write-once / join-many."""
-    tag = "".join(c if c.isalnum() else "_" for c in os.path.basename(sf_dir.rstrip("/")))
+    are written once per (catalog, source-fingerprint) and reused —
+    bucketing's usage shape is write-once / join-many.  The table tag
+    includes an mtime+size fingerprint of the source files (ADVICE r2):
+    a basename-only tag would silently serve stale buckets if the source
+    parquet regenerates under the same path within a long session."""
+    import hashlib
+
+    fp = hashlib.sha256()
+    for t in ("lineitem", "orders"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        st = os.stat(p)
+        fp.update(f"{p}:{st.st_mtime_ns}:{st.st_size};".encode())
+    tag = (
+        "".join(c if c.isalnum() else "_" for c in os.path.basename(sf_dir.rstrip("/")))
+        + "_"
+        + fp.hexdigest()[:12]
+    )
     lt, ot = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
     existing = {t.name for t in spark.catalog.listTables()}
     if lt not in existing or ot not in existing:

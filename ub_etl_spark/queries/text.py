@@ -298,7 +298,9 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_inverted_index",
     tier="B",
     oracle="""
-    SELECT term, list_sort(list(doc_id)) AS postings, COUNT(*) AS df
+    SELECT term,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings,
+           COUNT(*) AS df
     FROM (
       SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
       FROM documents
@@ -307,13 +309,21 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # postings serialized to a ","-joined string: the driver's pandas
+    # canonicalizer cannot hash list cells (tests/test_registry.py pins
+    # atomic-only outputs for every oracle'd query).
     d = T(spark, sf_dir, "documents")
     tok = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .distinct()
     )
     return tok.groupBy("term").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("postings"),
         F.count(F.lit(1)).alias("df"),
     )
 

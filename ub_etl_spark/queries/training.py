@@ -85,24 +85,35 @@ def text_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Embedding L2-normalize + int8 quantization (pre-ANN compression).
+# Emitted LONG-FORM (vec_id, pos, qval, inv_norm) — same shape as
+# embedding_centroid_per_label — because the driver's pandas-based
+# canonicalizer cannot sort ArrayType cells (r2 red row was exactly that
+# crash, not a math mismatch).  The array-shaped operator itself is
+# unchanged (operators/training.l2_normalize_quantize) and remains the
+# production API; this query is its value-checkable projection.
 @register(
     "embedding_quantize",
     tier="B",
     oracle="""
+    WITH n AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y * y))) AS norm
+      FROM embeddings
+    )
     SELECT vec_id,
-           list_transform(CAST(embedding AS DOUBLE[]),
-                          x -> CAST(floor(x / sqrt(list_sum(
-                                 list_transform(CAST(embedding AS DOUBLE[]), y -> y * y)
-                               )) * 127) AS INTEGER)) AS qvec,
-           floor(1000000 / sqrt(list_sum(
-             list_transform(CAST(embedding AS DOUBLE[]), y -> y * y)
-           ))) / 1000000 AS inv_norm
-    FROM embeddings
+           CAST(i - 1 AS INTEGER) AS pos,
+           CAST(floor(v[i] / norm * 127) AS INTEGER) AS qval,
+           floor(1000000 / norm) / 1000000 AS inv_norm
+    FROM n, UNNEST(generate_series(1, len(v))) AS g(i)
     """,
 )
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
-    return l2_normalize_quantize(e, "vec_id", "embedding", bits_scale=127)
+    q = l2_normalize_quantize(e, "vec_id", "embedding", bits_scale=127)
+    return q.select(
+        "vec_id", F.posexplode("qvec").alias("pos", "qval"), "inv_norm"
+    )
 
 
 # End-to-end dedup APPLY: near-dup pairs -> connected components -> keep
