@@ -77,6 +77,46 @@ HEADLINE = [
     # its number IS the full dim-build + PIT-join cost.
     "storage_bucketed_join",
     "dim_scd2_point_in_time",
+    # round-3 rotation: the tier that first earned driver rows this round
+    # also carries bench numbers (VERDICT r2 ask #3)
+    "pivot_wide",
+    "agg_histogram_fixed_width",
+    "window_topk_per_group",
+    "dedup_source_priority",
+    "events_transition_counts",
+    "events_anomaly_mad",
+    "dedup_incremental_batch",
+    "stream_topk_trending",
+    "join_bloom_prefilter",
+    "events_funnel_rates",
+    "dedup_cluster_cc_star",
+    "window_value_functions",
+    "array_advanced_funcs",
+    "map_advanced_funcs",
+    "agg_mode_per_group",
+    "string_fuzzy_levenshtein",
+    "join_asof_forward",
+    "agg_corr_exact",
+    "agg_approx_percentile",
+    "cdc_apply_changes",
+    "multimodal_resize",
+    "storage_zorder_cluster",
+    "storage_dpp_join",
+    "stream_interval_join_outer",
+    "sim_ann_lsh",
+    "sim_rerank_mmr",
+    "hybrid_search_rrf",
+    "agg_hll_mergeable",
+    "agg_cms_term_counts",
+    "agg_grouping_sets_explicit",
+    "scalar_subquery_correlated",
+    "scalar_try_safe",
+    "text_collocation_pmi",
+    "text_inverted_index",
+    "text_chunk_sliding",
+    "text_lang_confusion",
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting_suppliers",
 ]
 
 
@@ -165,6 +205,25 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     oracle_total = round(sum(oracle_s.values()), 4)
     spark_with_oracle = round(sum(timings[n] for n in oracle_s), 4)
+    # Floor decomposition (VERDICT r2 ask #4): a query whose DuckDB oracle
+    # finishes faster than the smallest possible Spark job (floor_s) can
+    # never reach a 2x ratio for ANY plan — its ratio measures scheduling
+    # machinery, not plan quality.  floor_share = floor_s/spark separates
+    # the two per query; the sub-floor set and the aggregate ratio
+    # excluding it make the decomposition auditable from the artifact.
+    floor_share = {
+        n: round(min(floor_s / max(timings[n], 1e-9), 1.0), 2) for n in timings
+    }
+    sub_floor = sorted(n for n in oracle_s if oracle_s[n] < floor_s)
+    above = [n for n in oracle_s if n not in set(sub_floor)]
+    agg_ratio_excl = (
+        round(
+            sum(timings[n] for n in above) / max(sum(oracle_s[n] for n in above), 1e-9),
+            2,
+        )
+        if above
+        else None
+    )
     print(
         json.dumps(
             {
@@ -178,6 +237,13 @@ def main() -> None:
                 # aggregate ratio over the subset with oracles (the 2x target)
                 "aggregate_ratio": round(spark_with_oracle / max(oracle_total, 1e-9), 2),
                 "spark_job_floor_s": floor_s,
+                # fraction of each query's wall-clock that is the fixed
+                # per-job machinery cost (1.0 = pure floor, ~0 = pure plan)
+                "floor_share": floor_share,
+                # queries whose oracle beats the floor itself: ratio there
+                # is machinery-bound by construction, not plan-bound
+                "sub_floor_queries": sub_floor,
+                "aggregate_ratio_excl_subfloor": agg_ratio_excl,
                 "sf": sf,
                 "n_queries": len(timings),
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),

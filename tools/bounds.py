@@ -1,0 +1,321 @@
+"""Quantitative bounds for the rows-only (no-oracle) queries.
+
+The 9 registered queries without a cross-engine oracle (sketches, ANN,
+MMR) carry their guarantees only as pytest assertions; the driver
+artifact shows them as bare `no_oracle` rows.  This script MEASURES each
+guarantee against the exact answer at a given scale factor and writes
+BOUNDS.json — {query: {pinned_bound, measured, unit, op_point, pass}} —
+so the artifact carries the quantitative claim, not just a green test
+run (VERDICT r2 ask #5).
+
+Usage:
+    python tools/bounds.py [--sf /root/testdata/sf0.01] [--out BOUNDS.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from ub_etl_spark.operators import dedup as D  # noqa: E402
+from ub_etl_spark.operators import vectors as V  # noqa: E402
+from ub_etl_spark.queries.sketches import (  # noqa: E402
+    PROBE_TERMS,
+    agg_cms_term_counts,
+    agg_hll_mergeable,
+)
+from ub_etl_spark.session import get_spark  # noqa: E402
+from ub_etl_spark.sources.tables import load_table  # noqa: E402
+
+
+def bound_hll(spark, sf) -> dict:
+    """Max relative error of the per-group + union HLL estimates."""
+    got = {r.o_orderstatus: r.est_distinct for r in agg_hll_mergeable(spark, sf).collect()}
+    o = load_table(spark, sf, "orders")
+    exact = {
+        r.o_orderstatus: r.n
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = o.agg(F.countDistinct("o_custkey")).first()[0]
+    err = max(abs(got[k] - exact[k]) / max(exact[k], 1) for k in exact)
+    return {
+        "pinned_bound": 0.05,
+        "measured": round(err, 4),
+        "unit": "max_relative_error",
+        "op_point": "hll_sketch_agg default lgConfigK=12 (stderr ~1.6%), 3-sigma bound",
+        "pass": err <= 0.05,
+    }
+
+
+def bound_cms(spark, sf) -> dict:
+    """CMS never undercounts; overcount <= eps*N (eps=1e-4, conf 0.99).
+    measured = worst overcount as a fraction of the eps*N allowance."""
+    got = {r.term: r.est_count for r in agg_cms_term_counts(spark, sf).collect()}
+    toks = load_table(spark, sf, "documents").select(
+        F.explode(F.split("text", " ")).alias("term")
+    )
+    total = toks.count()
+    exact = {
+        r.term: r.n
+        for r in toks.filter(F.col("term").isin(PROBE_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    allowance = 0.0001 * total + 1
+    worst = max((got[t] - exact.get(t, 0)) / allowance for t in PROBE_TERMS)
+    undercount = any(got[t] < exact.get(t, 0) for t in PROBE_TERMS)
+    return {
+        "pinned_bound": 1.0,
+        "measured": round(worst, 4),
+        "unit": "max_overcount / (eps*N) allowance; undercount forbidden",
+        "op_point": f"eps=1e-4 conf=0.99 seed=42, N={total}, probes={PROBE_TERMS}",
+        "pass": (worst <= 1.0) and not undercount,
+    }
+
+
+def bound_approx_distinct(spark, sf) -> dict:
+    li = load_table(spark, sf, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey").alias("a"),
+        F.countDistinct("l_partkey").alias("e"),
+    ).first()
+    err = abs(row.a - row.e) / max(row.e, 1)
+    return {
+        "pinned_bound": 0.05,
+        "measured": round(err, 4),
+        "unit": "relative_error",
+        "op_point": "approx_count_distinct default rsd=0.05",
+        "pass": err <= 0.05,
+    }
+
+
+def bound_approx_percentile(spark, sf) -> dict:
+    """GK sketch with accuracy=10000 guarantees rank error <= n/10000.
+    measured = worst normalized rank distance of the estimate from the
+    target rank across (event_type) x (p50, p95, p99)."""
+    e = load_table(spark, sf, "events").select("event_type", "value").cache()
+    est = {
+        r.event_type: (r.p50, r.p95, r.p99)
+        for r in e.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("p")
+        )
+        .select(
+            "event_type",
+            F.element_at("p", 1).alias("p50"),
+            F.element_at("p", 2).alias("p95"),
+            F.element_at("p", 3).alias("p99"),
+        )
+        .collect()
+    }
+    worst = 0.0
+    for etype, (p50, p95, p99) in est.items():
+        vals = np.array(
+            [r.value for r in e.filter(F.col("event_type") == etype).collect()]
+        )
+        vals.sort()
+        n = len(vals)
+        # GK guarantee: rank error <= n/accuracy; +1 rank for the
+        # discreteness of the target (p*n is fractional, any order
+        # statistic is >= up to 1 rank away)
+        allowance = 1.0 + n / 10000.0
+        for p, x in ((0.5, p50), (0.95, p95), (0.99, p99)):
+            lt = int(np.searchsorted(vals, x, side="left"))
+            le = int(np.searchsorted(vals, x, side="right"))
+            target = p * n
+            err_ranks = max(0.0, lt + 1 - target, target - le)
+            worst = max(worst, err_ranks / allowance)
+    e.unpersist()
+    return {
+        "pinned_bound": 1.0,
+        "measured": round(worst, 4),
+        "unit": "max_rank_error / (1 + n/accuracy) allowance",
+        "op_point": "percentile_approx accuracy=10000, p in {0.5,0.95,0.99} per event_type",
+        "pass": worst <= 1.0,
+    }
+
+
+def bound_ann_lsh(spark, sf) -> dict:
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id) for r in V.knn_exact(q, emb, k=5).collect()}
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in V.knn_ann_lsh(
+            emb, k=5, dim=64, n_planes=2, n_tables=12, query_filter=F.col("id") < 10
+        ).collect()
+    }
+    rec = len(ann & exact) / len(exact)
+    return {
+        "pinned_bound": 0.9,
+        "measured": round(rec, 4),
+        "unit": "recall@5_vs_exact_knn",
+        "op_point": "registered: 2 planes x 12 tables, 10 queries",
+        "pass": rec >= 0.9,
+    }
+
+
+def bound_ann_ivf(spark, sf) -> dict:
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id) for r in V.knn_exact(q, emb, k=5).collect()}
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in V.knn_ann_ivf(
+            emb, k=5, nlist=16, nprobe=12, query_filter=F.col("vec_id") < 10
+        ).collect()
+    }
+    rec = len(ivf & exact) / len(exact)
+    return {
+        "pinned_bound": 0.85,
+        "measured": round(rec, 4),
+        "unit": "recall@5_vs_exact_knn",
+        "op_point": "registered: nlist=16 nprobe=12, 10 queries",
+        "pass": rec >= 0.85,
+    }
+
+
+def bound_mmr(spark, sf) -> dict:
+    """Fraction of queries whose MMR ranking equals the pure-python greedy
+    reference (same tie-break)."""
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    cand = V.knn_exact(q, emb, k=20).select("query_id", "neighbor_id", "score")
+    got = V.mmr_rerank(cand, emb, k=5, lam=0.7).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype="float64") for r in emb.collect()}
+
+    def unit(v):
+        n = np.linalg.norm(v)
+        return v / n if n else v
+
+    by_q: dict = {}
+    for r in cand.collect():
+        by_q.setdefault(r.query_id, []).append((r.neighbor_id, r.score))
+    n_match = 0
+    for qid, items in by_q.items():
+        items.sort(key=lambda t: (-t[1], t[0]))
+        rel = dict(items)
+        chosen: list = []
+        remaining = [nid for nid, _ in items]
+        while remaining and len(chosen) < 5:
+            if not chosen:
+                best = remaining[0]
+            else:
+                scores = [
+                    0.7 * rel[nid]
+                    - 0.3 * max(float(unit(vecs[nid]) @ unit(vecs[c])) for c in chosen)
+                    for nid in remaining
+                ]
+                best = remaining[int(np.argmax(scores))]
+            chosen.append(best)
+            remaining.remove(best)
+        spark_order = [
+            r.neighbor_id
+            for r in sorted(
+                (r for r in got if r.query_id == qid), key=lambda r: r.mmr_rank
+            )
+        ]
+        n_match += spark_order == chosen
+    frac = n_match / len(by_q)
+    return {
+        "pinned_bound": 1.0,
+        "measured": round(frac, 4),
+        "unit": "fraction_queries_matching_python_reference",
+        "op_point": "k=5 lam=0.7 over exact-knn@20 candidates, 5 queries",
+        "pass": frac >= 1.0,
+    }
+
+
+def bound_minhash(spark, sf) -> dict:
+    docs = load_table(spark, sf, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.exact_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.25
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_perm=16, bands=8, threshold=0.25
+        ).collect()
+    }
+    rec = len(lsh & exact) / max(len(exact), 1)
+    return {
+        "pinned_bound": 0.9,
+        "measured": round(rec, 4),
+        "unit": "pair_recall_vs_exact_jaccard@0.25 (precision 1.0 by construction)",
+        "op_point": f"registered: perm=16 bands=8 threshold=0.25; {len(exact)} true pairs",
+        "pass": rec >= 0.9 and lsh <= exact,
+    }
+
+
+def bound_simhash(spark, sf) -> dict:
+    docs = load_table(spark, sf, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.exact_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    sim = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_pairs(
+            docs, "doc_id", "text", max_hamming=7, n_chunks=8
+        ).collect()
+    }
+    rec = len(sim & exact) / max(len(exact), 1)
+    return {
+        "pinned_bound": 0.9,
+        "measured": round(rec, 4),
+        "unit": "pair_recall_vs_exact_jaccard@0.5",
+        "op_point": f"registered: 8x8-bit chunks, hamming<=7; {len(exact)} true pairs",
+        "pass": rec >= 0.9,
+    }
+
+
+MEASURES = {
+    "agg_hll_mergeable": bound_hll,
+    "agg_cms_term_counts": bound_cms,
+    "agg_approx_distinct": bound_approx_distinct,
+    "agg_approx_percentile": bound_approx_percentile,
+    "sim_ann_lsh": bound_ann_lsh,
+    "sim_ann_ivf": bound_ann_ivf,
+    "sim_rerank_mmr": bound_mmr,
+    "dedup_minhash_lsh": bound_minhash,
+    "dedup_simhash": bound_simhash,
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default="/root/repo/BOUNDS.json")
+    args = ap.parse_args()
+    spark = get_spark("bounds")
+    out = {"sf_dir": args.sf, "bounds": {}}
+    ok = True
+    for name, fn in MEASURES.items():
+        res = fn(spark, args.sf)
+        out["bounds"][name] = res
+        ok &= res["pass"]
+        print(f"[{'PASS' if res['pass'] else 'FAIL'}] {name}: "
+              f"measured={res['measured']} bound={res['pinned_bound']} ({res['unit']})")
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    print(f"{'all bounds hold' if ok else 'BOUND VIOLATION'} -> {args.out}")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -233,6 +233,109 @@ class RestStreamReader(SimpleDataSourceStreamReader):
                 yield tuple(rec.get(f) for f in fields)
 
 
+class RestCursorStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch incremental ingestion for OPAQUE-cursor APIs: the
+    checkpointed offset is the next unconsumed URL itself, not a page
+    number (a page-numbered offset cannot address an API whose `next` is
+    an opaque token).  Each trigger follows up to `pages_per_batch` links
+    from the checkpointed URL; recovery replay (readBetweenOffsets)
+    re-walks the chain from start URL to end URL — deterministic as long
+    as the server's chain is stable for already-served cursors, which is
+    the same contract page-mode replay assumes of page contents.
+
+    When the chain ends the offset records done=True and pins, so
+    `trigger(availableNow)` terminates; a later run with a processing-time
+    trigger re-probes the LAST url for a newly-published `next` link
+    (cursor APIs extend the chain at the tail)."""
+
+    def __init__(self, schema, options):
+        self.schema_ = schema
+        self.url = options["url"]
+        self.pages_per_batch = int(options.get("pages_per_batch", 10))
+        self.timeout = float(options.get("timeout", 10.0))
+        self.max_retries = int(options.get("max_retries", 3))
+        self.backoff_s = float(options.get("backoff_s", 0.1))
+        self.results_key = options.get("results_key", "results")
+        self.next_key = options.get("next_key", "next")
+
+    def initialOffset(self) -> dict:
+        return {"url": self.url, "done": False}
+
+    def _walk(self, url: str, limit: int):
+        """Follow up to `limit` links; yield (url, data) per request."""
+        from urllib.parse import urljoin
+
+        for _ in range(limit):
+            data = fetch_json(url, self.timeout, self.max_retries, self.backoff_s)
+            yield url, data
+            nxt = data.get(self.next_key)
+            if not nxt:
+                return
+            url = urljoin(url, nxt)
+
+    def read(self, start: dict):
+        from urllib.parse import urljoin
+
+        fields = [f.name for f in self.schema_.fields]
+        url = start["url"]
+        if start.get("done"):
+            # re-probe the pinned tail once: a drained chain can grow a new
+            # `next` after later publishes; records at the tail URL itself
+            # were already consumed by the batch that pinned it
+            data = fetch_json(url, self.timeout, self.max_retries, self.backoff_s)
+            nxt = data.get(self.next_key)
+            if not nxt:
+                return iter(()), start
+            start = {"url": urljoin(url, nxt), "done": False}
+            url = start["url"]
+        rows: list[tuple] = []
+        last_url, last_data = url, None
+        for last_url, last_data in self._walk(url, self.pages_per_batch):
+            rows.extend(
+                tuple(rec.get(f) for f in fields)
+                for rec in last_data.get(self.results_key, [])
+            )
+        if last_data is None:
+            return iter(()), start
+        nxt = last_data.get(self.next_key)
+        if nxt:
+            end = {"url": urljoin(last_url, nxt), "done": False}
+        else:
+            end = {"url": last_url, "done": True}
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        """Replay [start.url, end.url) — or through end.url itself when end
+        is a pinned done-offset (a done offset's records WERE consumed by
+        the batch that pinned it; an open offset's belong to the next)."""
+        from urllib.parse import urljoin
+
+        fields = [f.name for f in self.schema_.fields]
+        if start.get("done"):
+            # the start URL's records are consumed; replay begins at the
+            # link its tail grew afterwards (if none, nothing to replay)
+            if start["url"] == end["url"]:
+                return
+            data = fetch_json(
+                start["url"], self.timeout, self.max_retries, self.backoff_s
+            )
+            nxt = data.get(self.next_key)
+            if not nxt:
+                return
+            begin = urljoin(start["url"], nxt)
+        else:
+            begin = start["url"]
+        if begin == end["url"] and not end.get("done"):
+            return
+        for url, data in self._walk(begin, 10_000_000):
+            if not end.get("done") and url == end["url"]:
+                return
+            for rec in data.get(self.results_key, []):
+                yield tuple(rec.get(f) for f in fields)
+            if end.get("done") and url == end["url"]:
+                return
+
+
 class RestPaginatedDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -242,4 +345,6 @@ class RestPaginatedDataSource(DataSource):
         return RestPaginatedReader(schema, self.options)
 
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        if self.options.get("mode", "pages") == "cursor":
+            return RestCursorStreamReader(schema, self.options)
         return RestStreamReader(schema, self.options)
