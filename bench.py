@@ -117,6 +117,10 @@ HEADLINE = [
     "text_lang_confusion",
     "tpch_q18_large_orders",
     "tpch_q21_waiting_suppliers",
+    "join_asof_nearest",
+    "agg_weighted_median",
+    "text_bm25_rank",
+    "mix_temperature_sampling",
 ]
 
 

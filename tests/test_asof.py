@@ -81,3 +81,62 @@ def test_asof_null_left_ts_yields_null_both_directions(spark):
         got = {r.lts: r.v for r in rows}
         assert got[None] is None, direction
         assert got[25] == ("a" if direction == "backward" else "c")
+
+
+def test_asof_nearest_picks_closer_side_ties_backward(spark):
+    """Nearest: closest right row either direction; exact tie prefers the
+    at-or-before match (pd.merge_asof nearest semantics)."""
+    left = spark.createDataFrame(
+        [(1, 10), (1, 14), (1, 19), (1, 25), (2, 5)], "k long, lts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 8, "a"), (1, 20, "b")], "k long, rts long, v string"
+    )
+    out = {
+        r.lts: r.v
+        for r in asof_join(
+            left, right, ["k"], "lts", "rts", ["v"], direction="nearest"
+        ).collect()
+    }
+    # 10: |10-8|=2 < |10-20|=10 -> a; 14: 6 == 6 tie -> backward a
+    # 19: |19-20|=1 -> b; 25: only-before? both exist, |25-20|=5 -> b
+    # k=2 has no right rows -> NULL
+    assert out == {10: "a", 14: "a", 19: "b", 25: "b", 5: None}
+
+
+def test_asof_nearest_agrees_with_pandas_merge_asof(spark):
+    """Property check vs pd.merge_asof(direction='nearest') on a random
+    numeric fixture (pandas breaks ties backward the same way)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    lp = pd.DataFrame(
+        {"k": rng.randint(0, 3, 60), "lts": rng.choice(1000, 60, replace=False).astype("int64")}
+    )
+    rp = pd.DataFrame(
+        {"k": rng.randint(0, 3, 40), "rts": rng.choice(1000, 40, replace=False).astype("int64")}
+    )
+    rp["v"] = rp["rts"].astype(str)
+    expected = pd.merge_asof(
+        lp.sort_values("lts"),
+        rp.sort_values("rts"),
+        left_on="lts",
+        right_on="rts",
+        by="k",
+        direction="nearest",
+    )
+    got = asof_join(
+        spark.createDataFrame(lp, "k long, lts long"),
+        spark.createDataFrame(rp, "k long, rts long, v string"),
+        ["k"],
+        "lts",
+        "rts",
+        ["v"],
+        direction="nearest",
+    ).toPandas()
+    e = {(r.k, r.lts): r.v for r in expected.itertuples()}
+    g = {(r.k, r.lts): r.v for r in got.itertuples()}
+    # normalize NaN/None
+    e = {k: (None if v != v else v) if not isinstance(v, str) else v for k, v in e.items()}
+    assert g == e

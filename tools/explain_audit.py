@@ -95,6 +95,12 @@ EXPECT = {
     "agg_incremental_refresh": ["HashAggregate", "Union"],
     # warehouse-analytics tier (B41-B49)
     "tpch_q5_local_supplier": ["BroadcastHashJoin", "HashAggregate", "PushedFilters: [IsNotNull(o_orderdate)"],
+    # round-3 flagships: Q18 aggregates lineitem BEFORE the joins (partial
+    # agg + deterministic top-k); Q21 computes per-order supplier stats as
+    # window aggs over the join's own shuffle key (one fact exchange, dims
+    # broadcast) instead of the textbook triple self-join
+    "tpch_q18_large_orders": ["HashAggregate", "TakeOrderedAndProject", "BroadcastHashJoin"],
+    "tpch_q21_waiting_suppliers": ["Window", "BroadcastHashJoin", "Exchange hashpartitioning(l_orderkey"],
     "events_retention_cohort": ["HashAggregate", "Exchange hashpartitioning(user_id"],
     "agg_histogram_fixed_width": ["HashAggregate", "codegen id :"],
     "window_topk_per_group": ["Window", "BroadcastHashJoin"],
@@ -126,8 +132,10 @@ EXPECT = {
     "join_bloom_prefilter": ["LeftSemi", "getbit", "codegen id :"],
     "window_value_functions": ["Window", "Exchange hashpartitioning(o_custkey"],
     # try_cast must stay in the single codegen projection (renders
-    # literally as try_cast(...) inside the *(1) Project span)
-    "scalar_try_safe": ["try_cast(event_type", "*(1) Project"],
+    # literally as try_cast(...) inside the *(1) Project span); the RLIKE
+    # guard (always-failing try-cast = exception per row, measured 8x the
+    # scan) must also plan inside the same span
+    "scalar_try_safe": ["try_cast(event_type", "RLIKE", "*(1) Project"],
     # SQL front door: grouping sets plan the same Expand+agg as rollup;
     # the correlated scalar subquery must decorrelate into an aggregate +
     # join (never a per-row nested-loop re-execution)

@@ -31,20 +31,28 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: every left row + the latest right row with
-    right.ts <= left.ts ("backward", default) or the EARLIEST right row
+    right.ts <= left.ts ("backward", default), the EARLIEST right row
     with right.ts >= left.ts ("forward" — time-to-next-event queries),
-    in the same key group (NULLs when none).  Both inclusive on ties.
+    or whichever of the two is CLOSER in time ("nearest"; ties prefer
+    backward), in the same key group (NULLs when none).  Inclusive on
+    ties.
 
     Forward is the same single window pass with the traversal reversed
     (ts descending): "last right seen so far" then means the smallest
-    right ts at-or-after the left row.
+    right ts at-or-after the left row.  Nearest computes both carried
+    structs over the SAME unioned frame — one shuffle on the key, two
+    sorts — and picks per row by absolute distance.
 
     ``value_cols`` are the right-side columns to carry.  Right-side rows
     must be unique per (key, ts) for deterministic results — pre-dedupe if
     not.
     """
+    if direction == "nearest":
+        return _asof_nearest(left, right, key, left_ts, right_ts, value_cols)
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     keys = list(key)
     l_tag = left.withColumn(_SIDE, F.lit(1))
     # All value_cols ride in ONE struct: the struct itself is non-null for
@@ -86,6 +94,83 @@ def asof_join(
     )
     return (
         carried.filter(F.col(_SIDE) == 1)
+        .select(
+            *keys,
+            left_ts,
+            *left_payload,
+            *[F.col(f"__asof_m.{c}").alias(c) for c in value_cols],
+        )
+    )
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Nearest-direction as-of: both traversals over ONE unioned frame
+    (single key shuffle, two in-partition sorts), then a per-row pick by
+    absolute time distance; ties prefer the backward (at-or-before)
+    match, mirroring pd.merge_asof(direction='nearest')."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    keys = list(key)
+    l_tag = left.withColumn(_SIDE, F.lit(1))
+    # carried struct includes the matched right ts (__rts) so the picker
+    # can measure distance after the window pass
+    r_tag = right.select(
+        *keys,
+        F.col(right_ts).alias(left_ts),
+        F.struct(
+            F.col(right_ts).alias("__rts"), *[F.col(c) for c in value_cols]
+        ).alias("__asof_p"),
+    ).withColumn(_SIDE, F.lit(0))
+    left_payload = [c for c in left.columns if c not in keys + [left_ts]]
+    l_tag = l_tag.withColumn(
+        "__asof_p", F.lit(None).cast(r_tag.schema["__asof_p"].dataType)
+    )
+    for c in left_payload:
+        r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = l_tag.unionByName(r_tag)
+    wb = (
+        W.partitionBy(*keys)
+        .orderBy(F.col(left_ts), F.col(_SIDE))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy(*keys)
+        .orderBy(F.col(left_ts).desc_nulls_first(), F.col(_SIDE))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        F.last("__asof_p", ignorenulls=True).over(wb).alias("__asof_b"),
+        F.last("__asof_p", ignorenulls=True).over(wf).alias("__asof_f"),
+    )
+
+    is_ts = isinstance(
+        left.schema[left_ts].dataType, (TimestampType, TimestampNTZType)
+    )
+
+    def num(c):
+        # NTZ casts through TIMESTAMP (session TZ pinned UTC) for
+        # unix_micros; numeric ts columns compare as doubles directly
+        return F.unix_micros(c.cast("timestamp")) if is_ts else c.cast("double")
+
+    dist_b = F.abs(num(F.col(left_ts)) - num(F.col("__asof_b.__rts")))
+    dist_f = F.abs(num(F.col(left_ts)) - num(F.col("__asof_f.__rts")))
+    chosen = (
+        F.when(F.col("__asof_b").isNull(), F.col("__asof_f"))
+        .when(F.col("__asof_f").isNull(), F.col("__asof_b"))
+        .when(dist_f < dist_b, F.col("__asof_f"))
+        .otherwise(F.col("__asof_b"))
+    )
+    return (
+        carried.filter(F.col(_SIDE) == 1)
+        .withColumn("__asof_m", chosen)
         .select(
             *keys,
             left_ts,

@@ -422,8 +422,14 @@ def connected_components_star(
     from `nodes` (min-label propagation surfaces those too, via the
     label union; the id set here is nodes ∪ endpoints for parity).
     """
-    e0 = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).filter(
-        F.col("u") != F.col("v")
+    # checkpoint the pair computation ONCE: both the round-1 edge set and
+    # the final `ids` frame read from it — without this, `ids`' lineage
+    # re-runs the (potentially expensive) pair-generation join a second
+    # time at the final assignment join
+    e0 = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .localCheckpoint(eager=True)
     )
     ids = (
         nodes.select(F.col(id_col).alias("id"))

@@ -523,3 +523,62 @@ def events_funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(F.sum("v").cast("double"), F.sum("s")).alias("view_rate"),
         F.try_divide(F.sum("p").cast("double"), F.sum("s")).alias("purchase_rate"),
     )
+
+
+# B81: exact weighted median (and total weight) per group — the
+# token-weighted corpus statistic ("median document cost weighted by
+# token count") exact percentiles can't express.  Formulation: values
+# quantized to cents, ONE hash aggregation per (group, value) collapses
+# duplicate values (shuffle carries |group x distinct value|, never
+# |rows|), then a cumulative-weight window picks the smallest value whose
+# cumulative weight reaches half the total.  All-integer arithmetic ->
+# engine-identical; at 100 TB the pre-aggregation is the scale lever (the
+# window sees distinct values only), and a t-digest/GK sketch is the
+# named fallback when even distinct values explode.
+@register(
+    "agg_weighted_median",
+    tier="Q",
+    oracle=f"""
+    WITH wagg AS (
+      SELECT l_returnflag, {sql_cents("l_extendedprice")} AS pc,
+             SUM({sql_cents("l_quantity", 0)}) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT l_returnflag, pc, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY pc
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM wagg
+    )
+    SELECT l_returnflag, MIN(pc) / 100.0 AS weighted_median,
+           MAX(tw) AS total_weight
+    FROM c WHERE 2 * cw >= tw GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ub_etl_spark.functions.exact import cents
+
+    li = T(spark, sf_dir, "lineitem")
+    wagg = li.groupBy(
+        "l_returnflag", cents("l_extendedprice").alias("pc")
+    ).agg(F.sum(cents("l_quantity", scale=0)).alias("w"))
+    wcum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("pc")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wtot = W.partitionBy("l_returnflag")
+    c = wagg.select(
+        "l_returnflag",
+        "pc",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wtot).alias("tw"),
+    )
+    return (
+        c.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            (F.min("pc") / 100.0).alias("weighted_median"),
+            F.max("tw").alias("total_weight"),
+        )
+    )

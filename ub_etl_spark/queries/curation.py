@@ -195,3 +195,67 @@ def mix_weighted_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("weight_pct"),
         decorrelate=F.lit(1000003).cast("bigint") * (idx + 1),
     ).select("doc_id", "source", "weight_pct")
+
+
+# B83: temperature-scaled source mixing — the multilingual-pretraining
+# sampling rule (probability proportional to count^(1/T), T=2 here):
+# low-resource sources are up-weighted RELATIVE to their size, capped at
+# keeping every row.  Per-source keep-thresholds derive from one tiny
+# aggregation (|sources| rows) broadcast back over the corpus; row
+# membership is the same decorrelated integer hash as the weighted mixer
+# (scaled to 1e6 buckets for threshold resolution), so the sample is
+# deterministic, engine-identical, and stable under corpus growth
+# everywhere except the source being resized.  The threshold double
+# arithmetic (sqrt / mul / div) is written in ONE canonical order on
+# both engines.
+@register(
+    "mix_temperature_sampling",
+    tier="B",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS DOUBLE) AS c FROM documents GROUP BY 1
+    ), tot AS (
+      SELECT SUM(sqrt(c)) AS tw, SUM(c) AS n FROM counts
+    ), thr AS (
+      SELECT source,
+             CAST(FLOOR(1000000 * LEAST(1.0, sqrt(c) * (0.5 * n) / tw / c))
+                  AS BIGINT) AS keep_thr
+      FROM counts CROSS JOIN tot
+    )
+    SELECT d.doc_id, d.source, t.keep_thr
+    FROM documents d JOIN thr t USING (source)
+    WHERE {sql_mix_bucket("d.doc_id", "1000003*(CAST(substr(d.source, 4) AS INT)+1)", 1000000)}
+          < t.keep_thr
+    """,
+)
+def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ub_etl_spark.operators.training import mix_bucket
+
+    d = T(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = counts.agg(
+        F.sum(F.sqrt("c")).alias("tw"), F.sum("c").alias("n")
+    )
+    thr = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.floor(
+                1000000
+                * F.least(
+                    F.lit(1.0),
+                    F.sqrt("c") * (0.5 * F.col("n")) / F.col("tw") / F.col("c"),
+                )
+            )
+            .cast("bigint")
+            .alias("keep_thr"),
+        )
+    )
+    idx = F.substring("source", 4, 8).cast("int")
+    salt = F.lit(1000003).cast("bigint") * (idx + 1)
+    return (
+        d.select("doc_id", "source")
+        .join(F.broadcast(thr), "source")
+        .filter(mix_bucket(F.col("doc_id"), salt, n_buckets=1000000) < F.col("keep_thr"))
+        .select("doc_id", "source", "keep_thr")
+    )

@@ -685,6 +685,64 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# B80: nearest-direction as-of join — each signup matched to the CLOSEST
+# purchase in either direction (ties prefer the at-or-before match,
+# pd.merge_asof(direction='nearest') semantics).  One union + one key
+# shuffle with two in-partition sorts (operators/asof._asof_nearest);
+# the oracle ranks candidates by absolute microsecond distance with the
+# backward-preferring tie-break.
+@register(
+    "join_asof_nearest",
+    tier="B",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, ts AS signup_ts FROM events
+      WHERE event_type = 'signup'
+    ), p AS (
+      SELECT user_id, ts AS rts,
+             MIN(CAST(FLOOR((value) * 100 + 0.5) AS BIGINT)) / 100.0 AS pval
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), m AS (
+      SELECT s.event_id, p.rts, p.pval,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.event_id
+               ORDER BY ABS(date_diff('microsecond', p.rts, s.signup_ts)),
+                        CASE WHEN p.rts <= s.signup_ts THEN 0 ELSE 1 END,
+                        p.rts) AS rn
+      FROM s JOIN p ON s.user_id = p.user_id
+    )
+    SELECT s.event_id, s.user_id, s.signup_ts,
+           m.rts AS nearest_purchase_ts, m.pval AS purchase_value
+    FROM s LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id)
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", F.col("ts").alias("signup_ts")
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("rts"))
+        .agg((F.min(cents("value")) / 100.0).alias("pval"))
+        .select(
+            "user_id",
+            "rts",
+            F.col("rts").alias("nearest_purchase_ts"),
+            F.col("pval").alias("purchase_value"),
+        )
+    )
+    return asof_join(
+        signups,
+        purchases,
+        key=["user_id"],
+        left_ts="signup_ts",
+        right_ts="rts",
+        value_cols=["nearest_purchase_ts", "purchase_value"],
+        direction="nearest",
+    )
+
+
 # B76: correlation + covariance from exact integer sums.  Built-in
 # corr()/covar_pop() accumulate doubles order-dependently (hash-unstable
 # across partitionings and engines); the portable exact form aggregates

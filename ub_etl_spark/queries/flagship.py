@@ -10,7 +10,7 @@ reference pipeline produces.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ub_etl_spark.functions.exact import (
@@ -284,18 +284,25 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__late",
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("__n_supp"),
-        F.countDistinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias(
-            "__n_late_supp"
-        ),
+    # per-order supplier stats as WINDOW aggregates over the join's own
+    # key: the window reuses the join shuffle's partitioning (one fact
+    # shuffle total), where a groupBy+re-join would materialize the
+    # lineitem-orders join twice — the self-join trap this query exists
+    # to avoid
+    w = Window.partitionBy("l_orderkey")
+    staged = lo.select(
+        "l_orderkey",
+        "l_suppkey",
+        "__late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("__n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("__late"), F.col("l_suppkey"))).over(w)
+        ).alias("__n_late_supp"),
     )
-    solo_late = per_order.filter(
-        (F.col("__n_supp") >= 2) & (F.col("__n_late_supp") == 1)
-    ).select(F.col("l_orderkey").alias("__ok"))
     return (
-        lo.filter(F.col("__late"))
-        .join(solo_late, F.col("l_orderkey") == F.col("__ok"))
+        staged.filter(
+            F.col("__late") & (F.col("__n_supp") >= 2) & (F.col("__n_late_supp") == 1)
+        )
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name", "n_name")

@@ -406,3 +406,91 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "actual", "predicted", "n", (F.col("actual") == F.col("predicted")).alias("is_correct")
     )
+
+
+# B82: BM25 relevance ranking — the standard lexical retrieval scorer
+# (Robertson/Sparck-Jones; the ranking half every hybrid-search stack
+# pairs with embeddings, upgrading B70's shared-term count).  k1=1.2,
+# b=0.75.  Per-(doc, term) contributions are floored to 1e-6 and summed
+# as LONGS, so the per-doc score is order-independent (a raw double sum
+# over terms would hash differently across shuffle orders and engines).
+# Shape: tf over the query terms only (the scan prunes to matching
+# tokens), df + doc-length stats broadcast — one fact shuffle on doc_id.
+_BM25_TERMS = ["data", "join", "stream"]
+
+
+@register(
+    "text_bm25_rank",
+    tier="B",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dlen FROM tok GROUP BY 1
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      WHERE term IN ('data', 'join', 'stream') GROUP BY 1, 2
+    ), df AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tok
+      WHERE term IN ('data', 'join', 'stream') GROUP BY 1
+    ), contrib AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR(
+               ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen / stats.avgdl))
+               * 1000000) AS BIGINT) AS c
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+    )
+    SELECT doc_id, SUM(c) / 1000000.0 AS bm25
+    FROM contrib GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 50
+    """,
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k1, b = 1.2, 0.75
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dlen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qtok = tok.filter(F.col("term").isin(_BM25_TERMS))
+    tf = qtok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = qtok.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    contrib = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * ((1 - b) + b * F.col("dlen") / F.col("avgdl"))
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg((F.sum("c") / 1e6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(50)
+    )

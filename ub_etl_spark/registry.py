@@ -115,9 +115,13 @@ DRIVER_PRIORITY = [
     "text_chunk_sliding",
     "text_lang_confusion",
     "timeseries_multi_rollup",
-    # --- round-3 additions (slots 45+) ---
+    # --- round-3 additions (slots 45-50) ---
     "tpch_q18_large_orders",
     "tpch_q21_waiting_suppliers",
+    "join_asof_nearest",
+    "agg_weighted_median",
+    "text_bm25_rank",
+    "mix_temperature_sampling",
 ]
 
 
