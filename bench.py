@@ -121,6 +121,25 @@ HEADLINE = [
     "agg_weighted_median",
     "text_bm25_rank",
     "mix_temperature_sampling",
+    # round-3: the remaining 17 TPC-H shapes (queries/tpch.py) — with
+    # q1/q3/q5/q18/q21 above, the full 22-query suite is benchmarked
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_check",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_lines",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_filter",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q22_dormant_customers",
 ]
 
 

@@ -149,6 +149,7 @@ def load_all() -> dict[str, QuerySpec]:
             streaming_batch,
             text,
             timeseries,
+            tpch,
             training,
             udfs,
             udtf_ops,
