@@ -140,6 +140,15 @@ HEADLINE = [
     "tpch_q19_disjunctive_filter",
     "tpch_q20_promotion_suppliers",
     "tpch_q22_dormant_customers",
+    # round-3: ML-prep / governance tier (queries/mlprep.py)
+    "profile_table_stats",
+    "dq_expectation_checks",
+    "feature_scale_standard",
+    "feature_onehot_encode",
+    "feature_decay_rolling",
+    "sample_reservoir_hash",
+    "privacy_k_anonymity",
+    "graph_pagerank_trade",
 ]
 
 

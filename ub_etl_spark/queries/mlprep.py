@@ -1,0 +1,523 @@
+"""ML-preparation and data-governance operators: the profiling, quality-
+gate, feature-engineering, and graph-analytics steps that sit between raw
+warehouse tables (the reference pipeline's output schema,
+course_catalog_database.sql) and a training job's input.
+
+All float-producing operators follow the engine-determinism discipline of
+functions/exact.py: sums happen in exact integers (long cents / micro
+units), single divisions and sqrt happen once in a canonical textual
+order both engines share, so every query here is oracle-hash-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ub_etl_spark.functions.exact import cents, sql_cents
+from ub_etl_spark.registry import register
+from ub_etl_spark.sources.tables import load_table as T
+
+
+# ---------------------------------------------------------------------------
+# Table profiling
+# ---------------------------------------------------------------------------
+
+# (column, kind) pairs drive both the Spark aggregate and the oracle UNION.
+# kind picks the numeric min/max representation: numeric columns cast to
+# double, timestamps to epoch seconds, strings profile their lengths
+# (a string min/max would hash engine collation differences; lengths are
+# collation-free).
+_PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for col, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn, mx = f"CAST(MIN({col}) AS DOUBLE)", f"CAST(MAX({col}) AS DOUBLE)"
+        elif kind == "ts":
+            mn = f"CAST(DATE_PART('epoch', MIN({col})) AS DOUBLE)"
+            mx = f"CAST(DATE_PART('epoch', MAX({col})) AS DOUBLE)"
+        else:
+            mn = f"CAST(MIN(LENGTH({col})) AS DOUBLE)"
+            mx = f"CAST(MAX(LENGTH({col})) AS DOUBLE)"
+        parts.append(
+            f"SELECT '{col}' AS col_name, COUNT(*) AS n_rows,"
+            f" COUNT(*) - COUNT({col}) AS n_nulls,"
+            f" COUNT(DISTINCT {col}) AS n_distinct,"
+            f" {mn} AS min_num, {mx} AS max_num FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register("profile_table_stats", tier="B", oracle=_profile_oracle())
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile (the ANALYZE/data-catalog primitive): row
+    count, null count, exact distinct count, numeric min/max per column
+    in one pass.  All 6 columns' 24 aggregates fuse into a single
+    hash-agg over one scan — the profile costs one table read regardless
+    of column count, where a per-column loop would scan 6 times.  Strings
+    profile their lengths (collation-free), timestamps their epoch
+    seconds.  At 100 TB swap COUNT(DISTINCT) for approx_count_distinct
+    per column — same plan shape, bounded memory (the exact form is the
+    oracle-checkable variant)."""
+    o = T(spark, sf_dir, "orders")
+    aggs = []
+    for col, kind in _PROFILE_COLS:
+        c = F.col(col)
+        if kind == "num":
+            mn, mx = F.min(c).cast("double"), F.max(c).cast("double")
+        elif kind == "ts":
+            # TIMESTAMP_NTZ casts to long only via TIMESTAMP; the session
+            # timezone is pinned UTC so the epoch matches the oracle's
+            mn = F.min(c).cast("timestamp").cast("long").cast("double")
+            mx = F.max(c).cast("timestamp").cast("long").cast("double")
+        else:
+            mn = F.min(F.length(c)).cast("double")
+            mx = F.max(F.length(c)).cast("double")
+        aggs += [
+            F.count(F.lit(1)).alias(f"{col}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{col}__nulls"),
+            F.countDistinct(c).alias(f"{col}__distinct"),
+            mn.alias(f"{col}__min"),
+            mx.alias(f"{col}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', {col}__n, {col}__nulls, {col}__distinct, {col}__min, {col}__max"
+        for col, _ in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args})"
+        " AS (col_name, n_rows, n_nulls, n_distinct, min_num, max_num)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectation checks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_expectation_checks",
+    tier="B",
+    oracle="""
+    SELECT 'totalprice_positive' AS rule,
+           SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orderdate_not_null',
+           SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+    FROM orders
+    UNION ALL
+    SELECT 'status_in_domain',
+           SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END)
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_fk_resolves', COUNT(*)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_ships_after_order', COUNT(*)
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate < o.o_orderdate
+    """,
+)
+def dq_expectation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (the expectations/contract step a
+    training pipeline runs before consuming a table): per-rule violation
+    counts.  The three single-table rules fuse into ONE conditional
+    aggregate over one orders scan; the FK rule is a LEFT ANTI join
+    count; the cross-table temporal rule counts over the lineitem-orders
+    join's single shuffle.  Output is tiny (one row per rule) so the
+    final union is free; a zero row means the expectation holds."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    li = T(spark, sf_dir, "lineitem")
+    single = o.agg(
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "totalprice_positive"
+        ),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias(
+            "orderdate_not_null"
+        ),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        ).alias("status_in_domain"),
+    ).selectExpr(
+        "stack(3, 'totalprice_positive', totalprice_positive,"
+        " 'orderdate_not_null', orderdate_not_null,"
+        " 'status_in_domain', status_in_domain) AS (rule, n_violations)"
+    )
+    fk = (
+        o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("custkey_fk_resolves").alias("rule"), "n_violations")
+    )
+    temporal = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") < F.col("o_orderdate"))
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("lineitem_ships_after_order").alias("rule"), "n_violations")
+    )
+    return single.unionByName(fk).unionByName(temporal)
+
+
+# ---------------------------------------------------------------------------
+# Feature scaling (z-score + min-max) from exact power sums
+# ---------------------------------------------------------------------------
+
+_SCALE_STATS_SQL = f"""
+      SELECT c_mktsegment AS seg, COUNT(c_acctbal) AS n,
+             SUM({sql_cents("c_acctbal")}) AS s1,
+             SUM({sql_cents("c_acctbal")} * {sql_cents("c_acctbal")}) AS s2,
+             MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx
+      FROM customer GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "feature_scale_standard",
+    tier="B",
+    oracle=f"""
+    WITH stats AS ({_SCALE_STATS_SQL})
+    SELECT c.c_custkey, c.c_mktsegment,
+           ({sql_cents("c.c_acctbal")} / 100.0
+              - (st.s1 / 100.0 / st.n))
+             / SQRT((st.n * st.s2 - st.s1 * st.s1)
+                      / (st.n * (st.n - 1.0)) / 10000.0) AS zscore,
+           ({sql_cents("c.c_acctbal")} - {sql_cents("st.mn")}) * 1.0
+             / ({sql_cents("st.mx")} - {sql_cents("st.mn")}) AS minmax
+    FROM customer c JOIN stats st ON c.c_mktsegment = st.seg
+    """,
+)
+def feature_scale_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature normalization (z-score + min-max of account
+    balance within market segment) — the scaler step of a feature
+    pipeline, with mean/std derived from EXACT integer power sums
+    (n, Σcents, Σcents²) so the statistics are identical across engines
+    and partitionings (built-in stddev sums doubles and is neither).
+    The per-segment stats are a tiny aggregate broadcast back into the
+    row stream — one scan + one map-side-combined agg, no window over
+    the full table.  Sample std; min-max in pure integer cents."""
+    c = T(spark, sf_dir, "customer")
+    cc = cents("c_acctbal")
+    stats = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count("c_acctbal").alias("n"),
+        F.sum(cc).alias("s1"),
+        F.sum(cc * cc).alias("s2"),
+        F.min("c_acctbal").alias("mn"),
+        F.max("c_acctbal").alias("mx"),
+    )
+    mean = F.col("s1") / 100.0 / F.col("n")
+    std = F.sqrt(
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+        / (F.col("n") * (F.col("n") - 1.0))
+        / 10000.0
+    )
+    return (
+        c.join(F.broadcast(stats), c.c_mktsegment == F.col("seg"))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            ((cc / 100.0 - mean) / std).alias("zscore"),
+            (
+                (cc - cents("mn")) * 1.0 / (cents("mx") - cents("mn"))
+            ).alias("minmax"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-hot encoding
+# ---------------------------------------------------------------------------
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@register(
+    "feature_onehot_encode",
+    tier="B",
+    oracle="SELECT c_custkey, "
+    + ", ".join(
+        f"CASE WHEN c_mktsegment = '{s}' THEN 1 ELSE 0 END AS is_{s.lower()}"
+        for s in _SEGMENTS
+    )
+    + ", CASE WHEN c_mktsegment IN ("
+    + ", ".join(f"'{s}'" for s in _SEGMENTS)
+    + ") THEN 0 ELSE 1 END AS is_other FROM customer",
+)
+def feature_onehot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hot categorical encoding against a FIXED vocabulary (the
+    stable-schema variant a training pipeline needs — pivot-on-observed-
+    values would change output schema when a category vanishes from a
+    batch).  Unknown categories fold into is_other rather than erroring,
+    so schema drift upstream degrades gracefully.  Pure projection: zero
+    shuffles, fully codegen, trivially 100 TB-safe."""
+    c = T(spark, sf_dir, "customer")
+    cols = [
+        F.when(F.col("c_mktsegment") == s, 1).otherwise(0).alias(f"is_{s.lower()}")
+        for s in _SEGMENTS
+    ]
+    other = (
+        F.when(F.col("c_mktsegment").isin(_SEGMENTS), 0).otherwise(1).alias("is_other")
+    )
+    return c.select("c_custkey", *cols, other)
+
+
+# ---------------------------------------------------------------------------
+# Exponential-decay rolling feature
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "feature_decay_rolling",
+    tier="B",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             {sql_cents("value")} AS v0,
+             LAG({sql_cents("value")}, 1) OVER w AS v1,
+             LAG({sql_cents("value")}, 2) OVER w AS v2,
+             LAG({sql_cents("value")}, 3) OVER w AS v3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           (v0 + 0.5 * COALESCE(v1, 0) + 0.25 * COALESCE(v2, 0)
+              + 0.125 * COALESCE(v3, 0))
+             / (1.0 + 0.5 * (CASE WHEN v1 IS NULL THEN 0 ELSE 1 END)
+                  + 0.25 * (CASE WHEN v2 IS NULL THEN 0 ELSE 1 END)
+                  + 0.125 * (CASE WHEN v3 IS NULL THEN 0 ELSE 1 END))
+             / 100.0 AS decay_avg
+    FROM seq
+    """,
+)
+def feature_decay_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-decay rolling average per user (the recency-weighted
+    activity feature): weights 1, 1/2, 1/4, 1/8 over the last 4 events,
+    renormalized over the lags that exist.  A true infinite-horizon EWMA
+    is a sequential recurrence (non-associative — it needs a stateful
+    pass); the truncated form is expressible as pure LAG arithmetic:
+    one window sort per user partition, zero extra shuffles beyond the
+    user_id exchange, and bit-identical across engines because the
+    lagged values are integer cents and the weight polynomial is one
+    canonical float expression.  Ties broken by event_id so the lag
+    sequence is total-ordered."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v0 = cents("value")
+    lags = {k: F.lag(v0, k).over(w) for k in (1, 2, 3)}
+    weights = {1: 0.5, 2: 0.25, 3: 0.125}
+    num = v0 + sum(weights[k] * F.coalesce(lags[k], F.lit(0)) for k in (1, 2, 3))
+    den = F.lit(1.0) + sum(
+        weights[k] * F.when(lags[k].isNull(), 0).otherwise(1) for k in (1, 2, 3)
+    )
+    return e.select(
+        "user_id", "event_id", (num / den / 100.0).alias("decay_avg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group reservoir sample
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_reservoir_hash",
+    tier="B",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM (
+      SELECT c_custkey, c_mktsegment,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY (c_custkey * 2654435761) % 1000003, c_custkey
+             ) AS rn
+      FROM customer
+    ) WHERE rn <= 20
+    """,
+)
+def sample_reservoir_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k-per-group sample (reservoir semantics
+    without reservoir state): rank rows inside each group by a keyed
+    pseudo-random permutation and keep the first k — reproducible across
+    runs, engines, and partitionings, unlike rand()-based sampling.  The
+    permutation is Knuth's multiplicative hash in plain integer
+    arithmetic ((key * 2654435761) mod 1000003) so BOTH engines rank
+    identically and the sample itself is value-hash-checked (engine
+    built-in hashes differ and would only permit a structural check).
+    The window's top-k filter is rank-limited, so Spark plans it as a
+    partial top-k per partition before the single group shuffle (no full
+    sort of the table)."""
+    c = T(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        (F.col("c_custkey") * 2654435761) % 1000003,
+        "c_custkey",
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "privacy_k_anonymity",
+    tier="B",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    HAVING COUNT(*) < 10
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple (nation x market
+    segment): every returned group identifies fewer than k=10 individuals
+    and therefore needs suppression or generalization before release —
+    the privacy gate a training-data export runs.  One map-side-combined
+    aggregate; the HAVING prunes to the rare risky groups so the output
+    is small even when the input isn't."""
+    c = T(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the nation trade graph
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 5
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs.  Ranks live in
+    integer micro-units (1e-12) end-to-end: each contribution floors a
+    single long x double product (no a + b*c — DuckDB fuses that into an
+    FMA with single rounding, 1 ulp off the JVM's separately-rounded
+    ops), damping is integer (x * 85) // 100, and the only float
+    division is the final presentation cast."""
+    edges = f"""
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    raw_edges AS (
+      SELECT cn.c_nationkey AS src, sn.s_nationkey AS dst,
+             SUM({sql_cents("l.l_extendedprice")}) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer cn ON o.o_custkey = cn.c_custkey
+      JOIN supplier sn ON l.l_suppkey = sn.s_suppkey
+      GROUP BY cn.c_nationkey, sn.s_nationkey
+    ),
+    edges AS (
+      SELECT src, dst, w * 1.0 / SUM(w) OVER (PARTITION BY src) AS p
+      FROM raw_edges
+    ),
+    r0 AS (
+      SELECT node,
+             1000000000000 // (SELECT COUNT(*) FROM nodes) AS rank_u
+      FROM nodes
+    )
+    """
+    base_u = "(1000000000000 * 15) // (100 * (SELECT COUNT(*) FROM nodes))"
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(f"""
+    r{i} AS (
+      SELECT n.node,
+             {base_u} + (COALESCE(c.s, 0) * 85) // 100 AS rank_u
+      FROM nodes n
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               SUM(CAST(FLOOR(r.rank_u * e.p) AS BIGINT)) AS s
+        FROM edges e JOIN r{i - 1} r ON e.src = r.node
+        GROUP BY e.dst
+      ) c ON n.node = c.node
+    )""")
+    return (
+        "WITH " + edges + "," + ",".join(steps)
+        + f" SELECT node AS n_nationkey,"
+        f" rank_u / 1000000000000.0 AS pagerank FROM r{_PR_ITERS}"
+    )
+
+
+@register("graph_pagerank_trade", tier="B", oracle=_pagerank_oracle())
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation-level trade graph (edge weight =
+    exact revenue customer-nation -> supplier-nation), 5 fixed power
+    iterations, damping 0.85 — the iterative-graph-algorithm family on
+    pure DataFrame ops.  Each iteration is one join + one aggregate on
+    the edge list.  Ranks are integer micro-units (1e-12) throughout:
+    contributions floor a single long x double product and the damping
+    is integer (x * 85) div 100, so every iteration is exactly
+    order-independent AND engine-independent (a float a + 0.85*x update
+    hash-diverges — DuckDB emits an FMA, the JVM rounds twice).  The
+    node set here is tiny but nothing in the plan depends on that: at a
+    billion-node graph the same join/agg iteration is the scale shape
+    (GraphX/Pregel runs the same dataflow), ranks never collect to the
+    driver, and the edge build is the only fact-table pass (the edge
+    list is persisted so the 5 iterations reuse it instead of re-running
+    the scan)."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    cn = T(spark, sf_dir, "customer")
+    sn = T(spark, sf_dir, "supplier")
+    nodes = T(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("node"))
+    raw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cn.select("c_custkey", "c_nationkey")), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(sn.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.sum(cents("l_extendedprice")).alias("w"))
+    )
+    wsrc = Window.partitionBy("src")
+    # persist the edge list: every power iteration joins it again, and
+    # without the cache each iteration's lineage would re-run the fact
+    # scan + three joins (5 iterations = 5 fact passes at 100 TB)
+    edges = raw.select(
+        "src", "dst", (F.col("w") * 1.0 / F.sum("w").over(wsrc)).alias("p")
+    ).persist()
+    n_nodes = nodes.count()  # node-count scalar: one tiny dim count
+    base_u = (1_000_000_000_000 * 15) // (100 * n_nodes)
+    ranks = nodes.select(
+        "node", F.lit(1_000_000_000_000 // n_nodes).alias("rank_u")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .groupBy(F.col("dst").alias("cnode"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("rank_u") * F.col("p")).cast("long")
+                ).alias("s")
+            )
+        )
+        ranks = nodes.join(contrib, nodes.node == F.col("cnode"), "left_outer").select(
+            "node",
+            (
+                F.lit(base_u)
+                + F.expr("(COALESCE(s, CAST(0 AS BIGINT)) * 85) div 100")
+            ).alias("rank_u"),
+        )
+    return ranks.select(
+        F.col("node").alias("n_nationkey"),
+        (F.col("rank_u") / 1e12).alias("pagerank"),
+    )

@@ -138,6 +138,7 @@ def load_all() -> dict[str, QuerySpec]:
             flagship,
             manifest,
             merge,
+            mlprep,
             multimodal,
             nested,
             pipeline,
