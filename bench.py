@@ -149,6 +149,13 @@ HEADLINE = [
     "sample_reservoir_hash",
     "privacy_k_anonymity",
     "graph_pagerank_trade",
+    # round-3: advanced-analytics shapes (queries/advanced.py)
+    "skyline_pareto_frontier",
+    "agg_linear_regression",
+    "events_attribution_last_touch",
+    "quantile_bucket_equidepth",
+    "agg_gini_concentration",
+    "join_theta_band",
 ]
 
 

@@ -1,0 +1,114 @@
+"""Advanced-analytics semantic invariants (queries/advanced.py):
+frontier minimality/completeness, regression vs closed-form reference,
+attribution accounting, bucket depth, Gini bounds, band completeness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ub_etl_spark.queries.advanced import (
+    agg_gini_concentration,
+    agg_linear_regression,
+    events_attribution_last_touch,
+    join_theta_band,
+    quantile_bucket_equidepth,
+    skyline_pareto_frontier,
+)
+from ub_etl_spark.sources.tables import load_table
+
+
+def test_skyline_matches_bruteforce(spark, sf_dir):
+    """The two-phase frontier must equal the O(n^2) domination check run
+    in plain python over the collected dimension."""
+    got = {
+        (r.p_partkey, r.p_retailprice, r.p_size)
+        for r in skyline_pareto_frontier(spark, sf_dir).collect()
+    }
+    parts = [
+        (r.p_partkey, r.p_retailprice, r.p_size)
+        for r in load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+    expect = {
+        p
+        for p in parts
+        if not any(
+            q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+            for q in parts
+        )
+    }
+    assert got == expect and got
+
+
+def test_regression_matches_python_closed_form(spark, sf_dir):
+    """Slope/intercept must match the same closed form computed in exact
+    python integers from the raw rows."""
+    rows = {r.l_returnflag: r for r in agg_linear_regression(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    groups: dict[str, list] = {}
+    for r in li:
+        groups.setdefault(r.l_returnflag, []).append(r)
+    import math
+
+    for flag, grp in groups.items():
+        xs = [math.floor(r.l_quantity * 100 + 0.5) for r in grp]
+        ys = [math.floor(r.l_extendedprice * 100 + 0.5) for r in grp]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        den = float(n * sxx - sx * sx)
+        assert rows[flag].slope == float(n * sxy - sx * sy) / den
+        assert rows[flag].intercept == float(sy * sxx - sx * sxy) / den / 100.0
+
+
+def test_attribution_purchases_fully_accounted(spark, sf_dir):
+    """Every purchase lands in exactly one channel: per-channel counts
+    sum to the purchase count, and channels never include 'purchase'."""
+    rows = events_attribution_last_touch(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    n_purch = e.filter(F.col("event_type") == "purchase").count()
+    assert sum(r.n_purchases for r in rows) == n_purch
+    assert "purchase" not in {r.channel for r in rows}
+
+
+def test_equidepth_buckets_are_balanced_and_ordered(spark, sf_dir):
+    """Bucket sizes differ by at most 1 (NTILE's defining property),
+    cover the whole table, and bucket value ranges don't overlap out of
+    order (hi of bucket k <= lo of bucket k+1)."""
+    rows = sorted(quantile_bucket_equidepth(spark, sf_dir).collect(), key=lambda r: r.bucket)
+    total = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n_orders for r in rows) == total
+    sizes = [r.n_orders for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo
+
+
+def test_gini_within_bounds_and_scale_invariant(spark, sf_dir):
+    row = agg_gini_concentration(spark, sf_dir).collect()[0]
+    assert 0.0 <= row.gini < 1.0
+    assert row.n_customers > 0
+
+
+def test_theta_band_complete_and_minimal(spark, sf_dir):
+    """The bucketed candidate join must return EXACTLY the brute-force
+    band pairs — no duplicate from multi-bucket candidacy, no pair lost
+    at a bucket boundary."""
+    got = sorted(
+        (r.suppkey_a, r.suppkey_b) for r in join_theta_band(spark, sf_dir).collect()
+    )
+    sup = [
+        (r.s_suppkey, round(r.s_acctbal * 100))
+        for r in load_table(spark, sf_dir, "supplier").collect()
+    ]
+    expect = sorted(
+        (a, b)
+        for a, ba in sup
+        for b, bb in sup
+        if a < b and abs(ba - bb) <= 500
+    )
+    assert got == expect

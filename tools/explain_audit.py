@@ -152,6 +152,59 @@ EXPECT = {
         "!Exchange hashpartitioning(l_orderkey",
         "!Exchange hashpartitioning(o_orderkey",
     ],
+    # --- round-3 TPC-H completion (queries/tpch.py) ---
+    # q2: part dim semi-joins the fact BEFORE the supply agg; per-part MIN
+    # rides a window; EU dim broadcast; deterministic top-k
+    "tpch_q2_min_cost_supplier": ["LeftSemi", "Window", "BroadcastHashJoin", "TakeOrderedAndProject"],
+    "tpch_q4_priority_check": ["LeftSemi", "HashAggregate", "PushedFilters: [IsNotNull(o_orderdate)"],
+    # q6: all three predicates reach the parquet scan; single-row agg
+    "tpch_q6_forecast_revenue": ["PushedFilters: [IsNotNull(l_shipdate)", "HashAggregate", "*("],
+    "tpch_q7_volume_shipping": ["BroadcastHashJoin", "HashAggregate", "PushedFilters: [IsNotNull(l_shipdate)"],
+    "tpch_q8_market_share": ["BroadcastHashJoin", "LeftSemi", "HashAggregate"],
+    "tpch_q9_product_profit": ["BroadcastHashJoin", "HashAggregate"],
+    # q10: lineitem pre-aggregates per orderkey before the orders join
+    # (agg-before-join, same as q18); top-20 never full-sorts
+    "tpch_q10_returned_items": ["HashAggregate", "TakeOrderedAndProject", "BroadcastHashJoin"],
+    "tpch_q11_important_parts": ["LeftSemi", "HashAggregate"],
+    "tpch_q12_late_lines": ["HashAggregate", "codegen id :"],
+    # q13: the zero-bucket depends on the ON-clause filter — join stays
+    # LeftOuter (a WHERE would have turned it inner)
+    "tpch_q13_customer_distribution": ["LeftOuter", "HashAggregate"],
+    "tpch_q14_promo_revenue": ["BroadcastHashJoin", "HashAggregate"],
+    "tpch_q15_top_supplier": ["HashAggregate", "BroadcastHashJoin"],
+    "tpch_q16_supplier_count": ["LeftAnti", "BroadcastHashJoin", "HashAggregate"],
+    # q17: correlated AVG as a window over the broadcast-pruned fact —
+    # no lineitem self-join anywhere in the plan
+    "tpch_q17_small_qty_revenue": ["Window", "BroadcastHashJoin", "HashAggregate"],
+    "tpch_q19_disjunctive_filter": ["BroadcastHashJoin", "HashAggregate"],
+    "tpch_q20_promotion_suppliers": ["Window", "BroadcastHashJoin", "HashAggregate"],
+    "tpch_q22_dormant_customers": ["LeftAnti", "HashAggregate"],
+    # --- round-3 ML-prep / governance tier (queries/mlprep.py) ---
+    # union of per-column single-distinct aggs: a fused multi-distinct
+    # would plan Expand (x6 rows, measured 94x oracle) — assert it's gone
+    "profile_table_stats": ["HashAggregate", "Union", "!Expand"],
+    "dq_expectation_checks": ["LeftAnti", "Union", "HashAggregate"],
+    "feature_scale_standard": ["BroadcastHashJoin", "HashAggregate", "codegen id :"],
+    # pure projection: no exchange of any kind
+    "feature_onehot_encode": ["codegen id :", "!Exchange"],
+    "feature_decay_rolling": ["Window", "codegen id :"],
+    # rank-limited window must plan the per-partition partial top-k
+    # (WindowGroupLimit), not a full per-group materialization
+    "sample_reservoir_hash": ["WindowGroupLimit", "Window"],
+    "privacy_k_anonymity": ["HashAggregate", "codegen id :"],
+    # persisted edge list: every power iteration must read the in-memory
+    # relation, not re-run the fact scan + joins
+    "graph_pagerank_trade": ["InMemoryTableScan", "HashAggregate"],
+    # --- round-3 advanced-analytics shapes (queries/advanced.py) ---
+    # skyline: strictly-cheaper domination via a RANGE frame window
+    "skyline_pareto_frontier": ["Window", "RangeFrame"],
+    "agg_linear_regression": ["HashAggregate", "*("],
+    "events_attribution_last_touch": ["Window", "HashAggregate", "Exchange hashpartitioning(user_id"],
+    "quantile_bucket_equidepth": ["Window", "HashAggregate"],
+    "agg_gini_concentration": ["Window", "HashAggregate"],
+    # banded theta join: bucket-exploded candidates through an EQUI join —
+    # the inequality predicate must never degrade to a nested loop
+    "join_theta_band": ["Generate", "!BroadcastNestedLoopJoin", "!CartesianProduct"],
 }
 
 # Kept by hand; prepended to the generated PLANS.md on every regeneration.

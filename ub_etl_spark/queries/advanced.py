@@ -1,0 +1,365 @@
+"""Advanced analytics shapes: skyline/Pareto frontier, exact regression,
+marketing attribution, equi-depth quantiles, inequality metrics, and the
+banded theta join.
+
+Each operator pairs a scale-honest Spark formulation with an ANSI oracle:
+order statistics that need a global sort (equi-depth buckets, Gini rank)
+say so and name the approximate scale path; the skyline and theta join
+implement their scale algorithms outright (two-phase local/global
+frontier, bucketed band candidates).  Float discipline as everywhere:
+exact integer sums, DECIMAL(38,0) promotion for cross-sums, one double
+division in a shared textual order — and never a + b*c in a float
+(engines disagree on FMA fusion; see graph_pagerank_trade).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ub_etl_spark.functions.exact import cents, csum, sql_cents, sql_csum
+from ub_etl_spark.registry import register
+from ub_etl_spark.sources.tables import load_table as T
+
+_D38 = "decimal(38,0)"
+
+
+def _d(c) -> F.Column:
+    return c.cast(_D38)
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skyline_pareto_frontier",
+    tier="B",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query (Pareto frontier minimizing price, maximizing size):
+    the multi-objective shortlist shape.  The oracle is the textbook
+    NOT-EXISTS domination check (O(n^2)); the Spark plan is the
+    divide-and-conquer skyline: a LOCAL frontier inside each of 8 hash
+    partitions (window over cents-price with a RANGE frame — strictly
+    cheaper rows — plus an equal-price max), then the same two windows
+    globally over the survivors.  Domination is transitive, so local
+    pruning preserves the global frontier exactly.  The global pass is
+    single-partition but runs on the already-pruned survivor set — the
+    standard skyline scale shape (worst case all points are on the
+    frontier, in which case no algorithm avoids the global pass)."""
+    p = T(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size", cents("p_retailprice").alias("price_c")
+    )
+
+    def frontier(df: DataFrame, part_cols: list[str]) -> DataFrame:
+        w_cheaper = (
+            Window.partitionBy(*part_cols)
+            .orderBy("price_c")
+            .rangeBetween(Window.unboundedPreceding, -1)
+            if part_cols
+            else Window.orderBy("price_c").rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w_equal = Window.partitionBy(*(part_cols + ["price_c"]))
+        return (
+            df.withColumn("__mx_cheaper", F.max("p_size").over(w_cheaper))
+            .withColumn("__mx_equal", F.max("p_size").over(w_equal))
+            .filter(
+                (
+                    F.col("__mx_cheaper").isNull()
+                    | (F.col("__mx_cheaper") < F.col("p_size"))
+                )
+                & (F.col("__mx_equal") <= F.col("p_size"))
+            )
+            .drop("__mx_cheaper", "__mx_equal")
+        )
+
+    local = frontier(
+        p.withColumn("__salt", F.pmod(F.xxhash64("p_partkey"), F.lit(8))), ["__salt"]
+    ).drop("__salt")
+    return frontier(local, []).select("p_partkey", "p_retailprice", "p_size")
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group linear regression
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_linear_regression",
+    tier="B",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM({sql_cents("l_quantity")}) AS sx,
+             SUM({sql_cents("l_extendedprice")}) AS sy,
+             SUM({sql_cents("l_quantity")} * {sql_cents("l_quantity")}) AS sxx,
+             SUM({sql_cents("l_quantity")} * {sql_cents("l_extendedprice")}) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(CAST(n AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0))
+                  - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+                AS DOUBLE)
+             / CAST(CAST(n AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0))
+                      - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))
+                    AS DOUBLE) AS slope,
+           CAST(CAST(sy AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0))
+                  - CAST(sx AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0))
+                AS DOUBLE)
+             / CAST(CAST(n AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0))
+                      - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))
+                    AS DOUBLE) / 100.0 AS intercept
+    FROM s
+    """,
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares regression (extendedprice on quantity) via
+    the closed form over exact integer power sums (n, Σx, Σy, Σx², Σxy
+    in long cents — one map-side-combined aggregate, same family as
+    agg_corr_exact).  Built-in regr_slope sums doubles and is order-
+    dependent; here the normal-equation numerators/denominators promote
+    to DECIMAL(38,0) (the long envelope would overflow at n·Σxy scale)
+    and each coefficient is ONE double division of two exact integers —
+    engine- and partitioning-identical.  The intercept uses the
+    all-integer form (Σy·Σx² - Σx·Σxy)/den, not ȳ - slope·x̄, which
+    would hit the cross-engine FMA hazard."""
+    li = T(spark, sf_dir, "lineitem")
+    xc, yc = cents("l_quantity"), cents("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xc).alias("sx"),
+        F.sum(yc).alias("sy"),
+        F.sum(xc * xc).alias("sxx"),
+        F.sum(xc * yc).alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
+    den = (_d(n) * _d(sxx) - _d(sx) * _d(sx)).cast("double")
+    slope = (_d(n) * _d(sxy) - _d(sx) * _d(sy)).cast("double") / den
+    intercept = (_d(sy) * _d(sxx) - _d(sx) * _d(sxy)).cast("double") / den / 100.0
+    return s.select(
+        "l_returnflag", "n", slope.alias("slope"), intercept.alias("intercept")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_attribution_last_touch",
+    tier="B",
+    oracle=f"""
+    WITH attributed AS (
+      SELECT event_type, value,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+      FROM events
+    )
+    SELECT COALESCE(channel, 'direct') AS channel,
+           COUNT(*) AS n_purchases,
+           {sql_csum("value", "total_value")}
+    FROM attributed
+    WHERE event_type = 'purchase'
+    GROUP BY COALESCE(channel, 'direct')
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the most
+    recent preceding non-purchase event of the same user ('direct' when
+    none precedes).  One window pass per user (ignore-nulls LAST_VALUE
+    over the unbounded-preceding frame — no self-join against the event
+    history) followed by a tiny channel aggregate; the only fact shuffle
+    is the user_id exchange the window needs.  Ties in ts are broken by
+    event_id so the 'most recent' is total-ordered and engine-stable."""
+    e = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("channel", channel)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            csum("value", "total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth quantile buckets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quantile_bucket_equidepth",
+    tier="B",
+    oracle=f"""
+    WITH b AS (
+      SELECT o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT bucket, COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+           {sql_csum("o_totalprice", "total")}
+    FROM b GROUP BY bucket
+    """,
+)
+def quantile_bucket_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile bucketing (the histogram/feature-binning
+    primitive): NTILE over a total order (price, orderkey tiebreak) then
+    per-bucket count/bounds/exact sum.  The exact form needs one global
+    sort — the documented watch-item shared with every global order
+    statistic here; the 100 TB path swaps the NTILE for
+    percentile_approx bucket BOUNDARIES broadcast into a codegen
+    bucket-assignment projection (no global sort, approximate depths),
+    keeping this exact variant as the oracle-checkable reference."""
+    o = T(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("bucket", F.ntile(10).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            csum("o_totalprice", "total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_gini_concentration",
+    tier="B",
+    oracle=f"""
+    WITH r AS (
+      SELECT o_custkey, SUM({sql_cents("o_totalprice")}) AS rev
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i FROM r
+    ), s AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(i AS DECIMAL(38,0)) * CAST(rev AS DECIMAL(38,0))) AS sir,
+             SUM(CAST(rev AS DECIMAL(38,0))) AS sr
+      FROM ranked
+    )
+    SELECT n AS n_customers,
+           CAST(CAST(2 AS DECIMAL(38,0)) * sir
+                  - CAST(n + 1 AS DECIMAL(38,0)) * sr AS DOUBLE)
+             / CAST(CAST(n AS DECIMAL(38,0)) * sr AS DOUBLE) AS gini
+    FROM s
+    """,
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers (the
+    inequality/imbalance metric for corpus source distribution or
+    revenue skew): G = (2·Σi·rᵢ - (n+1)·Σrᵢ) / (n·Σrᵢ) over
+    ascending-ranked exact-cents revenues.  All sums are exact integers
+    promoted to DECIMAL(38,0); G is one double division.  The rank is a
+    global order statistic (same watch-item as equi-depth buckets); at
+    scale the two-phase distributed rank (per-partition counts ->
+    offset + local row_number) replaces the single-partition window —
+    the per-customer aggregate before it already shrank the data to one
+    row per customer."""
+    o = T(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(F.sum(cents("o_totalprice")).alias("rev"))
+    ranked = r.withColumn(
+        "i", F.row_number().over(Window.orderBy("rev", "o_custkey"))
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_d(F.col("i")) * _d(F.col("rev"))).alias("sir"),
+        F.sum(_d(F.col("rev"))).alias("sr"),
+    )
+    n, sir, sr = F.col("n"), F.col("sir"), F.col("sr")
+    gini = (F.lit(2).cast(_D38) * sir - (n + 1).cast(_D38) * sr).cast("double") / (
+        _d(n) * sr
+    ).cast("double")
+    return s.select(n.alias("n_customers"), gini.alias("gini"))
+
+
+# ---------------------------------------------------------------------------
+# Banded theta join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_theta_band",
+    tier="B",
+    oracle=f"""
+    SELECT s1.s_suppkey AS suppkey_a, s2.s_suppkey AS suppkey_b,
+           ABS({sql_cents("s1.s_acctbal")} - {sql_cents("s2.s_acctbal")}) / 100.0
+             AS bal_diff
+    FROM supplier s1
+    JOIN supplier s2
+      ON s2.s_acctbal >= s1.s_acctbal - 5.0
+     AND s2.s_acctbal <= s1.s_acctbal + 5.0
+     AND s1.s_suppkey < s2.s_suppkey
+    """,
+)
+def join_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded theta join (|balance difference| <= 5.00): the inequality-
+    join shape Spark has no native operator for, made scale-safe by
+    bucketed candidate generation.  Each left row explodes to its bucket
+    and both neighbors (bucket width = band width, so every qualifying
+    pair shares a bucket exactly once — no dedup needed); the join is
+    then a plain EQUI join on the bucket key (hash exchange, never the
+    nested-loop cross product the oracle's inequality condition would
+    plan naively), and the exact band filter runs post-join on the ~3x
+    candidate set.  Work is O(n · band density), not O(n²)."""
+    s = T(spark, sf_dir, "supplier").select(
+        "s_suppkey", cents("s_acctbal").alias("bal_c")
+    )
+    band_c = 500  # 5.00 in cents == the bucket width
+    bucket = F.floor(F.col("bal_c") / band_c)
+    left = s.select(
+        F.col("s_suppkey").alias("suppkey_a"),
+        F.col("bal_c").alias("bal_a"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("bucket"),
+    )
+    right = s.select(
+        F.col("s_suppkey").alias("suppkey_b"),
+        F.col("bal_c").alias("bal_b"),
+        bucket.alias("bucket"),
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(
+            (F.abs(F.col("bal_a") - F.col("bal_b")) <= band_c)
+            & (F.col("suppkey_a") < F.col("suppkey_b"))
+        )
+        .select(
+            "suppkey_a",
+            "suppkey_b",
+            (F.abs(F.col("bal_a") - F.col("bal_b")) / 100.0).alias("bal_diff"),
+        )
+    )

@@ -131,6 +131,7 @@ def load_all() -> dict[str, QuerySpec]:
     global _LOADED
     if not _LOADED:
         from ub_etl_spark.queries import (  # noqa: F401
+            advanced,
             analytics,
             curation,
             dedup,
