@@ -156,6 +156,11 @@ HEADLINE = [
     "quantile_bucket_equidepth",
     "agg_gini_concentration",
     "join_theta_band",
+    # round-3: behavior/sequence tier (queries/behavior.py)
+    "events_path_topk",
+    "market_basket_pairs",
+    "stream_late_data_accounting",
+    "text_containment_dedup",
 ]
 
 

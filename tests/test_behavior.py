@@ -1,0 +1,77 @@
+"""Behavior/sequence analytics invariants (queries/behavior.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ub_etl_spark.queries.behavior import (
+    events_path_topk,
+    market_basket_pairs,
+    stream_late_data_accounting,
+    text_containment_dedup,
+)
+from ub_etl_spark.sources.tables import load_table
+
+
+def test_paths_are_truncated_and_counted(spark, sf_dir):
+    """Paths hold at most 8 hops, counts are positive, and the top path's
+    user count can't exceed the total user count."""
+    rows = events_path_topk(spark, sf_dir).collect()
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert rows
+    for r in rows:
+        assert 1 <= len(r.path.split(">")) <= 8
+        assert 0 < r.n_users <= n_users
+
+
+def test_basket_pairs_symmetric_source_and_topk(spark, sf_dir):
+    """part_a < part_b always; at most 3 partners per part_a; each count
+    matches an independent recount for a sampled pair."""
+    df = market_basket_pairs(spark, sf_dir)
+    rows = df.collect()
+    assert rows and all(r.part_a < r.part_b for r in rows)
+    per_a: dict[int, int] = {}
+    for r in rows:
+        per_a[r.part_a] = per_a.get(r.part_a, 0) + 1
+    assert max(per_a.values()) <= 3
+    # spot-check one pair against a direct count
+    r0 = rows[0]
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.filter(F.col("l_partkey") == r0.part_a).select("l_orderkey")
+    b = li.filter(F.col("l_partkey") == r0.part_b).select("l_orderkey")
+    assert a.join(b, "l_orderkey").count() == r0.n_orders
+
+
+def test_late_accounting_partitions_all_events(spark, sf_dir):
+    """late + ontime across event types equals the table row count (every
+    event is classified exactly once)."""
+    rows = stream_late_data_accounting(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_late + r.n_ontime for r in rows) == total
+
+
+def test_containment_detects_planted_prefix_copy(spark, tmp_path):
+    """A short doc fully contained in a longer one scores 1.0; an
+    unrelated doc pairs with nothing.  Runs the REGISTERED query against
+    a planted fixture dir."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon"),  # prefix of 1
+            (3, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = text_containment_dedup(spark, str(tmp_path)).collect()
+    pairs = {(r.id_a, r.id_b): r.containment for r in out}
+    # doc 2's 2 grams are both inside doc 1's 5 -> min-normalized 1.0
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert not any(3 in p for p in pairs)
+
+
+def test_containment_registered_query_short_doc_safe(spark, sf_dir):
+    """The registered query runs without the descending-sequence trap on
+    whatever doc lengths the fixture has (just executes + sane range)."""
+    rows = text_containment_dedup(spark, sf_dir).collect()
+    assert all(0.8 <= r.containment <= 1.0 for r in rows)

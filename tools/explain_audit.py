@@ -205,6 +205,12 @@ EXPECT = {
     # banded theta join: bucket-exploded candidates through an EQUI join —
     # the inequality predicate must never degrade to a nested loop
     "join_theta_band": ["Generate", "!BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # --- round-3 behavior/sequence tier (queries/behavior.py) ---
+    # ordered path collect fuses into the hash agg: no Window operator
+    "events_path_topk": ["sort_array", "HashAggregate", "TakeOrderedAndProject", "!Window"],
+    "market_basket_pairs": ["WindowGroupLimit", "HashAggregate"],
+    "stream_late_data_accounting": ["Window", "HashAggregate", "Exchange hashpartitioning(user_id"],
+    "text_containment_dedup": ["Generate", "HashAggregate", "codegen id :"],
 }
 
 # Kept by hand; prepended to the generated PLANS.md on every regeneration.

@@ -1,0 +1,246 @@
+"""Behavioral / sequence analytics and containment dedup: event-path
+mining, market-basket co-occurrence, keyed watermark lateness accounting,
+and asymmetric n-gram containment — the session-and-sequence tier a
+product-analytics user of the reference's activity pipeline
+(scripts/user_course_activity.py) runs next.
+
+Determinism: paths order by (ts, event_id) so sequences are total-
+ordered; counts are integers; the containment ratio divides two exact
+integers once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ub_etl_spark.registry import register
+from ub_etl_spark.sources.tables import load_table as T
+
+
+@register(
+    "events_path_topk",
+    tier="B",
+    oracle="""
+    WITH paths AS (
+      SELECT user_id,
+             array_to_string(list(event_type ORDER BY ts, event_id)[1:8], '>')
+               AS path
+      FROM events GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+)
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k behavior paths: each user's first 8 event types joined into
+    a path string, counted across users (the funnel-discovery /
+    clickstream-mining primitive).  One shuffle on user_id; the ordered
+    collect is sort_array over (ts, event_id, type) structs — fully
+    codegen, no window, no second exchange (the path agg and the
+    truncation happen in the same hash aggregate); the path-count agg
+    runs on one short string per user; top-20 is TakeOrderedAndProject.
+    Ties (same ts) are broken by event_id so the sequence is total-
+    ordered and engine-identical."""
+    e = T(spark, sf_dir, "events")
+    ordered = F.sort_array(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    path = F.concat_ws(
+        ">", F.slice(F.transform(ordered, lambda s: s["event_type"]), 1, 8)
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(20)
+    )
+
+
+@register(
+    "market_basket_pairs",
+    tier="B",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), counted AS (
+      SELECT part_a, part_b, COUNT(*) AS n_orders FROM pairs
+      GROUP BY part_a, part_b
+    )
+    SELECT part_a, part_b, n_orders FROM (
+      SELECT part_a, part_b, n_orders,
+             ROW_NUMBER() OVER (PARTITION BY part_a
+                                ORDER BY n_orders DESC, part_b) AS rn
+      FROM counted
+    ) WHERE rn <= 3
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (top-3 'bought with' partners per
+    part): the recommendation-candidate primitive.  Both self-join sides
+    dedup to DISTINCT (order, part) FIRST — the raw self-join would
+    square duplicate part lines within an order — and the join key
+    l_orderkey co-partitions both sides in one exchange each; pair
+    counts aggregate map-side; the per-part top-3 is a rank-limited
+    window (WindowGroupLimit: partial top-k per partition, no full
+    per-part sort materialization).  Scale lever: baskets are bounded
+    (lines per order ~ O(10)), so the pair explosion is linear in
+    orders, never quadratic in the catalog."""
+    li = (
+        T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    counted = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.partitionBy("part_a").orderBy(F.desc("n_orders"), F.asc("part_b"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("part_a", "part_b", "n_orders")
+    )
+
+
+@register(
+    "stream_late_data_accounting",
+    tier="B",
+    oracle="""
+    WITH arr AS (
+      SELECT event_type, ts,
+             MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS wm_high
+      FROM events
+    )
+    SELECT event_type,
+           SUM(CASE WHEN ts < wm_high - INTERVAL 1 HOUR THEN 1 ELSE 0 END)
+             AS n_late,
+           SUM(CASE WHEN ts >= wm_high - INTERVAL 1 HOUR OR wm_high IS NULL
+                    THEN 1 ELSE 0 END) AS n_ontime
+    FROM arr GROUP BY event_type
+    """,
+)
+def stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark lateness accounting, batch twin: an event is LATE when
+    its event time trails the per-key high watermark (max event time
+    seen earlier in arrival order, arrival = event_id) by more than the
+    1-hour delay — exactly the rows `withWatermark('ts', '1 hour')`
+    would drop from a keyed stateful op.  The keyed (per-user) watermark
+    is the deterministic, scale-safe emulation: one window pass over the
+    user_id exchange (a GLOBAL watermark twin would need a single-
+    partition running max — the executor-wide min-of-max the streaming
+    runtime tracks has no order-free batch analogue).  First event per
+    key has no watermark yet and counts on-time, as in the runtime."""
+    e = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = e.withColumn("wm_high", F.max("ts").over(w))
+    late = F.col("ts") < F.col("wm_high") - F.expr("INTERVAL 1 HOUR")
+    return arr.groupBy("event_type").agg(
+        F.sum(F.when(late, 1).otherwise(0)).alias("n_late"),
+        F.sum(F.when(~late | F.col("wm_high").isNull(), 1).otherwise(0)).alias(
+            "n_ontime"
+        ),
+    )
+
+
+@register(
+    "text_containment_dedup",
+    tier="B",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(t[g.i:g.i+3], ' ') AS gram
+      FROM toks, LATERAL (
+        SELECT UNNEST(range(1, GREATEST(len(t) - 3, 0) + 1)) AS i
+      ) g
+    ), sized AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+    ), overlap AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT o.id_a, o.id_b,
+           CAST(o.n_shared AS DOUBLE) / LEAST(sa.n_grams, sb.n_grams)
+             AS containment
+    FROM overlap o
+    JOIN sized sa ON o.id_a = sa.doc_id
+    JOIN sized sb ON o.id_b = sb.doc_id
+    WHERE CAST(o.n_shared AS DOUBLE) / LEAST(sa.n_grams, sb.n_grams) >= 0.8
+    """,
+)
+def text_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup: |grams(A) ∩ grams(B)| / min(|grams(A)|,
+    |grams(B)|) over 4-token shingles — scores 1.0 when the smaller
+    document sits inside the larger, the quote-inclusion/prefix-copy
+    case symmetric Jaccard (dedup_fuzzy) under-scores when lengths
+    diverge.  Candidates come from the gram-
+    keyed equi join (the inverted-index probe shape shared with the LSH
+    family — never all-pairs); gram sets are DISTINCT per doc before the
+    join so duplicate windows can't inflate the overlap; the ratio is
+    one double division of two exact counts.  Scale levers: shingle
+    hashing instead of raw strings for the join key, and banding (as in
+    minhash) when the corpus outgrows the gram join."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("t")
+    )
+    n = F.size("t")
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    # guard: sequence(1, 0) would count DOWN ([1, 0]) in
+                    # Spark where DuckDB's range(1, 1) is empty
+                    F.when(n >= 4, F.sequence(F.lit(1), n - 3)).otherwise(
+                        F.array().cast("array<int>")
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice("t", i, 4)),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    sized = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.select(F.col("doc_id").alias("id_a"), "gram")
+    b = grams.select(F.col("doc_id").alias("id_b"), "gram")
+    overlap = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        overlap.join(
+            sized.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na")),
+            "id_a",
+        )
+        .join(
+            sized.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb")),
+            "id_b",
+        )
+        .withColumn(
+            "containment",
+            F.col("n_shared").cast("double") / F.least("na", "nb"),
+        )
+        .filter(F.col("containment") >= 0.8)
+        .select("id_a", "id_b", "containment")
+    )

@@ -114,9 +114,21 @@ _FIXTURE = [_C101, _C102, dict(_C101)]
     """,
 )
 def pipeline_course_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # 3-row fixture: 1 partition, or every one of the 13 output branches
-    # fans out 32-partition shuffles (354 tasks for 26 rows)
-    courses = spark.createDataFrame(_FIXTURE, COURSE_SCHEMA).coalesce(1)
+    # The fixture enters as a from_json LocalRelation, NOT createDataFrame:
+    # a python-parallelize frame pays python-worker launches in EVERY one
+    # of the 13 downstream branches (measured ~7 s total behind
+    # coalesce(1), ~3.5 s single-sliced); a literal relation parsed
+    # JVM-side costs no worker at all (~0.5 s for the whole pipeline).
+    import json as _json
+
+    vals = ", ".join(
+        "('" + _json.dumps(d).replace("'", "''") + "')" for d in _FIXTURE
+    )
+    courses = (
+        spark.sql(f"SELECT * FROM VALUES {vals} AS t(j)")
+        .select(F.from_json("j", COURSE_SCHEMA).alias("c"))
+        .select("c.*")
+    )
     tables = normalize(courses)
 
     def shaped(name: str, item: F.Column, id_col: str = "course_id") -> DataFrame:

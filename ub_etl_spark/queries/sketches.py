@@ -59,4 +59,10 @@ def agg_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bis = jvm.java.io.ByteArrayInputStream(bytes(sk_bytes))
     cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
     rows = [(t, cms.estimateCount(t)) for t in PROBE_TERMS]
-    return spark.createDataFrame(rows, "term string, est_count long").coalesce(1)
+    # emit as a VALUES LocalRelation, not createDataFrame: a
+    # python-parallelize frame costs one python worker launch per parent
+    # partition at execution (measured 4-6 s behind coalesce(1), which
+    # chains all 32 launches into one sequential task); the literal
+    # relation is pure Catalyst and costs nothing
+    values = ", ".join(f"('{t}', {int(n)}L)" for t, n in rows)
+    return spark.sql(f"SELECT * FROM VALUES {values} AS t(term, est_count)")

@@ -133,6 +133,7 @@ def load_all() -> dict[str, QuerySpec]:
         from ub_etl_spark.queries import (  # noqa: F401
             advanced,
             analytics,
+            behavior,
             curation,
             dedup,
             extras,
