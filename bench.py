@@ -161,6 +161,7 @@ HEADLINE = [
     "market_basket_pairs",
     "stream_late_data_accounting",
     "text_containment_dedup",
+    "udaf_grouped_agg",
 ]
 
 

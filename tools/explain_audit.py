@@ -211,6 +211,13 @@ EXPECT = {
     "market_basket_pairs": ["WindowGroupLimit", "HashAggregate"],
     "stream_late_data_accounting": ["Window", "HashAggregate", "Exchange hashpartitioning(user_id"],
     "text_containment_dedup": ["Generate", "HashAggregate", "codegen id :"],
+    # pandas GROUPED_AGG UDAF plans as a real aggregate (ArrowAggregatePython
+    # over one group-key exchange) with the scan pruned to the 2 used columns
+    "udaf_grouped_agg": [
+        "ArrowAggregatePython",
+        "Exchange hashpartitioning(o_orderpriority",
+        "ReadSchema: struct<o_totalprice:double,o_orderpriority:string>",
+    ],
 }
 
 # Kept by hand; prepended to the generated PLANS.md on every regeneration.

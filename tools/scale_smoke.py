@@ -91,7 +91,112 @@ def queries(spark, d: str):
                 / 100.0
             ).alias("rt"),
         ),
+        # round-3 shapes: basket pair generation (HOF, no self-join),
+        # two-phase weighted-median selection, and the two global-order
+        # watch-items (ntile, rank) — measured so the "global sort is the
+        # scale limit" claim carries a number, not just a docstring
+        "basket_pairs": _basket_pairs(li),
+        "weighted_median_2phase": _weighted_median(li),
+        "equidepth_ntile_global": _equidepth(o),
+        "gini_rank_global": _gini(o),
     }
+
+
+def _basket_pairs(li):
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "parts",
+                    lambda x, i: F.transform(
+                        F.slice("parts", i + 2, F.size("parts")),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("pr")
+    )
+    W = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+    counted = pairs.groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("a").orderBy(F.desc("n"), F.asc("b"))
+    return counted.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+def _weighted_median(li):
+    W = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+    pc = cents("l_extendedprice")
+    wq = cents("l_quantity", scale=0)
+    coarse = li.groupBy(
+        "l_returnflag", (pc - F.pmod(pc, F.lit(10000))).alias("b")
+    ).agg(F.sum(wq).alias("wb"))
+    wcumb = (
+        W.partitionBy("l_returnflag").orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+    )
+    c1 = coarse.select(
+        "l_returnflag",
+        "b",
+        F.sum("wb").over(wcumb).alias("cumb"),
+        (F.sum("wb").over(wcumb) - F.col("wb")).alias("prior"),
+        F.sum("wb").over(W.partitionBy("l_returnflag")).alias("tw"),
+    )
+    mb = (
+        c1.filter(2 * F.col("cumb") >= F.col("tw"))
+        .groupBy(F.col("l_returnflag").alias("mb_flag"))
+        .agg(F.min(F.struct("b", "prior", "tw")).alias("m"))
+        .select("mb_flag", F.col("m.b").alias("mb"), F.col("m.prior").alias("prior"), F.col("m.tw").alias("tw"))
+    )
+    fine = (
+        li.join(
+            F.broadcast(mb),
+            (F.col("l_returnflag") == F.col("mb_flag"))
+            & ((pc - F.pmod(pc, F.lit(10000))) == F.col("mb")),
+        )
+        .groupBy("l_returnflag", pc.alias("pc"), "prior", "tw")
+        .agg(F.sum(wq).alias("w"))
+    )
+    wcum = (
+        W.partitionBy("l_returnflag").orderBy("pc").rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        fine.withColumn("cw", F.col("prior") + F.sum("w").over(wcum))
+        .filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg((F.min("pc") / 100.0).alias("wm"), F.max("tw").alias("tw"))
+    )
+
+
+def _equidepth(o):
+    W = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("bucket", F.ntile(10).over(w))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("o_totalprice").alias("lo"))
+    )
+
+
+def _gini(o):
+    W = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+    r = o.groupBy("o_custkey").agg(F.sum(cents("o_totalprice")).alias("rev"))
+    ranked = r.withColumn("i", F.row_number().over(W.orderBy("rev", "o_custkey")))
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d(F.col("i")) * d(F.col("rev"))).alias("sir"),
+        F.sum(d(F.col("rev"))).alias("sr"),
+    )
+    return s.select(
+        (
+            (F.lit(2).cast("decimal(38,0)") * F.col("sir")
+             - (F.col("n") + 1).cast("decimal(38,0)") * F.col("sr")).cast("double")
+            / (d(F.col("n")) * F.col("sr")).cast("double")
+        ).alias("gini")
+    )
 
 
 def amplify_corpus(spark, src: str, out: str, k: int) -> None:

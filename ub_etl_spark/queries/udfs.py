@@ -100,3 +100,40 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.mapInPandas(
         bucketize, schema="event_id long, user_id long, value double, value_bucket double"
     )
+
+
+# Grouped-aggregate pandas_udf (the full-UDAF surface: Series -> scalar,
+# Arrow-batched per group).  Median of integer cents is deterministic:
+# numpy's even-count interpolation (a+b)/2 and DuckDB's quantile_cont
+# lower+(upper-lower)*0.5 are both exact on half-integers, so the values
+# hash-match despite crossing the Arrow boundary.
+@register(
+    "udaf_grouped_agg",
+    tier="B",
+    oracle=f"""
+    SELECT o_orderpriority,
+           MEDIAN({sql_cents("o_totalprice")}) / 100.0 AS med_totalprice
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via pandas_udf GROUPED_AGG (Series -> scalar): exact
+    per-priority median order value.  This is the sanctioned way to write
+    a Python UDAF — Arrow ships each group's column once, numpy computes
+    vectorized, and the JVM plans it as a real aggregate (partial=false,
+    one hash exchange on the group key) rather than a collect.  Note the
+    per-group Series materializes in one python worker — for
+    heavy-tailed groups prefer an algebraic decomposition (power sums)
+    or the two-phase selection shape (agg_weighted_median)."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def median_cents(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy()))
+
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.withColumn("tc", cents("o_totalprice"))
+        .groupBy("o_orderpriority")
+        .agg((median_cents("tc") / 100.0).alias("med_totalprice"))
+    )
