@@ -162,6 +162,10 @@ HEADLINE = [
     "stream_late_data_accounting",
     "text_containment_dedup",
     "udaf_grouped_agg",
+    # round-3: warehouse-modeling tier (queries/warehouse.py)
+    "dim_date_generate",
+    "orders_rfm_segmentation",
+    "orders_abc_classification",
 ]
 
 

@@ -218,6 +218,11 @@ EXPECT = {
         "Exchange hashpartitioning(o_orderpriority",
         "ReadSchema: struct<o_totalprice:double,o_orderpriority:string>",
     ],
+    # --- round-3 warehouse-modeling tier (queries/warehouse.py) ---
+    # calendar generation: one Generate, left-outer keeps idle days
+    "dim_date_generate": ["Generate", "LeftOuter"],
+    "orders_rfm_segmentation": ["Window", "HashAggregate", "ntile"],
+    "orders_abc_classification": ["Window", "HashAggregate"],
 }
 
 # Kept by hand; prepended to the generated PLANS.md on every regeneration.

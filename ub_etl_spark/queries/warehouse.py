@@ -1,0 +1,196 @@
+"""Warehouse-modeling operators: calendar dimension generation, RFM
+customer segmentation, ABC (Pareto-cut) classification.
+
+All three are global-order or generated-dimension shapes: the calendar
+explodes a bounded date range (zero shuffle), RFM and ABC rank over
+per-entity aggregates (data already shrunk to one row per entity before
+any global window — the shared watch-item of global order statistics,
+with the two-phase distributed rank as the named 100 TB path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ub_etl_spark.functions.exact import cents, sql_cents
+from ub_etl_spark.registry import register
+from ub_etl_spark.sources.tables import load_table as T
+
+
+@register(
+    "dim_date_generate",
+    tier="B",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+             CAST(MAX(o_orderdate) AS DATE) AS hi
+      FROM orders
+    ), days AS (
+      SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    ), ord AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT days.d, YEAR(days.d) AS y, QUARTER(days.d) AS q,
+           MONTH(days.d) AS m, DATE_PART('dow', days.d) AS dow,
+           DATE_PART('dow', days.d) IN (0, 6) AS is_weekend,
+           COALESCE(ord.n_orders, 0) AS n_orders
+    FROM days LEFT JOIN ord ON days.d = ord.d
+    """,
+)
+def dim_date_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension generation (the date dim every star schema
+    needs): one F.sequence explode over the observed [min, max] order-
+    date range with derived attributes, left-joined to per-day order
+    counts so ZERO-activity days stay visible (an inner join on the fact
+    would silently drop them).  The range bounds come from a 1-row
+    aggregate — generation is a single Generate over one row, no
+    shuffle; the per-day counts aggregate map-side on a date key.  DOW
+    is normalized to DuckDB's 0=Sunday convention (Spark's dayofweek is
+    1=Sunday)."""
+    o = T(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    ord_ = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("od"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dow = F.dayofweek("d") - 1
+    return (
+        days.join(ord_, days.d == ord_.od, "left_outer")
+        .select(
+            "d",
+            F.year("d").alias("y"),
+            F.quarter("d").alias("q"),
+            F.month("d").alias("m"),
+            dow.alias("dow"),
+            dow.isin(0, 6).alias("is_weekend"),
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "orders_rfm_segmentation",
+    tier="B",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             SUM({sql_cents("o_totalprice")}) AS monetary_c
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, last_order, frequency, monetary_c / 100.0 AS monetary,
+           r_q, f_q, m_q,
+           CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR)
+             AS segment
+    FROM (
+      SELECT *,
+             NTILE(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_q,
+             NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+             NTILE(5) OVER (ORDER BY monetary_c DESC, o_custkey) AS m_q
+      FROM per_cust
+    )
+    """,
+)
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quintiles, quintile 1 = best): the marketing-segmentation staple.
+    The fact table shrinks to one row per customer in a map-side-
+    combined aggregate BEFORE the three global NTILE rankings (the
+    global-order watch-item; two-phase distributed rank at 100 TB), and
+    all three quintiles compute over the same per-customer frame —
+    Spark plans the three differently-ordered windows as sorts over one
+    exchange, not three scans.  Monetary in exact cents; every ordering
+    tie-broken by custkey."""
+    o = T(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(cents("o_totalprice")).alias("monetary_c"),
+    )
+    r_q = F.ntile(5).over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey")))
+    f_q = F.ntile(5).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+    m_q = F.ntile(5).over(Window.orderBy(F.desc("monetary_c"), F.asc("o_custkey")))
+    return (
+        per_cust.withColumn("r_q", r_q)
+        .withColumn("f_q", f_q)
+        .withColumn("m_q", m_q)
+        .select(
+            "o_custkey",
+            "last_order",
+            "frequency",
+            (F.col("monetary_c") / 100.0).alias("monetary"),
+            "r_q",
+            "f_q",
+            "m_q",
+            F.concat(
+                F.col("r_q").cast("string"),
+                F.col("f_q").cast("string"),
+                F.col("m_q").cast("string"),
+            ).alias("segment"),
+        )
+    )
+
+
+@register(
+    "orders_abc_classification",
+    tier="B",
+    oracle=f"""
+    WITH per_part AS (
+      SELECT l_partkey, SUM({sql_cents("l_extendedprice")}) AS rev_c
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, rev_c,
+             SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_c,
+             SUM(rev_c) OVER () AS tot_c
+      FROM per_part
+    )
+    SELECT l_partkey, rev_c / 100.0 AS revenue,
+           CASE WHEN cum_c * 5 <= tot_c THEN 'A'
+                WHEN cum_c * 2 <= tot_c THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto-cut classification: parts whose cumulative revenue
+    share (ranked best-first) stays within 20% are class A, within 50%
+    class B, the tail C — the inventory-prioritization primitive.  The
+    cut conditions are INTEGER inequalities (cum*5 <= tot instead of
+    cum/tot <= 0.2), so classification is exact with no float division
+    anywhere.  Per-part aggregation shrinks the fact before the global
+    cumulative window (same watch-item + two-phase-rank scale path as
+    RFM/Gini)."""
+    li = T(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(cents("l_extendedprice")).alias("rev_c")
+    )
+    w_cum = (
+        Window.orderBy(F.desc("rev_c"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy()
+    ranked = per_part.select(
+        "l_partkey",
+        "rev_c",
+        F.sum("rev_c").over(w_cum).alias("cum_c"),
+        F.sum("rev_c").over(w_tot).alias("tot_c"),
+    )
+    return ranked.select(
+        "l_partkey",
+        (F.col("rev_c") / 100.0).alias("revenue"),
+        F.when(F.col("cum_c") * 5 <= F.col("tot_c"), "A")
+        .when(F.col("cum_c") * 2 <= F.col("tot_c"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

@@ -156,6 +156,7 @@ def load_all() -> dict[str, QuerySpec]:
             training,
             udfs,
             udtf_ops,
+            warehouse,
         )
 
         _LOADED = True
