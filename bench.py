@@ -166,6 +166,7 @@ HEADLINE = [
     "dim_date_generate",
     "orders_rfm_segmentation",
     "orders_abc_classification",
+    "agg_kmv_distinct",
 ]
 
 

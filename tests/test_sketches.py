@@ -52,3 +52,50 @@ def test_cms_bounds(spark, sf_dir):
         # CMS guarantee: never undercounts; overcount <= eps * N w.p. conf
         assert est >= true, (t, est, true)
         assert est <= true + 0.0001 * total + 1, (t, est, true, total)
+
+
+def test_kmv_estimates_within_error_and_exact_for_small_groups(spark, sf_dir):
+    from ub_etl_spark.queries.sketches import _KMV_K, agg_kmv_distinct
+    from ub_etl_spark.sources.tables import load_table
+
+    got = {r.o_orderstatus: r.est_distinct for r in agg_kmv_distinct(spark, sf_dir).collect()}
+    o = load_table(spark, sf_dir, "orders")
+    exact = {
+        r.o_orderstatus: r.n
+        for r in o.groupBy("o_orderstatus").agg(F.countDistinct("o_custkey").alias("n")).collect()
+    }
+    exact["ALL"] = o.agg(F.countDistinct("o_custkey")).first()[0]
+    for k, true in exact.items():
+        if true < _KMV_K:
+            # KMV degrades to the exact value set below k
+            assert got[k] == float(true), (k, got[k], true)
+        else:
+            # 3-sigma bound at stderr ~ 1/sqrt(k-1)
+            assert abs(got[k] - true) / true <= 3.0 / (_KMV_K - 1) ** 0.5, (k, got[k], true)
+
+
+def test_kmv_merge_equals_from_scratch(spark, sf_dir):
+    """The merged ALL row (re-rank of per-group sketch rows) must EQUAL
+    the KMV computed from scratch over the ungrouped data — the
+    mergeability identity, exactly, not approximately."""
+    from pyspark.sql import Window
+
+    from ub_etl_spark.queries.sketches import _KMV_K, agg_kmv_distinct
+    from ub_etl_spark.sources.tables import load_table
+
+    got_all = {
+        r.o_orderstatus: r.est_distinct for r in agg_kmv_distinct(spark, sf_dir).collect()
+    }["ALL"]
+    o = load_table(spark, sf_dir, "orders")
+    h = (
+        F.xxhash64("o_custkey").bitwiseAND(F.lit((1 << 63) - 1)).cast("double")
+        / float(1 << 63)
+    )
+    scratch = (
+        o.select(h.alias("h")).distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    n_kept, kth = scratch.agg(F.count("*"), F.max("h")).first()
+    expect = float(n_kept) if n_kept < _KMV_K else (_KMV_K - 1) / kth
+    assert got_all == expect

@@ -283,6 +283,39 @@ def bound_simhash(spark, sf) -> dict:
     }
 
 
+def bound_kmv(spark, sf) -> dict:
+    """KMV distinct estimate: 3-sigma relative error at k=256 for groups
+    at/above k; groups below k must be EXACT (sketch degrades to the
+    value set)."""
+    from ub_etl_spark.queries.sketches import _KMV_K, agg_kmv_distinct
+
+    got = {r.o_orderstatus: r.est_distinct for r in agg_kmv_distinct(spark, sf).collect()}
+    o = load_table(spark, sf, "orders")
+    exact = {
+        r.o_orderstatus: r.n
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = o.agg(F.countDistinct("o_custkey")).first()[0]
+    errs = []
+    exact_ok = True
+    for k, true in exact.items():
+        if true < _KMV_K:
+            exact_ok &= got[k] == float(true)
+        else:
+            errs.append(abs(got[k] - true) / true)
+    worst = max(errs) if errs else 0.0
+    bound = 3.0 / (_KMV_K - 1) ** 0.5
+    return {
+        "pinned_bound": round(bound, 4),
+        "measured": round(worst, 4),
+        "unit": "max_relative_error (groups >= k; below-k groups exact)",
+        "op_point": f"k={_KMV_K}, stderr ~ 1/sqrt(k-1) ~ {1 / (_KMV_K - 1) ** 0.5:.3f}, 3-sigma",
+        "pass": worst <= bound and exact_ok,
+    }
+
+
 MEASURES = {
     "agg_hll_mergeable": bound_hll,
     "agg_cms_term_counts": bound_cms,
@@ -293,6 +326,7 @@ MEASURES = {
     "sim_rerank_mmr": bound_mmr,
     "dedup_minhash_lsh": bound_minhash,
     "dedup_simhash": bound_simhash,
+    "agg_kmv_distinct": bound_kmv,
 }
 
 

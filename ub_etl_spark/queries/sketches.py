@@ -66,3 +66,68 @@ def agg_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # relation is pure Catalyst and costs nothing
     values = ", ".join(f"('{t}', {int(n)}L)" for t, n in rows)
     return spark.sql(f"SELECT * FROM VALUES {values} AS t(term, est_count)")
+
+
+# KMV (k-minimum-values) distinct sketch built from PURE DataFrame ops —
+# no JVM sketch library: hash each key to (0,1], keep each group's k
+# smallest, estimate distinct = (k-1)/kth_min.  The point next to HLL
+# (which wraps the datasketches aggregate) is transparent mergeability:
+# the k smallest of a UNION of per-group k-smallest sets equals the k
+# smallest of the union of the full sets (any global top-k element is in
+# its own group's top-k), so the merged "ALL" estimate is computed from
+# the per-group sketch rows alone — no second scan, and the same
+# union/re-rank works across days/sources/partitions at 100 TB.
+_KMV_K = 256
+
+
+@register("agg_kmv_distinct", tier="B", oracle=None)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status + merged-ALL distinct-customer estimates via KMV
+    (k=256, stderr ~ 1/sqrt(k-1) ~ 6.3%).  Groups with fewer than k
+    distinct hashes report exactly (the sketch IS the value set there —
+    KMV degrades to exact, unlike HLL).  Rows-only under the driver gate
+    (xxhash64 has no DuckDB analogue); the relative-error and the exact
+    merge-consistency property are pinned in tests/test_sketches.py and
+    measured into BOUNDS.json."""
+    from pyspark.sql import Window
+
+    o = T(spark, sf_dir, "orders")
+    h = (
+        F.xxhash64("o_custkey").bitwiseAND(F.lit((1 << 63) - 1)).cast("double")
+        / float(1 << 63)
+    )
+    hashed = (
+        o.select("o_orderstatus", h.alias("h"))
+        .groupBy("o_orderstatus", "h")
+        .agg(F.lit(1).alias("_"))
+        .drop("_")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy("h")
+    kept = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _KMV_K
+    )
+
+    def estimate(df: DataFrame, grp) -> DataFrame:
+        agg = df.groupBy(grp).agg(
+            F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("kth")
+        )
+        return agg.select(
+            F.col(grp).alias("o_orderstatus"),
+            F.when(F.col("n_kept") < _KMV_K, F.col("n_kept").cast("double"))
+            .otherwise((_KMV_K - 1) / F.col("kth"))
+            .alias("est_distinct"),
+        )
+
+    per_status = estimate(kept, "o_orderstatus")
+    w_all = Window.orderBy("h")
+    merged = (
+        kept.select("h")
+        .groupBy("h")
+        .agg(F.lit(1).alias("_"))
+        .drop("_")
+        .withColumn("rn", F.row_number().over(w_all))
+        .filter(F.col("rn") <= _KMV_K)
+        .withColumn("g", F.lit("ALL"))
+    )
+    all_row = estimate(merged, "g")
+    return per_status.unionByName(all_row)
