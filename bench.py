@@ -167,6 +167,9 @@ HEADLINE = [
     "orders_rfm_segmentation",
     "orders_abc_classification",
     "agg_kmv_distinct",
+    "events_sequence_match",
+    "agg_share_of_parent",
+    "orders_interpurchase_gaps",
 ]
 
 

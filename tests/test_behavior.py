@@ -75,3 +75,37 @@ def test_containment_registered_query_short_doc_safe(spark, sf_dir):
     whatever doc lengths the fixture has (just executes + sane range)."""
     rows = text_containment_dedup(spark, sf_dir).collect()
     assert all(0.8 <= r.containment <= 1.0 for r in rows)
+
+
+def test_sequence_match_superset_of_strict_funnel(spark, sf_dir):
+    """Every user completing the strict funnel (signup < first view <
+    first purchase) must ALSO match the regex pattern; the match count
+    is bounded by the user count."""
+    from ub_etl_spark.queries.behavior import events_sequence_match
+    from ub_etl_spark.queries.flagship import events_funnel
+
+    row = events_sequence_match(spark, sf_dir).collect()[0]
+    funnel_users = events_funnel(spark, sf_dir).count()
+    assert funnel_users <= row.n_matched <= row.n_users
+
+
+def test_share_of_parent_sums_to_one_per_region(spark, sf_dir):
+    from ub_etl_spark.queries.behavior import agg_share_of_parent
+
+    rows = agg_share_of_parent(spark, sf_dir).collect()
+    by_region: dict[str, float] = {}
+    for r in rows:
+        by_region[r.region] = by_region.get(r.region, 0.0) + r.region_share
+    assert by_region and all(abs(s - 1.0) < 1e-9 for s in by_region.values())
+
+
+def test_interpurchase_gap_counts(spark, sf_dir):
+    """A customer with n orders has exactly n-1 gaps; min <= avg <= max."""
+    from ub_etl_spark.queries.behavior import orders_interpurchase_gaps
+
+    rows = orders_interpurchase_gaps(spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    n_per_cust = {r.o_custkey: r["count"] for r in o.groupBy("o_custkey").count().collect()}
+    for r in rows[:100]:
+        assert r.n_gaps == n_per_cust[r.o_custkey] - 1
+        assert r.min_gap <= r.avg_gap_days <= r.max_gap

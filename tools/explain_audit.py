@@ -223,6 +223,14 @@ EXPECT = {
     "dim_date_generate": ["Generate", "LeftOuter"],
     "orders_rfm_segmentation": ["Window", "HashAggregate", "ntile"],
     "orders_abc_classification": ["Window", "HashAggregate"],
+    # sequence match: path builds in the agg, pattern is codegen RLIKE —
+    # no Window, no per-stage joins
+    "events_sequence_match": ["sort_array", "RLIKE", "HashAggregate", "!Window"],
+    "agg_share_of_parent": ["BroadcastHashJoin", "Window", "HashAggregate"],
+    "orders_interpurchase_gaps": ["Window", "HashAggregate", "Exchange hashpartitioning(o_custkey"],
+    # KMV: per-group rank-limited top-k (WindowGroupLimit), no fact re-scan
+    # for the merged row (it re-ranks the kept sketch rows)
+    "agg_kmv_distinct": ["WindowGroupLimit", "HashAggregate"],
 }
 
 # Kept by hand; prepended to the generated PLANS.md on every regeneration.

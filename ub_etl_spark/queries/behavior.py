@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ub_etl_spark.functions.exact import cents, sql_cents
 from ub_etl_spark.registry import register
 from ub_etl_spark.sources.tables import load_table as T
 
@@ -256,4 +257,147 @@ def text_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= 0.8)
         .select("id_a", "id_b", "containment")
+    )
+
+
+@register(
+    "events_sequence_match",
+    tier="B",
+    oracle="""
+    WITH paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           SUM(CASE WHEN regexp_matches(path, 'signup.*view.*purchase')
+                    THEN 1 ELSE 0 END) AS n_matched,
+           SUM(CASE WHEN regexp_matches(path, 'purchase.*signup')
+                    THEN 1 ELSE 0 END) AS n_inverted
+    FROM paths
+    """,
+)
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over per-user event histories (the
+    MATCH_RECOGNIZE / sequenceMatch shape): users whose ordered event
+    stream matches signup→…→view→…→purchase, and the inverted sanity
+    pattern.  The whole history compiles to ONE path string per user
+    inside the same hash aggregate that shuffles user_id once (no
+    window, no self-join per stage — an L-stage funnel via joins costs
+    L passes; the regex costs one), then the pattern is a codegen RLIKE
+    over ~|users| short strings.  The trade: paths materialize per user,
+    so per-key history must be bounded (cap the collect or bucket by
+    time at 100 TB); tie-break by event_id keeps the sequence total-
+    ordered."""
+    e = T(spark, sf_dir, "events")
+    path = F.concat_ws(
+        ">",
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda s: s["event_type"],
+        ),
+    )
+    paths = e.groupBy("user_id").agg(path.alias("path"))
+    return paths.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(
+            F.when(F.col("path").rlike("signup.*view.*purchase"), 1).otherwise(0)
+        ).alias("n_matched"),
+        F.sum(
+            F.when(F.col("path").rlike("purchase.*signup"), 1).otherwise(0)
+        ).alias("n_inverted"),
+    )
+
+
+@register(
+    "agg_share_of_parent",
+    tier="B",
+    oracle=f"""
+    WITH per_nation AS (
+      SELECT n.n_name AS nation, r.r_name AS region,
+             SUM({sql_cents("l.l_extendedprice")}) AS rev_c
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name, r.r_name
+    )
+    SELECT nation, region, rev_c / 100.0 AS revenue,
+           CAST(rev_c AS DOUBLE)
+             / SUM(rev_c) OVER (PARTITION BY region) AS region_share
+    FROM per_nation
+    """,
+)
+def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent rollup (ratio_to_report): each nation's fraction
+    of its region's supplier revenue — the BI percent-of-total
+    primitive.  The fact aggregates to |nations| rows first (dims
+    resolve broadcast-side), so the parent-total window runs over 25
+    rows, not the fact; the share divides an exact long by an exact
+    long-sum once, double both engines."""
+    li = T(spark, sf_dir, "lineitem")
+    supp = (
+        T(spark, sf_dir, "supplier")
+        .join(F.broadcast(T(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(T(spark, sf_dir, "region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+    )
+    per_nation = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", "region")
+        .agg(F.sum(cents("l_extendedprice")).alias("rev_c"))
+    )
+    w = Window.partitionBy("region")
+    return per_nation.select(
+        "nation",
+        "region",
+        (F.col("rev_c") / 100.0).alias("revenue"),
+        (F.col("rev_c").cast("double") / F.sum("rev_c").over(w)).alias(
+            "region_share"
+        ),
+    )
+
+
+@register(
+    "orders_interpurchase_gaps",
+    tier="B",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             DATE_DIFF('day',
+                       LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap_days
+      FROM orders
+    )
+    SELECT o_custkey, COUNT(*) AS n_gaps,
+           SUM(gap_days) AS total_days,
+           CAST(SUM(gap_days) AS DOUBLE) / COUNT(*) AS avg_gap_days,
+           MIN(gap_days) AS min_gap, MAX(gap_days) AS max_gap
+    FROM gaps WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    """,
+)
+def orders_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase gap statistics per customer (the
+    churn-risk/repurchase-cycle feature): day gaps between consecutive
+    orders via one LAG over the customer partition, aggregated to
+    count/sum/avg/min/max.  Gaps are exact integer day differences, so
+    the average is one double division of exact integers; the window and
+    the aggregate share the o_custkey exchange (one fact shuffle);
+    (orderdate, orderkey) ordering totalizes same-day orders."""
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_days").alias("total_days"),
+        (F.sum("gap_days").cast("double") / F.count(F.lit(1))).alias("avg_gap_days"),
+        F.min("gap_days").alias("min_gap"),
+        F.max("gap_days").alias("max_gap"),
     )
