@@ -170,6 +170,7 @@ HEADLINE = [
     "events_sequence_match",
     "agg_share_of_parent",
     "orders_interpurchase_gaps",
+    "pipeline_customer_features",
 ]
 
 

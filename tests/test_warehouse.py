@@ -66,3 +66,18 @@ def test_abc_classes_respect_cumulative_cuts(spark, sf_dir):
             assert cum <= 0.2 * total * (1 + 1e-9)
         elif r.abc_class == "B":
             assert cum <= 0.5 * total * (1 + 1e-9)
+
+
+def test_customer_features_covers_every_ordering_customer(spark, sf_dir):
+    """One feature row per customer WITH orders; single-order customers
+    keep avg_gap_days 0 (the LEFT join property); centered balances sum
+    to ~0 within each segment by construction."""
+    from ub_etl_spark.queries.warehouse import pipeline_customer_features
+
+    rows = pipeline_customer_features(spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    n_ordering = o.select("o_custkey").distinct().count()
+    assert len(rows) == n_ordering
+    single = [r for r in rows if r.frequency == 1]
+    assert all(r.avg_gap_days == 0.0 for r in single)
+    assert all((r.frequency >= 10) == (r.is_frequent == 1) for r in rows)

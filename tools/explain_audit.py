@@ -231,6 +231,9 @@ EXPECT = {
     # KMV: per-group rank-limited top-k (WindowGroupLimit), no fact re-scan
     # for the merged row (it re-ranks the kept sketch rows)
     "agg_kmv_distinct": ["WindowGroupLimit", "HashAggregate"],
+    # feature-store composite: one plan, LEFT join preserves one-order
+    # customers, segment stats broadcast
+    "pipeline_customer_features": ["Window", "HashAggregate", "LeftOuter", "BroadcastHashJoin"],
 }
 
 # Kept by hand; prepended to the generated PLANS.md on every regeneration.

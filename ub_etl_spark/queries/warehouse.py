@@ -194,3 +194,106 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@register(
+    "pipeline_customer_features",
+    tier="B",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             SUM({sql_cents("o_totalprice")}) AS monetary_c
+      FROM orders GROUP BY o_custkey
+    ), gaps AS (
+      SELECT o_custkey,
+             DATE_DIFF('day',
+                       LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap_days
+      FROM orders
+    ), gap_stats AS (
+      SELECT o_custkey,
+             CAST(SUM(gap_days) AS DOUBLE) / COUNT(*) AS avg_gap_days
+      FROM gaps WHERE gap_days IS NOT NULL GROUP BY o_custkey
+    ), seg_stats AS (
+      SELECT c_mktsegment AS seg, COUNT(c_acctbal) AS n,
+             SUM({sql_cents("c_acctbal")}) AS s1
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey,
+           p.frequency,
+           p.monetary_c / 100.0 AS monetary,
+           COALESCE(g.avg_gap_days, 0.0) AS avg_gap_days,
+           {sql_cents("c.c_acctbal")} / 100.0 - (st.s1 / 100.0 / st.n)
+             AS acctbal_centered,
+           CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS is_building,
+           CASE WHEN p.frequency >= 10 THEN 1 ELSE 0 END AS is_frequent
+    FROM customer c
+    JOIN per_cust p ON c.c_custkey = p.o_custkey
+    LEFT JOIN gap_stats g ON c.c_custkey = g.o_custkey
+    JOIN seg_stats st ON c.c_mktsegment = st.seg
+    """,
+)
+def pipeline_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end customer feature-store build as ONE Catalyst plan: RFM
+    base stats, inter-purchase cadence, segment-centered balance, and
+    binary flags — the composite that feeds a churn/LTV model, composed
+    from the same expression shapes as orders_rfm_segmentation,
+    orders_interpurchase_gaps and feature_scale_standard without
+    materializing any intermediate.  Both per-customer aggregates and
+    the gap window share the o_custkey exchange; segment stats broadcast
+    (25 rows); customers without a second order keep avg_gap_days = 0
+    via the LEFT join (an inner join would silently drop one-order
+    customers from the feature table — the classic training-data bug).
+    All floats are exact-integer-derived except the final divisions."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(cents("o_totalprice")).alias("monetary_c"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap_stats = (
+        o.select(
+            "o_custkey",
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
+                "gap_days"
+            ),
+        )
+        .filter(F.col("gap_days").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            (F.sum("gap_days").cast("double") / F.count(F.lit(1))).alias(
+                "avg_gap_days"
+            )
+        )
+    )
+    seg_stats = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count("c_acctbal").alias("n"), F.sum(cents("c_acctbal")).alias("s1")
+    )
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey)
+        .join(
+            gap_stats.withColumnRenamed("o_custkey", "g_custkey"),
+            F.col("c_custkey") == F.col("g_custkey"),
+            "left_outer",
+        )
+        .join(F.broadcast(seg_stats), F.col("c_mktsegment") == F.col("seg"))
+        .select(
+            "c_custkey",
+            "frequency",
+            (F.col("monetary_c") / 100.0).alias("monetary"),
+            F.coalesce("avg_gap_days", F.lit(0.0)).alias("avg_gap_days"),
+            (
+                cents("c_acctbal") / 100.0
+                - (F.col("s1") / 100.0 / F.col("n"))
+            ).alias("acctbal_centered"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias(
+                "is_building"
+            ),
+            F.when(F.col("frequency") >= 10, 1).otherwise(0).alias("is_frequent"),
+        )
+    )
