@@ -171,6 +171,8 @@ HEADLINE = [
     "agg_share_of_parent",
     "orders_interpurchase_gaps",
     "pipeline_customer_features",
+    "orders_open_backlog_daily",
+    "lineitem_yoy_growth",
 ]
 
 

@@ -81,3 +81,26 @@ def test_customer_features_covers_every_ordering_customer(spark, sf_dir):
     single = [r for r in rows if r.frequency == 1]
     assert all(r.avg_gap_days == 0.0 for r in single)
     assert all((r.frequency >= 10) == (r.is_frequent == 1) for r in rows)
+
+
+def test_backlog_never_negative_and_drains_to_zero(spark, sf_dir):
+    """Backlog is non-negative everywhere and returns to exactly zero at
+    the last close date (every +1 has its -1)."""
+    from ub_etl_spark.queries.warehouse import orders_open_backlog_daily
+
+    rows = sorted(orders_open_backlog_daily(spark, sf_dir).collect(), key=lambda r: r.d)
+    assert all(r.open_orders >= 0 for r in rows)
+    assert rows[-1].open_orders == 0
+    assert max(r.open_orders for r in rows) > 0
+
+
+def test_yoy_growth_null_first_year_then_matches_ratio(spark, sf_dir):
+    from ub_etl_spark.queries.warehouse import lineitem_yoy_growth
+
+    rows = sorted(lineitem_yoy_growth(spark, sf_dir).collect(), key=lambda r: (r.y, r.m))
+    assert all(r.yoy_growth is None for r in rows[:12])
+    by_key = {(r.y, r.m): r for r in rows}
+    for r in rows[12:]:
+        prev = by_key.get((r.y - 1, r.m))
+        if prev is not None:
+            assert abs((1 + r.yoy_growth) * prev.revenue - r.revenue) < 1e-6

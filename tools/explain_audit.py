@@ -234,6 +234,10 @@ EXPECT = {
     # feature-store composite: one plan, LEFT join preserves one-order
     # customers, segment stats broadcast
     "pipeline_customer_features": ["Window", "HashAggregate", "LeftOuter", "BroadcastHashJoin"],
+    # sweep-line backlog: union of deltas -> day agg -> spine window;
+    # no day x interval join anywhere
+    "orders_open_backlog_daily": ["Union", "HashAggregate", "Window"],
+    "lineitem_yoy_growth": ["HashAggregate", "Window", "lag"],
 }
 
 # Kept by hand; prepended to the generated PLANS.md on every regeneration.

@@ -297,3 +297,80 @@ def pipeline_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("frequency") >= 10, 1).otherwise(0).alias("is_frequent"),
         )
     )
+
+
+@register(
+    "orders_open_backlog_daily",
+    tier="B",
+    oracle="""
+    WITH deltas AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, 1 AS delta FROM orders
+      UNION ALL
+      SELECT CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS d, -1 AS delta
+      FROM orders
+    ), per_day AS (
+      SELECT d, SUM(delta) AS net FROM deltas GROUP BY d
+    )
+    SELECT d, SUM(net) OVER (ORDER BY d
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS open_orders
+    FROM per_day
+    """,
+)
+def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog via sweep-line event differencing: each
+    order contributes +1 at open and -1 at close (open + 30 days), the
+    deltas aggregate per day, and one cumulative window over ~|days|
+    rows reconstructs the backlog curve.  The naive formulation — join
+    every day against every interval containing it — is O(orders x
+    open-days) and re-shuffles the fact per day range; this is O(orders)
+    with the only window running over the tiny day spine.  The same
+    pattern prices concurrent-session peaks and inventory levels at
+    100 TB.  All integers; the cumulative sum is exact."""
+    o = T(spark, sf_dir, "orders")
+    opens = o.select(F.col("o_orderdate").cast("date").alias("d"), F.lit(1).alias("delta"))
+    closes = o.select(
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).cast("date").alias("d"),
+        F.lit(-1).alias("delta"),
+    )
+    per_day = opens.unionByName(closes).groupBy("d").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select("d", F.sum("net").over(w).alias("open_orders"))
+
+
+@register(
+    "lineitem_yoy_growth",
+    tier="B",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT YEAR(l_shipdate) AS y, MONTH(l_shipdate) AS m,
+             SUM({sql_cents("l_extendedprice")}) AS rev_c
+      FROM lineitem GROUP BY YEAR(l_shipdate), MONTH(l_shipdate)
+    )
+    SELECT y, m, rev_c / 100.0 AS revenue,
+           CAST(rev_c AS DOUBLE)
+             / LAG(rev_c, 12) OVER (ORDER BY y, m) - 1.0 AS yoy_growth
+    FROM monthly
+    """,
+)
+def lineitem_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth: exact monthly cents
+    aggregates, then LAG(12) over the month spine — growth is one
+    double division of two exact longs minus one (NULL for the first
+    twelve months rather than a fake 0).  The fact aggregates to
+    |months| rows before the global-order window, so the watch-item
+    window is ~84 rows; the month key (y, m) avoids date-truncation
+    functions whose month-boundary semantics differ across engines."""
+    li = T(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.year("l_shipdate").alias("y"), F.month("l_shipdate").alias("m")
+    ).agg(F.sum(cents("l_extendedprice")).alias("rev_c"))
+    w = Window.orderBy("y", "m")
+    return monthly.select(
+        "y",
+        "m",
+        (F.col("rev_c") / 100.0).alias("revenue"),
+        (
+            F.col("rev_c").cast("double") / F.lag("rev_c", 12).over(w) - 1.0
+        ).alias("yoy_growth"),
+    )

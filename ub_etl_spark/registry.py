@@ -124,6 +124,31 @@ DRIVER_PRIORITY = [
     "mix_temperature_sampling",
 ]
 
+# ROUND-4 ROTATION CANDIDATES (registered in round 3 AFTER the window
+# above was frozen; every one passes tools/parity.py at sf0.001+sf0.01
+# but has no driver row yet — they should fill the next 50-slot window,
+# 45 new + re-proof slack):
+#   tpch.py (17): tpch_q2_min_cost_supplier tpch_q4_priority_check
+#     tpch_q6_forecast_revenue tpch_q7_volume_shipping tpch_q8_market_share
+#     tpch_q9_product_profit tpch_q10_returned_items tpch_q11_important_parts
+#     tpch_q12_late_lines tpch_q13_customer_distribution tpch_q14_promo_revenue
+#     tpch_q15_top_supplier tpch_q16_supplier_count tpch_q17_small_qty_revenue
+#     tpch_q19_disjunctive_filter tpch_q20_promotion_suppliers
+#     tpch_q22_dormant_customers
+#   mlprep.py (8): profile_table_stats dq_expectation_checks
+#     feature_scale_standard feature_onehot_encode feature_decay_rolling
+#     sample_reservoir_hash privacy_k_anonymity graph_pagerank_trade
+#   advanced.py (6): skyline_pareto_frontier agg_linear_regression
+#     events_attribution_last_touch quantile_bucket_equidepth
+#     agg_gini_concentration join_theta_band
+#   behavior.py (7): events_path_topk market_basket_pairs
+#     stream_late_data_accounting text_containment_dedup
+#     events_sequence_match agg_share_of_parent orders_interpurchase_gaps
+#   warehouse.py (6): dim_date_generate orders_rfm_segmentation
+#     orders_abc_classification pipeline_customer_features
+#     orders_open_backlog_daily lineitem_yoy_growth
+#   udfs.py: udaf_grouped_agg   sketches.py: agg_kmv_distinct (rows-only)
+
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: registration), returned with
