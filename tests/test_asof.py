@@ -140,3 +140,25 @@ def test_asof_nearest_agrees_with_pandas_merge_asof(spark):
     # normalize NaN/None
     e = {k: (None if v != v else v) if not isinstance(v, str) else v for k, v in e.items()}
     assert g == e
+
+
+def test_nearest_accepts_date_columns(spark):
+    """direction='nearest' must work on DateType time columns like
+    backward/forward do (DATE routes through TIMESTAMP for the distance
+    arithmetic)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ub_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 10))], "k int, d date"
+    )
+    right = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1), "early"), (1, dt.date(2024, 1, 12), "late")],
+        "k int, d date, v string",
+    )
+    out = asof_join(left, right, ["k"], "d", "d", ["v"], direction="nearest")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].v == "late"

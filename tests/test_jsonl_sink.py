@@ -46,3 +46,20 @@ def test_overwrite_replaces_previous_files(spark, sf_dir, tmp_path):
     rows = _read_all(out)
     assert len(rows) == region.count()
     assert all("r_regionkey" in r for r in rows)
+
+
+def test_append_preserves_previous_commits(spark, sf_dir, tmp_path):
+    """Two append commits into one directory must BOTH survive — final
+    part names are commit-tagged, so a second commit can never
+    os.replace the first one's files."""
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "out3")
+    os.makedirs(out)
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nation.write.format("jsonl_sink").option("path", out).mode("append").save()
+    region.write.format("jsonl_sink").option("path", out).mode("append").save()
+    rows = _read_all(out)
+    assert len(rows) == nation.count() + region.count()
+    assert any("n_nationkey" in r for r in rows)
+    assert any("r_regionkey" in r for r in rows)

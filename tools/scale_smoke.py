@@ -23,6 +23,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.window import Window as W  # noqa: E402
 
 from ub_etl_spark.functions.exact import cents, cents_disc, csum  # noqa: E402
 from ub_etl_spark.functions.exact import cavg as _cavg  # noqa: E402
@@ -71,8 +72,7 @@ def queries(spark, d: str):
             "o_orderkey",
             F.row_number()
             .over(
-                __import__("pyspark.sql.window", fromlist=["Window"])
-                .Window.partitionBy("o_orderstatus")
+                W.partitionBy("o_orderstatus")
                 .orderBy(F.desc("o_totalprice"), "o_orderkey")
             )
             .alias("rn"),
@@ -83,8 +83,7 @@ def queries(spark, d: str):
             "o_custkey",
             (
                 F.sum(cents("o_totalprice")).over(
-                    __import__("pyspark.sql.window", fromlist=["Window"])
-                    .Window.partitionBy("o_custkey")
+                    W.partitionBy("o_custkey")
                     .orderBy("o_orderdate", "o_orderkey")
                     .rowsBetween(-(1 << 31), 0)
                 )
@@ -103,75 +102,22 @@ def queries(spark, d: str):
 
 
 def _basket_pairs(li):
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
-    )
-    pairs = baskets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "parts",
-                    lambda x, i: F.transform(
-                        F.slice("parts", i + 2, F.size("parts")),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
-                )
-            )
-        ).alias("pr")
-    )
-    W = __import__("pyspark.sql.window", fromlist=["Window"]).Window
-    counted = pairs.groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    w = W.partitionBy("a").orderBy(F.desc("n"), F.asc("b"))
+    from ub_etl_spark.operators.selection import basket_pair_counts
+
+    counted = basket_pair_counts(li, "l_orderkey", "l_partkey")
+    w = W.partitionBy("part_a").orderBy(F.desc("n_orders"), F.asc("part_b"))
     return counted.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
 
 
 def _weighted_median(li):
-    W = __import__("pyspark.sql.window", fromlist=["Window"]).Window
-    pc = cents("l_extendedprice")
-    wq = cents("l_quantity", scale=0)
-    coarse = li.groupBy(
-        "l_returnflag", (pc - F.pmod(pc, F.lit(10000))).alias("b")
-    ).agg(F.sum(wq).alias("wb"))
-    wcumb = (
-        W.partitionBy("l_returnflag").orderBy("b").rowsBetween(W.unboundedPreceding, 0)
-    )
-    c1 = coarse.select(
-        "l_returnflag",
-        "b",
-        F.sum("wb").over(wcumb).alias("cumb"),
-        (F.sum("wb").over(wcumb) - F.col("wb")).alias("prior"),
-        F.sum("wb").over(W.partitionBy("l_returnflag")).alias("tw"),
-    )
-    mb = (
-        c1.filter(2 * F.col("cumb") >= F.col("tw"))
-        .groupBy(F.col("l_returnflag").alias("mb_flag"))
-        .agg(F.min(F.struct("b", "prior", "tw")).alias("m"))
-        .select("mb_flag", F.col("m.b").alias("mb"), F.col("m.prior").alias("prior"), F.col("m.tw").alias("tw"))
-    )
-    fine = (
-        li.join(
-            F.broadcast(mb),
-            (F.col("l_returnflag") == F.col("mb_flag"))
-            & ((pc - F.pmod(pc, F.lit(10000))) == F.col("mb")),
-        )
-        .groupBy("l_returnflag", pc.alias("pc"), "prior", "tw")
-        .agg(F.sum(wq).alias("w"))
-    )
-    wcum = (
-        W.partitionBy("l_returnflag").orderBy("pc").rowsBetween(W.unboundedPreceding, 0)
-    )
-    return (
-        fine.withColumn("cw", F.col("prior") + F.sum("w").over(wcum))
-        .filter(2 * F.col("cw") >= F.col("tw"))
-        .groupBy("l_returnflag")
-        .agg((F.min("pc") / 100.0).alias("wm"), F.max("tw").alias("tw"))
+    from ub_etl_spark.operators.selection import weighted_median_two_phase
+
+    return weighted_median_two_phase(
+        li, "l_returnflag", cents("l_extendedprice"), cents("l_quantity", scale=0)
     )
 
 
 def _equidepth(o):
-    W = __import__("pyspark.sql.window", fromlist=["Window"]).Window
     w = W.orderBy("o_totalprice", "o_orderkey")
     return (
         o.withColumn("bucket", F.ntile(10).over(w))
@@ -181,7 +127,6 @@ def _equidepth(o):
 
 
 def _gini(o):
-    W = __import__("pyspark.sql.window", fromlist=["Window"]).Window
     r = o.groupBy("o_custkey").agg(F.sum(cents("o_totalprice")).alias("rev"))
     ranked = r.withColumn("i", F.row_number().over(W.orderBy("rev", "o_custkey")))
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731

@@ -115,7 +115,7 @@ def _asof_nearest(
     (single key shuffle, two in-partition sorts), then a per-row pick by
     absolute time distance; ties prefer the backward (at-or-before)
     match, mirroring pd.merge_asof(direction='nearest')."""
-    from pyspark.sql.types import TimestampNTZType, TimestampType
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
 
     keys = list(key)
     l_tag = left.withColumn(_SIDE, F.lit(1))
@@ -152,12 +152,15 @@ def _asof_nearest(
     )
 
     is_ts = isinstance(
-        left.schema[left_ts].dataType, (TimestampType, TimestampNTZType)
+        left.schema[left_ts].dataType,
+        (TimestampType, TimestampNTZType, DateType),
     )
 
     def num(c):
-        # NTZ casts through TIMESTAMP (session TZ pinned UTC) for
-        # unix_micros; numeric ts columns compare as doubles directly
+        # NTZ and DATE cast through TIMESTAMP (session TZ pinned UTC)
+        # for unix_micros — DATE cannot cast to double directly, which
+        # made nearest mode reject date columns backward/forward accept;
+        # numeric ts columns compare as doubles directly
         return F.unix_micros(c.cast("timestamp")) if is_ts else c.cast("double")
 
     dist_b = F.abs(num(F.col(left_ts)) - num(F.col("__asof_b.__rts")))

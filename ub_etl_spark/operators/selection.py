@@ -1,0 +1,103 @@
+"""Shared selection/pair-generation cores used by both the registered
+queries and tools/scale_smoke.py — one implementation, so a fix to the
+algorithm reaches the scale measurements too (review finding r3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def weighted_median_two_phase(
+    df: DataFrame,
+    group_col: str,
+    value_cents: Column,
+    weight: Column,
+    bucket_width: int = 10000,
+) -> DataFrame:
+    """Exact per-group weighted median by two-phase distributed
+    selection: a coarse bucket pass locates, per group, the single
+    bucket containing the median plus the cumulative weight before it;
+    the exact per-value cumulative window then runs over that bucket's
+    rows only (~1/bucket-count of the data).  Avoids the near-|rows|
+    per-group sort the one-window textbook form pays when values are
+    near-unique.  Output: (group_col, weighted_median, total_weight)."""
+    bucket = value_cents - F.pmod(value_cents, F.lit(bucket_width))
+    coarse = df.groupBy(F.col(group_col), bucket.alias("b")).agg(
+        F.sum(weight).alias("wb")
+    )
+    wcumb = (
+        Window.partitionBy(group_col)
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtotb = Window.partitionBy(group_col)
+    c1 = coarse.select(
+        group_col,
+        "b",
+        F.sum("wb").over(wcumb).alias("cumb"),
+        (F.sum("wb").over(wcumb) - F.col("wb")).alias("prior"),
+        F.sum("wb").over(wtotb).alias("tw"),
+    )
+    med_bucket = (
+        c1.filter(2 * F.col("cumb") >= F.col("tw"))
+        .groupBy(F.col(group_col).alias("mb_grp"))
+        .agg(F.min(F.struct("b", "prior", "tw")).alias("__mb"))
+        .select(
+            "mb_grp",
+            F.col("__mb.b").alias("mb"),
+            F.col("__mb.prior").alias("prior"),
+            F.col("__mb.tw").alias("tw"),
+        )
+    )
+    fine = (
+        df.join(
+            F.broadcast(med_bucket),
+            (F.col(group_col) == F.col("mb_grp")) & (bucket == F.col("mb")),
+        )
+        .groupBy(group_col, value_cents.alias("pc"), "prior", "tw")
+        .agg(F.sum(weight).alias("w"))
+    )
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy("pc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        fine.withColumn("cw", F.col("prior") + F.sum("w").over(wcum))
+        .filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy(group_col)
+        .agg(
+            (F.min("pc") / 100.0).alias("weighted_median"),
+            F.max("tw").alias("total_weight"),
+        )
+    )
+
+
+def basket_pair_counts(
+    df: DataFrame, basket_col: str, item_col: str
+) -> DataFrame:
+    """Co-occurrence pair counts without a self-join: collect each
+    basket once (collect_set dedups, sort_array orders), generate the
+    ordered pairs map-side with array HOFs inside codegen.  Linear in
+    baskets when basket size is bounded.  Output: (part_a, part_b,
+    n_orders)."""
+    baskets = df.groupBy(basket_col).agg(
+        F.sort_array(F.collect_set(item_col)).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "parts",
+                    lambda x, i: F.transform(
+                        F.slice("parts", i + 2, F.size("parts")),
+                        lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+                    ),
+                )
+            )
+        ).alias("pr")
+    )
+    return pairs.groupBy(
+        F.col("pr.part_a").alias("part_a"), F.col("pr.part_b").alias("part_b")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))

@@ -569,59 +569,12 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever see |buckets| or |one bucket| rows.  That is the selection-
     algorithm shape that survives 100 TB."""
     from ub_etl_spark.functions.exact import cents
+    from ub_etl_spark.operators.selection import weighted_median_two_phase
 
     li = T(spark, sf_dir, "lineitem")
-    pc = cents("l_extendedprice")
-    wq = cents("l_quantity", scale=0)
-    # phase 1: coarse buckets of 10000 cents
-    coarse = li.groupBy(
-        "l_returnflag", (pc - F.pmod(pc, F.lit(10000))).alias("b")
-    ).agg(F.sum(wq).alias("wb"))
-    wcumb = (
-        W.partitionBy("l_returnflag")
-        .orderBy("b")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    wtotb = W.partitionBy("l_returnflag")
-    c1 = coarse.select(
+    return weighted_median_two_phase(
+        li,
         "l_returnflag",
-        "b",
-        F.sum("wb").over(wcumb).alias("cumb"),
-        (F.sum("wb").over(wcumb) - F.col("wb")).alias("prior"),
-        F.sum("wb").over(wtotb).alias("tw"),
-    )
-    med_bucket = (
-        c1.filter(2 * F.col("cumb") >= F.col("tw"))
-        .groupBy(F.col("l_returnflag").alias("mb_flag"))
-        .agg(F.min(F.struct("b", "prior", "tw")).alias("__mb"))
-        .select(
-            "mb_flag",
-            F.col("__mb.b").alias("mb"),
-            F.col("__mb.prior").alias("prior"),
-            F.col("__mb.tw").alias("tw"),
-        )
-    )
-    # phase 2: exact cumulative weights inside the median bucket only
-    fine = (
-        li.join(
-            F.broadcast(med_bucket),
-            (F.col("l_returnflag") == F.col("mb_flag"))
-            & ((pc - F.pmod(pc, F.lit(10000))) == F.col("mb")),
-        )
-        .groupBy("l_returnflag", pc.alias("pc"), "prior", "tw")
-        .agg(F.sum(wq).alias("w"))
-    )
-    wcum = (
-        W.partitionBy("l_returnflag")
-        .orderBy("pc")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return (
-        fine.withColumn("cw", F.col("prior") + F.sum("w").over(wcum))
-        .filter(2 * F.col("cw") >= F.col("tw"))
-        .groupBy("l_returnflag")
-        .agg(
-            (F.min("pc") / 100.0).alias("weighted_median"),
-            F.max("tw").alias("total_weight"),
-        )
+        cents("l_extendedprice"),
+        cents("l_quantity", scale=0),
     )

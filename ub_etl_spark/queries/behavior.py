@@ -96,28 +96,10 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition).  Scale lever: baskets are bounded (lines per order ~
     O(10)), so the pair explosion is linear in orders, never quadratic
     in the catalog."""
+    from ub_etl_spark.operators.selection import basket_pair_counts
+
     li = T(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
-    )
-    pairs = baskets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "parts",
-                    lambda x, i: F.transform(
-                        F.slice("parts", i + 2, F.size("parts")),
-                        lambda y: F.struct(
-                            x.alias("part_a"), y.alias("part_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("pr")
-    )
-    counted = pairs.groupBy(
-        F.col("pr.part_a").alias("part_a"), F.col("pr.part_b").alias("part_b")
-    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    counted = basket_pair_counts(li, "l_orderkey", "l_partkey")
     w = Window.partitionBy("part_a").orderBy(F.desc("n_orders"), F.asc("part_b"))
     return (
         counted.withColumn("rn", F.row_number().over(w))

@@ -121,11 +121,14 @@ def pipeline_course_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # JVM-side costs no worker at all (~0.5 s for the whole pipeline).
     import json as _json
 
-    vals = ", ".join(
-        "('" + _json.dumps(d).replace("'", "''") + "')" for d in _FIXTURE
-    )
+    # parameterized literals: interpolating json.dumps output into a
+    # single-quoted SQL literal would corrupt any fixture string holding
+    # a double quote/backslash/newline (Spark's literal unescape mangles
+    # the JSON escapes); named args bypass literal parsing entirely
+    marks = ", ".join(f"(:j{i})" for i in range(len(_FIXTURE)))
+    args = {f"j{i}": _json.dumps(d) for i, d in enumerate(_FIXTURE)}
     courses = (
-        spark.sql(f"SELECT * FROM VALUES {vals} AS t(j)")
+        spark.sql(f"SELECT * FROM VALUES {marks} AS t(j)", args=args)
         .select(F.from_json("j", COURSE_SCHEMA).alias("c"))
         .select("c.*")
     )

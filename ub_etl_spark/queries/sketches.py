@@ -63,9 +63,18 @@ def agg_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # python-parallelize frame costs one python worker launch per parent
     # partition at execution (measured 4-6 s behind coalesce(1), which
     # chains all 32 launches into one sequential task); the literal
-    # relation is pure Catalyst and costs nothing
-    values = ", ".join(f"('{t}', {int(n)}L)" for t, n in rows)
-    return spark.sql(f"SELECT * FROM VALUES {values} AS t(term, est_count)")
+    # relation is pure Catalyst and costs nothing.  Terms pass as named
+    # args, not interpolated literals (quote/backslash safety).
+    marks = ", ".join(
+        f"(:t{i}, CAST(:n{i} AS BIGINT))" for i in range(len(rows))
+    )
+    args = {}
+    for i, (t, n) in enumerate(rows):
+        args[f"t{i}"] = t
+        args[f"n{i}"] = int(n)
+    return spark.sql(
+        f"SELECT * FROM VALUES {marks} AS t(term, est_count)", args=args
+    )
 
 
 # KMV (k-minimum-values) distinct sketch built from PURE DataFrame ops —

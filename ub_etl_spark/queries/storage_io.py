@@ -408,18 +408,37 @@ def storage_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     usage shape is lay-out-once / prune-many), so rewriting it per call
     would benchmark the write, not the pruning."""
     import hashlib
+    import re as _re
+    import uuid as _uuid
 
     src = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src)
     fp = hashlib.sha256(f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:12]
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"ub_etl_spark_dpp_events_{os.path.basename(sf_dir.rstrip('/'))}_{fp}",
-    )
+    prefix = f"ub_etl_spark_dpp_events_{os.path.basename(sf_dir.rstrip('/'))}_"
+    base = tempfile.gettempdir()
+    path = os.path.join(base, prefix + fp)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        shutil.rmtree(path, ignore_errors=True)
+        # stage into a unique tmp dir, then one atomic rename: two
+        # concurrent first runs can both build, but only one rename
+        # lands and the loser cleans its own staging — never a partial
+        # layout at the final path (the rmtree-then-overwrite form this
+        # replaces deleted files under a concurrent writer's job)
+        tmp = path + ".tmp." + _uuid.uuid4().hex
         e = T(spark, sf_dir, "events").select("event_id", "value", "event_type")
-        e.write.partitionBy("event_type").mode("overwrite").parquet(path)
+        e.write.partitionBy("event_type").mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner exists
+        # GC: drop finalized layouts of STALE fingerprints for this source
+        # (bounded disk across source regenerations in long-lived envs)
+        for name in os.listdir(base):
+            if (
+                name.startswith(prefix)
+                and name != prefix + fp
+                and _re.fullmatch(_re.escape(prefix) + r"[0-9a-f]{12}", name)
+            ):
+                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
     fact = spark.read.parquet(path)
     n = T(spark, sf_dir, "nation")
     dim = (
@@ -477,6 +496,16 @@ def storage_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         + fp.hexdigest()[:12]
     )
     lt, ot = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
+    existing = {t.name for t in spark.catalog.listTables()}
+    # GC stale-fingerprint bucketed tables for the same source basename:
+    # without this a long session that regenerates the source accumulates
+    # one managed table pair per fingerprint forever
+    stale_prefixes = tuple(
+        n.rsplit("_", 1)[0] + "_" for n in (lt, ot)
+    )
+    for name in existing:
+        if name.startswith(stale_prefixes) and name not in (lt, ot):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
     existing = {t.name for t in spark.catalog.listTables()}
     if lt not in existing or ot not in existing:
         # bucket metadata lives in the session catalog, not the parquet

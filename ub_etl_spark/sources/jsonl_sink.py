@@ -44,6 +44,10 @@ class JsonlWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("jsonl sink requires a 'path' option")
         self.overwrite = overwrite
+        # final names carry a per-commit tag: append commits must never
+        # collide with (and silently os.replace) an earlier commit's
+        # part-NNNNN files
+        self.commit_tag = uuid.uuid4().hex[:12]
 
     def write(self, iterator):
         """Per-partition: stage rows into a temp file, return its path."""
@@ -64,9 +68,13 @@ class JsonlWriter(DataSourceWriter):
                     os.remove(os.path.join(self.path, name))
         total = 0
         for i, m in enumerate(messages):
-            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            final = os.path.join(
+                self.path, f"part-{self.commit_tag}-{i:05d}.jsonl"
+            )
             os.replace(m.staged_path, final)
             total += m.rows
+        # _SUCCESS records the LAST commit's row count (commit marker
+        # semantics, like Spark's file sinks — not a directory total)
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write(str(total))
         self._cleanup_staging()
