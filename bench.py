@@ -173,6 +173,8 @@ HEADLINE = [
     "pipeline_customer_features",
     "orders_open_backlog_daily",
     "lineitem_yoy_growth",
+    "events_active_users_rolling",
+    "timeseries_seasonal_decompose",
 ]
 
 

@@ -322,3 +322,38 @@ def test_bloom_prefilter_never_drops_matches_and_prunes(spark, sf_dir):
     # real pruning: the bloom removed most non-matching rows
     assert n_pruned < n_all
     assert n_pruned - n_exact < 0.05 * n_all  # false-positive fraction small
+
+
+def test_rolling_active_users_wau_bounds(spark, sf_dir):
+    """WAU >= DAU on every day (7-day superset), and WAU never exceeds
+    the distinct users active in the trailing 7 days recomputed
+    directly for a sampled day."""
+    from pyspark.sql import functions as F
+
+    from ub_etl_spark.queries.timeseries import events_active_users_rolling
+
+    rows = sorted(events_active_users_rolling(spark, sf_dir).collect(), key=lambda r: r.d)
+    assert rows and all(r.wau >= r.dau for r in rows)
+    mid = rows[len(rows) // 2]
+    e = load_table(spark, sf_dir, "events")
+    direct = (
+        e.select(F.col("ts").cast("date").alias("d"), "user_id")
+        .filter((F.col("d") <= F.lit(mid.d)) & (F.col("d") >= F.date_sub(F.lit(mid.d), 6)))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert mid.wau == direct
+
+
+def test_seasonal_indices_average_near_one(spark, sf_dir):
+    """Multiplicative seasonal indices average ~1 across the 12 months
+    (ratios to the centered trend are mean-one by construction up to
+    trend-edge effects)."""
+    from ub_etl_spark.queries.timeseries import timeseries_seasonal_decompose
+
+    rows = timeseries_seasonal_decompose(spark, sf_dir).collect()
+    assert len(rows) == 12
+    mean_idx = sum(r.seasonal_index for r in rows) / 12
+    assert 0.9 < mean_idx < 1.1
+    assert all(r.n_years >= 1 for r in rows)

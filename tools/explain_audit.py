@@ -238,6 +238,10 @@ EXPECT = {
     # no day x interval join anywhere
     "orders_open_backlog_daily": ["Union", "HashAggregate", "Window"],
     "lineitem_yoy_growth": ["HashAggregate", "Window", "lag"],
+    # sliding distinct: contribution explode (Generate) + exact distinct
+    # aggs — no per-day correlated re-scan, no window
+    "events_active_users_rolling": ["Generate", "HashAggregate", "!Window"],
+    "timeseries_seasonal_decompose": ["Window", "HashAggregate"],
 }
 
 # Kept by hand; prepended to the generated PLANS.md on every regeneration.

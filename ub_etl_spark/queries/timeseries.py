@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ub_etl_spark.functions.exact import dsum
+from ub_etl_spark.functions.exact import cents, dsum, sql_cents
 from ub_etl_spark.registry import register
 from ub_etl_spark.sources.tables import load_table as T
 
@@ -119,4 +119,123 @@ def timeseries_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", "sum_value"),
         )
         .select("gid", "bucket_day", "bucket_hour", "n_events", "sum_value")
+    )
+
+
+@register(
+    "events_active_users_rolling",
+    tier="B",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), contrib AS (
+      SELECT CAST(UNNEST(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY))
+                  AS DATE) AS wd,
+             user_id
+      FROM daily
+    ), spine AS (
+      SELECT DISTINCT d FROM daily
+    )
+    SELECT s.d,
+           (SELECT COUNT(DISTINCT da.user_id) FROM daily da WHERE da.d = s.d)
+             AS dau,
+           COUNT(DISTINCT c.user_id) AS wau
+    FROM spine s JOIN contrib c ON c.wd = s.d
+    GROUP BY s.d
+    """,
+)
+def events_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct active users (DAU + trailing-7-day WAU): the
+    sliding-window COUNT DISTINCT no window frame can express (distinct
+    doesn't decompose over frames).  The scale shape is contribution
+    explosion: each (day, user) activity row contributes itself to the
+    7 window-end days it falls inside, then one exact distinct count per
+    end day — O(activity x window/step), shuffled on the day key, never
+    a per-day correlated re-scan (the oracle keeps that textbook form).
+    Day grain dedups first so the explosion is bounded by active
+    (day, user) pairs, not raw events.  Only days with activity appear
+    (join, not left join, onto the spine — matching the oracle)."""
+    e = T(spark, sf_dir, "events")
+    daily = e.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    contrib = daily.select(
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add(F.col("d"), 6), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("wd"),
+        "user_id",
+    )
+    dau = daily.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+    wau = (
+        contrib.join(daily.select("d").distinct(), contrib.wd == F.col("d"), "inner")
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, "d").select("d", "dau", "wau")
+
+
+@register(
+    "timeseries_seasonal_decompose",
+    tier="B",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT YEAR(l_shipdate) AS y, MONTH(l_shipdate) AS m,
+             SUM({sql_cents("l_extendedprice")}) AS rev_c
+      FROM lineitem GROUP BY YEAR(l_shipdate), MONTH(l_shipdate)
+    ), trended AS (
+      SELECT y, m, rev_c,
+             SUM(rev_c) OVER (ORDER BY y, m
+                              ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS tsum,
+             COUNT(*) OVER (ORDER BY y, m
+                            ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS tn
+      FROM monthly
+    ), ratios AS (
+      SELECT y, m, rev_c, tsum, tn,
+             CAST(FLOOR(CAST(rev_c AS DOUBLE)
+                          / (CAST(tsum AS DOUBLE) / tn) * 1000000000.0)
+                  AS BIGINT) AS ratio_u
+      FROM trended WHERE tn = 12
+    )
+    SELECT m, SUM(ratio_u) / 1000000000.0 / COUNT(*) AS seasonal_index,
+           COUNT(*) AS n_years
+    FROM ratios GROUP BY m
+    """,
+)
+def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative seasonal indices (classical decomposition step):
+    monthly revenue over a centered 12-month trend, ratios averaged per
+    calendar month.  Exactness discipline: monthly revenues are exact
+    longs, the trend is one canonical double division, and each ratio
+    QUANTIZES to integer nano-units before the per-month average — a
+    raw double SUM of ratios would be order-dependent across engines
+    and partitionings.  Edge months without a full 12-month window are
+    excluded (tn = 12), not padded.  The month spine is ~84 rows, so
+    the global-order window is trivially cheap after the fact
+    aggregates."""
+    li = T(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.year("l_shipdate").alias("y"), F.month("l_shipdate").alias("m")
+    ).agg(F.sum(cents("l_extendedprice")).alias("rev_c"))
+    w = W.orderBy("y", "m").rowsBetween(-6, 5)
+    trended = monthly.select(
+        "y",
+        "m",
+        "rev_c",
+        F.sum("rev_c").over(w).alias("tsum"),
+        F.count(F.lit(1)).over(w).alias("tn"),
+    ).filter(F.col("tn") == 12)
+    ratio_u = F.floor(
+        F.col("rev_c").cast("double")
+        / (F.col("tsum").cast("double") / F.col("tn"))
+        * 1e9
+    ).cast("long")
+    return (
+        trended.withColumn("ratio_u", ratio_u)
+        .groupBy("m")
+        .agg(
+            (F.sum("ratio_u") / 1e9 / F.count(F.lit(1))).alias("seasonal_index"),
+            F.count(F.lit(1)).alias("n_years"),
+        )
     )

@@ -147,6 +147,8 @@ DRIVER_PRIORITY = [
 #   warehouse.py (6): dim_date_generate orders_rfm_segmentation
 #     orders_abc_classification pipeline_customer_features
 #     orders_open_backlog_daily lineitem_yoy_growth
+#   timeseries.py (2): events_active_users_rolling
+#     timeseries_seasonal_decompose
 #   udfs.py: udaf_grouped_agg   sketches.py: agg_kmv_distinct (rows-only)
 
 
