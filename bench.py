@@ -175,6 +175,7 @@ HEADLINE = [
     "lineitem_yoy_growth",
     "events_active_users_rolling",
     "timeseries_seasonal_decompose",
+    "hierarchy_flatten_paths",
 ]
 
 

@@ -112,3 +112,20 @@ def test_theta_band_complete_and_minimal(spark, sf_dir):
         if a < b and abs(ba - bb) <= 500
     )
     assert got == expect
+
+
+def test_hierarchy_covers_every_node_once_with_consistent_paths(spark, sf_dir):
+    """Every customer appears exactly once; path starts at root, ends at
+    the node, and has depth+1 hops; parent relation holds along paths."""
+    from ub_etl_spark.queries.advanced import hierarchy_flatten_paths
+
+    rows = hierarchy_flatten_paths(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "customer").count()
+    assert len(rows) == n
+    assert len({r.k for r in rows}) == n
+    for r in rows[:200]:
+        hops = [int(x) for x in r.path.split(">")]
+        assert hops[0] == r.root and hops[-1] == r.k
+        assert len(hops) == r.depth + 1
+        for parent, child in zip(hops, hops[1:]):
+            assert child // 10 == parent

@@ -242,6 +242,9 @@ EXPECT = {
     # aggs — no per-day correlated re-scan, no window
     "events_active_users_rolling": ["Generate", "HashAggregate", "!Window"],
     "timeseries_seasonal_decompose": ["Window", "HashAggregate"],
+    # recursive-CTE emulation: per-level frontiers read from cache
+    # (InMemoryTableScan), unioned without recompute
+    "hierarchy_flatten_paths": ["InMemoryTableScan", "Union"],
 }
 
 # Kept by hand; prepended to the generated PLANS.md on every regeneration.

@@ -363,3 +363,72 @@ def join_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("bal_a") - F.col("bal_b")) / 100.0).alias("bal_diff"),
         )
     )
+
+
+@register(
+    "hierarchy_flatten_paths",
+    tier="B",
+    oracle="""
+    WITH RECURSIVE h AS (
+      SELECT c_custkey AS k, c_custkey AS root, 0 AS depth,
+             CAST(c_custkey AS VARCHAR) AS path
+      FROM customer WHERE c_custkey < 10
+      UNION ALL
+      SELECT c.c_custkey, h.root, h.depth + 1,
+             h.path || '>' || CAST(c.c_custkey AS VARCHAR)
+      FROM customer c
+      JOIN h ON c.c_custkey // 10 = h.k AND c.c_custkey >= 10
+    )
+    SELECT k, root, depth, path FROM h
+    """,
+)
+def hierarchy_flatten_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive hierarchy flattening (org chart / bill-of-materials):
+    every node's root, depth, and full ancestor path — the WITH
+    RECURSIVE shape Spark SQL lacks, emulated as level-synchronous
+    frontier expansion: join the child relation against the previous
+    frontier once per level until the frontier drains (bounded by the
+    hierarchy depth, here log10(n) via the digit-shift parent function
+    parent(k) = k div 10, roots k < 10).  The oracle IS the textbook
+    recursive CTE.  Each level is one equi join shuffled on the parent
+    key — the same dataflow a Pregel-style traversal runs at a
+    billion-node hierarchy; the per-level isEmpty check is a tiny
+    driver-side action on an already-computed frontier, and the result
+    unions all levels without recomputing them (each frontier is
+    persisted until its successor materializes)."""
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    frontier = c.filter(F.col("c_custkey") < 10).select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_custkey").alias("root"),
+        F.lit(0).alias("depth"),
+        F.col("c_custkey").cast("string").alias("path"),
+    ).persist()
+    levels = [frontier]
+    for _ in range(20):  # backstop; real bound = hierarchy depth
+        nxt = (
+            c.filter(F.col("c_custkey") >= 10)
+            .join(frontier, F.floor(F.col("c_custkey") / 10) == F.col("k"))
+            .select(
+                F.col("c_custkey").alias("child_k"),
+                "root",
+                (F.col("depth") + 1).alias("depth"),
+                F.concat(
+                    "path", F.lit(">"), F.col("c_custkey").cast("string")
+                ).alias("path"),
+            )
+            .withColumnRenamed("child_k", "k")
+            .persist()
+        )
+        if nxt.isEmpty():
+            nxt.unpersist()
+            break
+        levels.append(nxt)
+        frontier = nxt
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    # leave the per-level caches in place for THIS plan's execution; they
+    # are session-scoped temporaries the next call rebuilds (cheap:
+    # levels are computed once each) — unpersisting here would drop them
+    # before the returned DataFrame executes
+    return out

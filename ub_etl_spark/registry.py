@@ -149,6 +149,7 @@ DRIVER_PRIORITY = [
 #     orders_open_backlog_daily lineitem_yoy_growth
 #   timeseries.py (2): events_active_users_rolling
 #     timeseries_seasonal_decompose
+#   advanced.py (+1): hierarchy_flatten_paths
 #   udfs.py: udaf_grouped_agg   sketches.py: agg_kmv_distinct (rows-only)
 
 
