@@ -176,6 +176,8 @@ HEADLINE = [
     "events_active_users_rolling",
     "timeseries_seasonal_decompose",
     "hierarchy_flatten_paths",
+    "events_ab_test_zscore",
+    "events_burst_detection",
 ]
 
 

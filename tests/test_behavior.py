@@ -109,3 +109,39 @@ def test_interpurchase_gap_counts(spark, sf_dir):
     for r in rows[:100]:
         assert r.n_gaps == n_per_cust[r.o_custkey] - 1
         assert r.min_gap <= r.avg_gap_days <= r.max_gap
+
+
+def test_ab_test_cells_partition_users_and_z_sign(spark, sf_dir):
+    """Cell counts partition the user population; the z statistic's sign
+    matches the rate difference's sign (or both are ~0)."""
+    from ub_etl_spark.queries.behavior import events_ab_test_zscore
+
+    r = events_ab_test_zscore(spark, sf_dir).collect()[0]
+    e = load_table(spark, sf_dir, "events")
+    assert r.n_a + r.n_b == e.select("user_id").distinct().count()
+    assert 0.0 <= r.rate_a <= 1.0 and 0.0 <= r.rate_b <= 1.0
+    if r.z_score is not None and abs(r.rate_a - r.rate_b) > 1e-12:
+        assert (r.z_score > 0) == (r.rate_a > r.rate_b)
+
+
+def test_burst_detection_matches_direct_recount(spark, sf_dir):
+    """A flagged user's max_burst equals a direct per-user recount of
+    the densest trailing hour."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from ub_etl_spark.queries.behavior import events_burst_detection
+
+    rows = events_burst_detection(spark, sf_dir).collect()
+    assert rows  # threshold chosen non-vacuous
+    probe = rows[0]
+    e = load_table(spark, sf_dir, "events")
+    times = sorted(
+        r.es
+        for r in e.filter(F.col("user_id") == probe.user_id)
+        .select(F.col("ts").cast("timestamp").cast("long").alias("es"))
+        .collect()
+    )
+    best = max(
+        sum(1 for t in times if cur - 3600 <= t <= cur) for cur in times
+    )
+    assert probe.max_burst == best

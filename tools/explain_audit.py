@@ -245,6 +245,9 @@ EXPECT = {
     # recursive-CTE emulation: per-level frontiers read from cache
     # (InMemoryTableScan), unioned without recompute
     "hierarchy_flatten_paths": ["InMemoryTableScan", "Union"],
+    "events_ab_test_zscore": ["HashAggregate", "Exchange hashpartitioning(user_id"],
+    # burst: value-based RANGE frame, window + agg share the user exchange
+    "events_burst_detection": ["Window", "RangeFrame", "HashAggregate"],
 }
 
 # Kept by hand; prepended to the generated PLANS.md on every regeneration.

@@ -383,3 +383,123 @@ def orders_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_days").alias("min_gap"),
         F.max("gap_days").alias("max_gap"),
     )
+
+
+@register(
+    "events_ab_test_zscore",
+    tier="B",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id, user_id % 2 AS grp,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       >= 15 THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ), s AS (
+      SELECT SUM(CASE WHEN grp = 0 THEN converted ELSE 0 END) AS x_a,
+             SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN grp = 1 THEN converted ELSE 0 END) AS x_b,
+             SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n_b
+      FROM assign
+    )
+    SELECT n_a, n_b,
+           CAST(x_a AS DOUBLE) / n_a AS rate_a,
+           CAST(x_b AS DOUBLE) / n_b AS rate_b,
+           CASE WHEN x_a + x_b > 0 AND x_a + x_b < n_a + n_b THEN
+             (CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+               / SQRT((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b))
+           END AS z_score
+    FROM s
+    """,
+)
+def events_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B test (conversion-rate lift + pooled z
+    statistic) with deterministic hash assignment (user_id parity):
+    the experiment-analysis primitive.  Per-user conversion collapses
+    in one user_id aggregate, the four cell counts in a second 1-row
+    conditional aggregate — two map-side-combined passes, no joins.
+    Every input to the z formula is an exact integer; the float
+    expression is written in one shared textual order with no a + b·c
+    site (the cross-engine FMA hazard), so the statistic hash-matches."""
+    e = T(spark, sf_dir, "events")
+    assign = e.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 15,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).withColumn("grp", F.col("user_id") % 2)
+    s = assign.agg(
+        F.sum(F.when(F.col("grp") == 0, F.col("converted")).otherwise(0)).alias("x_a"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("grp") == 1, F.col("converted")).otherwise(0)).alias("x_b"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    x_a, n_a, x_b, n_b = (F.col(c) for c in ("x_a", "n_a", "x_b", "n_b"))
+    rate_a = x_a.cast("double") / n_a
+    rate_b = x_b.cast("double") / n_b
+    pooled = (x_a + x_b).cast("double") / (n_a + n_b)
+    # NULL (not an ANSI divide-by-zero abort) when the pooled rate is
+    # degenerate (0 or 1) — the z statistic is undefined there
+    z = F.when(
+        ((x_a + x_b) > 0) & ((x_a + x_b) < (n_a + n_b)),
+        (x_a.cast("double") / n_a - x_b.cast("double") / n_b)
+        / F.sqrt(pooled * (1.0 - pooled) * (1.0 / n_a + 1.0 / n_b)),
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        z.alias("z_score"),
+    )
+
+
+@register(
+    "events_burst_detection",
+    tier="B",
+    oracle="""
+    WITH sec AS (
+      SELECT user_id, event_id,
+             DATE_PART('epoch', ts) AS es
+      FROM events
+    ), windowed AS (
+      SELECT user_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY es
+                            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+               AS n_in_hour
+      FROM sec
+    )
+    SELECT user_id, MAX(n_in_hour) AS max_burst
+    FROM windowed GROUP BY user_id
+    HAVING MAX(n_in_hour) >= 3
+    """,
+)
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst/bot detection: a user's maximum event count inside any
+    trailing 1-hour window, flagged at >= 3 (non-vacuous at every sf of this sparse fixture) — the rate-anomaly gate
+    (same policy family as the reference's rate limiting, README.md,
+    applied to observed traffic rather than outbound calls).  The
+    trailing count is a RANGE frame over integer epoch seconds (value-
+    based frame, so simultaneous events all land in each other's
+    window regardless of row order — a ROWS frame would be order-
+    sensitive under ties); one window pass + one aggregate share the
+    user_id exchange; HAVING prunes to the rare flagged users."""
+    e = T(spark, sf_dir, "events")
+    sec = e.select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("es"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        sec.withColumn("n_in_hour", F.count(F.lit(1)).over(w))
+        .groupBy("user_id")
+        .agg(F.max("n_in_hour").alias("max_burst"))
+        .filter(F.col("max_burst") >= 3)
+    )

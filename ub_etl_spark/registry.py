@@ -150,6 +150,7 @@ DRIVER_PRIORITY = [
 #   timeseries.py (2): events_active_users_rolling
 #     timeseries_seasonal_decompose
 #   advanced.py (+1): hierarchy_flatten_paths
+#   behavior.py (+2): events_ab_test_zscore events_burst_detection
 #   udfs.py: udaf_grouped_agg   sketches.py: agg_kmv_distinct (rows-only)
 
 
