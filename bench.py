@@ -178,6 +178,8 @@ HEADLINE = [
     "hierarchy_flatten_paths",
     "events_ab_test_zscore",
     "events_burst_detection",
+    "events_user_entropy",
+    "agg_bitwise_flags",
 ]
 
 

@@ -145,3 +145,34 @@ def test_burst_detection_matches_direct_recount(spark, sf_dir):
         sum(1 for t in times if cur - 3600 <= t <= cur) for cur in times
     )
     assert probe.max_burst == best
+
+
+def test_entropy_bounds_and_single_type_zero(spark, sf_dir):
+    """Entropy lies in [0, ln(#event_types)]; a user with one event type
+    would score exactly 0 (quantized terms of p=1 vanish)."""
+    import math
+
+    from ub_etl_spark.queries.behavior import events_user_entropy
+
+    rows = events_user_entropy(spark, sf_dir).collect()
+    n_types = load_table(spark, sf_dir, "events").select("event_type").distinct().count()
+    hi = math.log(n_types) + 1e-9
+    assert rows and all(0.0 <= r.entropy <= hi for r in rows)
+
+
+def test_bitwise_flags_partition_user_weeks(spark, sf_dir):
+    """Signature histogram covers every (user, week) cell; single-type
+    cells are exactly the power-of-two signatures' AND-nonzero count."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from ub_etl_spark.queries.behavior import agg_bitwise_flags
+
+    rows = agg_bitwise_flags(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    cells = e.select("user_id", F.date_trunc("week", "ts")).distinct().count()
+    assert sum(r.n_users for r in rows) == cells
+    for r in rows:
+        if r.flags & (r.flags - 1):  # multi-bit signature
+            assert r.n_single_type == 0
+        else:  # single-bit signature: every cell is single-type
+            assert r.n_single_type == r.n_users

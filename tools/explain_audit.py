@@ -248,6 +248,8 @@ EXPECT = {
     "events_ab_test_zscore": ["HashAggregate", "Exchange hashpartitioning(user_id"],
     # burst: value-based RANGE frame, window + agg share the user exchange
     "events_burst_detection": ["Window", "RangeFrame", "HashAggregate"],
+    "events_user_entropy": ["HashAggregate", "Exchange hashpartitioning(user_id"],
+    "agg_bitwise_flags": ["HashAggregate", "codegen id :"],
 }
 
 # Kept by hand; prepended to the generated PLANS.md on every regeneration.

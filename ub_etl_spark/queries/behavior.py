@@ -503,3 +503,96 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("n_in_hour").alias("max_burst"))
         .filter(F.col("max_burst") >= 3)
     )
+
+
+@register(
+    "events_user_entropy",
+    tier="B",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ), tot AS (
+      SELECT user_id, SUM(c) AS n FROM counts GROUP BY user_id
+    ), terms AS (
+      SELECT counts.user_id,
+             CAST(FLOOR(-(CAST(c AS DOUBLE) / n)
+                          * LN(CAST(c AS DOUBLE) / n) * 1000000.0)
+                  AS BIGINT) AS term_u
+      FROM counts JOIN tot ON counts.user_id = tot.user_id
+    )
+    SELECT user_id, SUM(term_u) / 1000000.0 AS entropy
+    FROM terms GROUP BY user_id
+    """,
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution (the
+    behavioral-diversity feature: 0 = single-type bot-like, high =
+    varied usage).  Probabilities come from exact counts; each -p·ln p
+    term QUANTIZES to integer micro-units before the per-user sum (the
+    repo-wide rule for ln outputs: a raw double sum of transcendental
+    terms is order-dependent; the floor-6dp quantization is the same
+    operating point text_tfidf pins).  Two map-side-combined aggregates
+    sharing the user_id exchange, no window, no join back to the fact."""
+    e = T(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    term_u = F.floor(-p * F.log(p) * 1e6).cast("long")
+    return (
+        counts.join(tot, "user_id")
+        .select("user_id", term_u.alias("term_u"))
+        .groupBy("user_id")
+        .agg((F.sum("term_u") / 1e6).alias("entropy"))
+    )
+
+
+@register(
+    "agg_bitwise_flags",
+    tier="B",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, DATE_TRUNC('week', ts) AS wk,
+             BIT_OR(CASE event_type
+                      WHEN 'signup' THEN 1 WHEN 'view' THEN 2
+                      WHEN 'purchase' THEN 4 WHEN 'click' THEN 8
+                      ELSE 16 END) AS flags,
+             BIT_AND(CASE event_type
+                       WHEN 'signup' THEN 1 WHEN 'view' THEN 2
+                       WHEN 'purchase' THEN 4 WHEN 'click' THEN 8
+                       ELSE 16 END) AS common_bits
+      FROM events GROUP BY user_id, DATE_TRUNC('week', ts)
+    )
+    SELECT flags, COUNT(*) AS n_users,
+           SUM(CASE WHEN common_bits <> 0 THEN 1 ELSE 0 END)
+             AS n_single_type
+    FROM flagged GROUP BY flags
+    """,
+)
+def agg_bitwise_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate surface (bit_or / bit_and): event types encode
+    to flag bits, per-(user, week) OR gives the weekly activity
+    signature, AND exposes single-type weeks (nonzero only when every
+    event mapped to the same bit) — the feature-flag/capability-mask
+    rollup shape.  Weekly grain keeps the signature space non-degenerate
+    (full-history OR saturates to all-bits for every user here).
+    Bitwise aggregates are exact, associative, order-free integers:
+    deterministic with zero quantization machinery.  One keyed aggregate
+    + one tiny signature-histogram aggregate."""
+    e = T(spark, sf_dir, "events")
+    bit = (
+        F.when(F.col("event_type") == "signup", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "click", 8)
+        .otherwise(16)
+    )
+    flagged = e.groupBy("user_id", F.date_trunc("week", "ts").alias("wk")).agg(
+        F.bit_or(bit).alias("flags"), F.bit_and(bit).alias("common_bits")
+    )
+    return flagged.groupBy("flags").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("common_bits") != 0, 1).otherwise(0)).alias(
+            "n_single_type"
+        ),
+    )

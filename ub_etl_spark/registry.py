@@ -150,7 +150,8 @@ DRIVER_PRIORITY = [
 #   timeseries.py (2): events_active_users_rolling
 #     timeseries_seasonal_decompose
 #   advanced.py (+1): hierarchy_flatten_paths
-#   behavior.py (+2): events_ab_test_zscore events_burst_detection
+#   behavior.py (+4): events_ab_test_zscore events_burst_detection
+#     events_user_entropy agg_bitwise_flags
 #   udfs.py: udaf_grouped_agg   sketches.py: agg_kmv_distinct (rows-only)
 
 
