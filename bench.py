@@ -180,6 +180,7 @@ HEADLINE = [
     "events_burst_detection",
     "events_user_entropy",
     "agg_bitwise_flags",
+    "quantile_bucket_approx",
 ]
 
 

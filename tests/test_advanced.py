@@ -129,3 +129,21 @@ def test_hierarchy_covers_every_node_once_with_consistent_paths(spark, sf_dir):
         assert len(hops) == r.depth + 1
         for parent, child in zip(hops, hops[1:]):
             assert child // 10 == parent
+
+
+def test_approx_equidepth_balanced_and_complete(spark, sf_dir):
+    """Approximate buckets partition the table (counts sum to total, 10
+    buckets, ordered non-overlapping ranges) and each depth stays within
+    5% of the ideal n/10 (GK accuracy 1e-4 makes boundaries near-exact
+    at test scale)."""
+    from ub_etl_spark.queries.advanced import quantile_bucket_approx
+
+    rows = sorted(quantile_bucket_approx(spark, sf_dir).collect(), key=lambda r: r.bucket)
+    total = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n_orders for r in rows) == total
+    assert [r.bucket for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo
+    ideal = total / len(rows)
+    # each bucket within 2% of the table size of its ideal depth
+    assert all(abs(r.n_orders - ideal) <= 0.02 * total for r in rows)

@@ -250,6 +250,8 @@ EXPECT = {
     "events_burst_detection": ["Window", "RangeFrame", "HashAggregate"],
     "events_user_entropy": ["HashAggregate", "Exchange hashpartitioning(user_id"],
     "agg_bitwise_flags": ["HashAggregate", "codegen id :"],
+    # sketch-boundary equi-depth: NO sort, NO window anywhere in the plan
+    "quantile_bucket_approx": ["HashAggregate", "!Window", "!Sort "],
 }
 
 # Kept by hand; prepended to the generated PLANS.md on every regeneration.

@@ -97,6 +97,7 @@ def queries(spark, d: str):
         "basket_pairs": _basket_pairs(li),
         "weighted_median_2phase": _weighted_median(li),
         "equidepth_ntile_global": _equidepth(o),
+        "equidepth_sketch_approx": _equidepth_approx(o),
         "gini_rank_global": _gini(o),
     }
 
@@ -121,6 +122,21 @@ def _equidepth(o):
     w = W.orderBy("o_totalprice", "o_orderkey")
     return (
         o.withColumn("bucket", F.ntile(10).over(w))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("o_totalprice").alias("lo"))
+    )
+
+
+def _equidepth_approx(o):
+    # the scale path beside the exact global-NTILE watch-item: sketch
+    # boundaries broadcast into a codegen assignment, no global sort
+    cuts = o.agg(
+        F.percentile_approx("o_totalprice", [i / 10.0 for i in range(1, 10)], 10000).alias("cuts")
+    )
+    bucket = F.lit(1) + F.size(F.filter("cuts", lambda c: F.col("o_totalprice") > c))
+    return (
+        o.crossJoin(F.broadcast(cuts))
+        .select("o_totalprice", bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"), F.min("o_totalprice").alias("lo"))
     )

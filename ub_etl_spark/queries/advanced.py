@@ -432,3 +432,45 @@ def hierarchy_flatten_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     # levels are computed once each) — unpersisting here would drop them
     # before the returned DataFrame executes
     return out
+
+
+# The scale path quantile_bucket_equidepth's docstring promises: bucket
+# BOUNDARIES from a mergeable percentile sketch (one pass, bounded
+# memory), broadcast into a codegen bucket-assignment projection — no
+# global sort anywhere.  Rows-only under the driver gate (GK boundary
+# values are sketch-dependent); depth balance vs the exact variant is
+# pinned in tests/test_advanced.py, and tools/scale_smoke.py measures it
+# beside the exact form (which runs ~linear at 100x: SCALING.md 95.8x).
+@register("quantile_bucket_approx", tier="B", oracle=None)
+def quantile_bucket_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile bucketing WITHOUT the global sort: nine
+    percentile_approx boundaries (GK sketch, accuracy 10000) computed in
+    one map-side-combined aggregate, broadcast as a single row, and each
+    order assigned by counting boundaries below its price — an array HOF
+    over 9 elements inside whole-stage codegen.  Two passes over the
+    fact, zero sorts, both exchanges carry one row; depths are
+    approximate within the sketch's rank error where the exact NTILE
+    form is perfectly balanced but ~linear-cost at scale."""
+    o = T(spark, sf_dir, "orders")
+    cuts = o.agg(
+        F.percentile_approx(
+            "o_totalprice", [i / 10.0 for i in range(1, 10)], 10000
+        ).alias("cuts")
+    )
+    bucket = (
+        F.lit(1)
+        + F.size(
+            F.filter("cuts", lambda c: F.col("o_totalprice") > c)
+        )
+    ).alias("bucket")
+    return (
+        o.crossJoin(F.broadcast(cuts))
+        .select("o_totalprice", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            csum("o_totalprice", "total"),
+        )
+    )
