@@ -316,6 +316,24 @@ def bound_kmv(spark, sf) -> dict:
     }
 
 
+def bound_equidepth_approx(spark, sf) -> dict:
+    """Sketch-boundary equi-depth: worst bucket-depth deviation from the
+    ideal n/10, as a fraction of table size (exact NTILE would be 0)."""
+    from ub_etl_spark.queries.advanced import quantile_bucket_approx
+
+    rows = quantile_bucket_approx(spark, sf).collect()
+    total = sum(r.n_orders for r in rows)
+    ideal = total / len(rows)
+    worst = max(abs(r.n_orders - ideal) for r in rows) / total
+    return {
+        "pinned_bound": 0.02,
+        "measured": round(worst, 5),
+        "unit": "max_bucket_depth_deviation_fraction_of_table",
+        "op_point": "percentile_approx accuracy=10000 (GK rank error ~ n/10000), 10 buckets",
+        "pass": worst <= 0.02,
+    }
+
+
 MEASURES = {
     "agg_hll_mergeable": bound_hll,
     "agg_cms_term_counts": bound_cms,
@@ -327,6 +345,7 @@ MEASURES = {
     "dedup_minhash_lsh": bound_minhash,
     "dedup_simhash": bound_simhash,
     "agg_kmv_distinct": bound_kmv,
+    "quantile_bucket_approx": bound_equidepth_approx,
 }
 
 
