@@ -181,6 +181,7 @@ HEADLINE = [
     "events_user_entropy",
     "agg_bitwise_flags",
     "quantile_bucket_approx",
+    "events_survival_curve",
 ]
 
 

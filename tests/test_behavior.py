@@ -176,3 +176,23 @@ def test_bitwise_flags_partition_user_weeks(spark, sf_dir):
             assert r.n_single_type == 0
         else:  # single-bit signature: every cell is single-type
             assert r.n_single_type == r.n_users
+
+
+def test_survival_curve_monotone_and_bounded(spark, sf_dir):
+    """Surviving fraction is non-increasing in day offset, within [0, 1),
+    and the final point equals 1 - total_converters / total_users."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from ub_etl_spark.queries.behavior import events_survival_curve
+
+    rows = sorted(events_survival_curve(spark, sf_dir).collect(), key=lambda r: r.day_offset)
+    assert rows
+    fracs = [r.surviving_fraction for r in rows]
+    assert all(0.0 <= f < 1.0 for f in fracs)
+    assert all(a >= b for a, b in zip(fracs, fracs[1:]))
+    e = load_table(spark, sf_dir, "events")
+    n_users = e.select("user_id").distinct().count()
+    n_conv = (
+        e.filter(F.col("event_type") == "purchase").select("user_id").distinct().count()
+    )
+    assert abs(fracs[-1] - (1.0 - n_conv / n_users)) < 1e-12

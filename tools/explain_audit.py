@@ -252,6 +252,7 @@ EXPECT = {
     "agg_bitwise_flags": ["HashAggregate", "codegen id :"],
     # sketch-boundary equi-depth: NO sort, NO window anywhere in the plan
     "quantile_bucket_approx": ["HashAggregate", "!Window", "!Sort "],
+    "events_survival_curve": ["HashAggregate", "Window"],
 }
 
 # Kept by hand; prepended to the generated PLANS.md on every regeneration.

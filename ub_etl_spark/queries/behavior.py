@@ -596,3 +596,78 @@ def agg_bitwise_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_single_type"
         ),
     )
+
+
+@register(
+    "events_survival_curve",
+    tier="B",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(ts) AS t0,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_conv
+      FROM events GROUP BY user_id
+    ), offsets AS (
+      SELECT user_id,
+             CASE WHEN t_conv IS NULL THEN NULL
+                  ELSE DATE_DIFF('day', CAST(t0 AS DATE), CAST(t_conv AS DATE))
+             END AS conv_day
+      FROM per_user
+    ), spine AS (
+      SELECT DISTINCT conv_day AS d FROM offsets WHERE conv_day IS NOT NULL
+    ), cum AS (
+      SELECT s.d,
+             (SELECT COUNT(*) FROM offsets o
+              WHERE o.conv_day IS NOT NULL AND o.conv_day <= s.d) AS n_conv,
+             (SELECT COUNT(*) FROM offsets) AS n_total
+      FROM spine s
+    )
+    SELECT d AS day_offset, n_conv,
+           1.0 - CAST(n_conv AS DOUBLE) / n_total AS surviving_fraction
+    FROM cum
+    """,
+)
+def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion survival curve (Kaplan-Meier step function
+    without censoring weights): the fraction of users still unconverted
+    at each day offset from their first event — the
+    activation/time-to-value analysis.  Per-user first-event and
+    first-purchase collapse in ONE conditional-MIN aggregate; conversion
+    counts aggregate per day offset and one cumulative window over the
+    tiny offset spine builds the curve (the oracle keeps the textbook
+    per-day correlated subquery).  Survival = one double division of
+    exact integers per spine row.  Never-converting users stay in the
+    denominator at every offset, as survival analysis requires — an
+    inner join on conversions would overstate the conversion rate."""
+    e = T(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_conv"
+        ),
+    )
+    offsets = per_user.select(
+        F.datediff(F.col("t_conv").cast("date"), F.col("t0").cast("date")).alias(
+            "conv_day"
+        )
+    )
+    n_total = offsets.agg(F.count(F.lit(1)).alias("n_total"))
+    per_day = (
+        offsets.filter(F.col("conv_day").isNotNull())
+        .groupBy(F.col("conv_day").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_day"))
+    )
+    w = Window.orderBy("day_offset").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_day.withColumn("n_conv", F.sum("n_day").over(w))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "day_offset",
+            "n_conv",
+            (1.0 - F.col("n_conv").cast("double") / F.col("n_total")).alias(
+                "surviving_fraction"
+            ),
+        )
+    )

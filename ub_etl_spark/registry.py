@@ -152,8 +152,8 @@ DRIVER_PRIORITY = [
 #   timeseries.py (2): events_active_users_rolling
 #     timeseries_seasonal_decompose
 #   advanced.py (+2): hierarchy_flatten_paths quantile_bucket_approx (rows-only)
-#   behavior.py (+4): events_ab_test_zscore events_burst_detection
-#     events_user_entropy agg_bitwise_flags
+#   behavior.py (+5): events_ab_test_zscore events_burst_detection
+#     events_user_entropy agg_bitwise_flags events_survival_curve
 #   udfs.py: udaf_grouped_agg   sketches.py: agg_kmv_distinct (rows-only)
 
 
