@@ -126,10 +126,11 @@ DRIVER_PRIORITY = [
 
 # ROUND-4 ROTATION CANDIDATES (registered in round 3 AFTER the window
 # above was frozen; every one passes tools/parity.py at sf0.001+sf0.01
-# AND the 7-way partitioning re-check, but has no driver row yet.  53
-# candidates for 50 slots — rotate the 3 overflow (suggest: the
-# rows-only agg_kmv_distinct plus two of the single-row TPC-H scalars,
-# which the local harness already value-checks) into round 5):
+# AND the 7-way partitioning re-check, but has no driver row yet.  55
+# candidates for 50 slots — rotate the 5 overflow (suggest: the two
+# rows-only entries agg_kmv_distinct / quantile_bucket_approx plus
+# three single-row TPC-H scalars, all already value- or bound-checked
+# by the local harness) into round 5):
 #   tpch.py (17): tpch_q2_min_cost_supplier tpch_q4_priority_check
 #     tpch_q6_forecast_revenue tpch_q7_volume_shipping tpch_q8_market_share
 #     tpch_q9_product_profit tpch_q10_returned_items tpch_q11_important_parts
