@@ -545,3 +545,188 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("n_nationkey"),
         (F.col("rank_u") / 1e12).alias("pagerank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) precomputed as Python double literals: both engines get
+# the SAME 64-bit constants (a runtime LOG10 would be evaluated by two
+# different libm implementations).
+_BENFORD_P = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+@register(
+    "agg_benford_first_digit",
+    tier="B",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(SUBSTR(CAST({sql_cents("o_totalprice")} AS VARCHAR), 1, 1)
+                  AS INTEGER) AS digit
+      FROM orders
+    ), counted AS (
+      SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit
+    ), tot AS (SELECT SUM(n) AS t FROM counted)
+    SELECT digit, n,
+           CAST(n AS DOUBLE) / t AS observed_p,
+           CASE digit {' '.join(f'WHEN {d} THEN CAST({p!r} AS DOUBLE)' for d, p in _BENFORD_P.items())} END
+             AS benford_p,
+           CAST(n AS DOUBLE) / t
+             - CASE digit {' '.join(f'WHEN {d} THEN CAST({p!r} AS DOUBLE)' for d, p in _BENFORD_P.items())} END
+             AS deviation
+    FROM counted, tot
+    ORDER BY digit
+    """,
+)
+def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    data-quality / fraud screen (synthetic or fabricated numeric columns
+    diverge from log10(1+1/d)).  The first digit comes from the CENTS
+    integer rendered as a string (substr of an integer is engine-identical;
+    floor(log10(x)) float paths are not, near powers of ten).  One
+    map-side-combined 9-group aggregate; the total joins back as a 1-row
+    broadcast (AQE).  Expected probabilities are Python-precomputed double
+    literals injected into BOTH plans, so observed-expected deviation is
+    bit-identical.  Scale: shuffle carries 9 rows regardless of input."""
+    o = T(spark, sf_dir, "orders")
+    counted = (
+        o.select(
+            F.substring(cents("o_totalprice").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counted.agg(F.sum("n").alias("t"))
+    benford = F.lit(None).cast("double")
+    for d, p in reversed(_BENFORD_P.items()):
+        benford = F.when(F.col("digit") == d, F.lit(p)).otherwise(benford)
+    obs = F.col("n").cast("double") / F.col("t")
+    return (
+        counted.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            obs.alias("observed_p"),
+            benford.alias("benford_p"),
+            (obs - benford).alias("deviation"),
+        )
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Smoothed target encoding
+# ---------------------------------------------------------------------------
+
+_TE_SMOOTH = 20  # pseudo-observations pulled toward the global prior
+
+
+@register(
+    "feature_target_encode",
+    tier="B",
+    oracle=f"""
+    WITH spend AS (
+      SELECT c.c_mktsegment, {sql_cents("o.o_totalprice")} AS sp
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), seg AS (
+      SELECT c_mktsegment, COUNT(*) AS n, SUM(sp) AS s FROM spend
+      GROUP BY c_mktsegment
+    ), g AS (SELECT SUM(n) AS gn, SUM(s) AS gs FROM seg)
+    SELECT c_mktsegment, n,
+           CAST(s AS DOUBLE) / n / 100.0 AS segment_mean,
+           (CAST(s AS DOUBLE) + {_TE_SMOOTH} * (CAST(gs AS DOUBLE) / gn))
+             / (n + {_TE_SMOOTH}) / 100.0 AS encoded
+    FROM seg, g
+    ORDER BY c_mktsegment
+    """,
+)
+def feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean-target encoding of a categorical feature (market
+    segment -> average order value), the standard high-cardinality
+    categorical encoder: encoded = (sum + m*prior) / (n + m) shrinks rare
+    categories toward the global mean.  Sums are exact long cents; the
+    global prior is ONE double division (gs/gn) shared textually by both
+    engines, and the smoothed value divides once more in the same
+    canonical order — no a + b*c float site (FMA hazard).  The customer
+    dim broadcasts into the fact join; the segment aggregate shuffles
+    |segments| rows and the global prior joins back as a 1-row broadcast.
+    Scale: identical shape at 100 TB — the encoder state is |categories|
+    rows however large the fact is."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    spend = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", cents("o_totalprice").alias("sp")
+    )
+    seg = spend.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("sp").alias("s")
+    )
+    g = seg.agg(F.sum("n").alias("gn"), F.sum("s").alias("gs"))
+    prior = F.col("gs").cast("double") / F.col("gn")
+    return (
+        seg.crossJoin(F.broadcast(g))
+        .select(
+            "c_mktsegment",
+            "n",
+            (F.col("s").cast("double") / F.col("n") / 100.0).alias("segment_mean"),
+            (
+                (F.col("s").cast("double") + F.lit(float(_TE_SMOOTH)) * prior)
+                / (F.col("n") + F.lit(_TE_SMOOTH))
+                / 100.0
+            ).alias("encoded"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit
+# ---------------------------------------------------------------------------
+
+_LDIV_L = 3  # groups whose sensitive attribute shows < l distinct values
+
+
+@register(
+    "privacy_l_diversity",
+    tier="B",
+    oracle="""
+    WITH tagged AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000.0) AS INTEGER) AS sens
+      FROM customer
+    )
+    SELECT c_nationkey, c_mktsegment,
+           COUNT(*) AS group_size,
+           COUNT(DISTINCT sens) AS l_distinct,
+           COUNT(DISTINCT sens) < 3 AS at_risk
+    FROM tagged
+    GROUP BY c_nationkey, c_mktsegment
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the companion gate to privacy_k_anonymity: a
+    quasi-identifier group is re-identifiable in spirit even at k>=k_min
+    if every member shares the same SENSITIVE value (homogeneity attack).
+    Quasi-identifiers (nation, segment) group the table; the sensitive
+    attribute (account balance bucketed to $1000 — integer floor, no
+    float boundary hazard) is counted DISTINCT per group and groups with
+    l < 3 are flagged.  One aggregate with a distinct count (Spark plans
+    the standard two-phase partial-distinct expand); shuffle carries
+    |groups x distinct-buckets| then |groups| rows.  Scale: same shape;
+    for very wide sensitive domains swap exact distinct for HLL
+    (agg_hll_mergeable) and flag on the estimate."""
+    c = T(spark, sf_dir, "customer")
+    sens = F.floor(F.col("c_acctbal") / 1000.0).cast("int")
+    return (
+        c.select("c_nationkey", "c_mktsegment", sens.alias("sens"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct("sens").alias("l_distinct"),
+        )
+        .withColumn("at_risk", F.col("l_distinct") < _LDIV_L)
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
