@@ -671,3 +671,160 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-bounded funnel
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel_windowed",
+    tier="B",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts
+      FROM events GROUP BY user_id
+    ), conv AS (
+      SELECT p.user_id, p.signup_ts,
+             MIN(CASE WHEN e.event_type = 'purchase'
+                       AND e.ts > p.signup_ts
+                       AND e.ts <= p.signup_ts + INTERVAL 7 DAY
+                      THEN e.ts END) AS conv_ts
+      FROM per_user p JOIN events e ON e.user_id = p.user_id
+      WHERE p.signup_ts IS NOT NULL
+      GROUP BY p.user_id, p.signup_ts
+    )
+    SELECT COUNT(*) AS n_signup,
+           COUNT(conv_ts) AS n_converted_7d,
+           CAST(COUNT(conv_ts) AS DOUBLE) / COUNT(*) AS conv_rate,
+           CAST(SUM(date_diff('second', signup_ts, conv_ts)) AS BIGINT)
+             AS total_latency_s
+    FROM conv
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded conversion funnel: signup -> purchase WITHIN 7 days
+    (events_funnel and events_funnel_rates count any later purchase; real
+    activation metrics bound the window, otherwise conversion creeps to
+    100% as history grows).  Per-user first signup via one conditional
+    MIN, then the purchase scan joins per-user on user_id with the time
+    bound riding the join -> a second conditional MIN; one scalar rollup.
+    Both shuffles are user_id-keyed (AQE broadcasts the signup side while
+    it fits).  Latency sums in exact integer seconds; the only double is
+    one n/n division.  Scale: state per user is one timestamp; no window
+    over raw events, no cross-history self-join beyond the keyed join."""
+    e = T(spark, sf_dir, "events")
+    signups = (
+        e.groupBy("user_id")
+        .agg(F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("signup_ts"))
+        .filter(F.col("signup_ts").isNotNull())
+        .select(F.col("user_id").alias("s_user"), "signup_ts")
+    )
+    conv = (
+        e.join(signups, e.user_id == F.col("s_user"))
+        .groupBy("s_user", "signup_ts")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("signup_ts"))
+                    & (F.col("ts") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAY")),
+                    F.col("ts"),
+                )
+            ).alias("conv_ts")
+        )
+    )
+    # TIMESTAMP_NTZ has no direct long cast; hop through TIMESTAMP for
+    # epoch seconds (the streaming_batch.py convention)
+    lat = F.col("conv_ts").cast("timestamp").cast("long") - F.col(
+        "signup_ts"
+    ).cast("timestamp").cast("long")
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_signup"),
+        F.count("conv_ts").alias("n_converted_7d"),
+        (F.count("conv_ts").cast("double") / F.count(F.lit(1))).alias("conv_rate"),
+        F.sum(lat).cast("bigint").alias("total_latency_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_cohort_ltv",
+    tier="B",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ), sizes AS (
+      SELECT cohort_week, COUNT(*) AS cohort_users FROM firsts
+      GROUP BY cohort_week
+    ), rev AS (
+      SELECT f.cohort_week,
+             CAST(date_diff('day', f.cohort_week,
+                            CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS BIGINT)
+               AS week_offset,
+             SUM({sql_cents("e.value")}) AS rev_c
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT r.cohort_week, r.week_offset, s.cohort_users,
+           CAST(SUM(r.rev_c) OVER (PARTITION BY r.cohort_week
+                                   ORDER BY r.week_offset) AS DOUBLE)
+             / 100.0 / s.cohort_users AS cum_ltv
+    FROM rev r JOIN sizes s ON r.cohort_week = s.cohort_week
+    ORDER BY r.cohort_week, r.week_offset
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: cumulative purchase revenue per user
+    by (cohort week x week offset) — the revenue twin of
+    events_retention_cohort and the payback-period input.  Purchase
+    revenue aggregates to the tiny (cohort, offset) grid in exact cents
+    BEFORE the cumulative window (which therefore runs over ~weeks^2
+    rows, not events); cohort sizes join back broadcast.  cum_ltv is one
+    double division of an exact long by (100 x users) in shared textual
+    order.  Monday-aligned week truncation on both engines (the
+    events_retention_cohort convention)."""
+    e = T(spark, sf_dir, "events")
+    week = lambda c: F.date_trunc("week", c).cast("date")  # noqa: E731
+    firsts = (
+        e.groupBy("user_id")
+        .agg(week(F.min("ts")).alias("cohort_week"))
+        .select(F.col("user_id").alias("f_user"), "cohort_week")
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    ).select(F.col("cohort_week").alias("s_week"), "cohort_users")
+    rev = (
+        e.join(firsts, e.user_id == F.col("f_user"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(week(F.col("ts")), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.sum(cents("value")).alias("rev_c"))
+    )
+    w = Window.partitionBy("cohort_week").orderBy("week_offset")
+    return (
+        rev.join(F.broadcast(sizes), rev.cohort_week == F.col("s_week"))
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cohort_users",
+            (
+                F.sum("rev_c").over(w).cast("double")
+                / 100.0
+                / F.col("cohort_users")
+            ).alias("cum_ltv"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
