@@ -239,3 +239,267 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count(F.lit(1)).alias("n_years"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function (ACF)
+# ---------------------------------------------------------------------------
+
+_D38 = "decimal(38,0)"
+
+
+@register(
+    "timeseries_autocorrelation",
+    tier="B",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT YEAR(l_shipdate) AS y, MONTH(l_shipdate) AS m,
+             SUM({sql_cents("l_extendedprice")}) AS rev_c
+      FROM lineitem GROUP BY YEAR(l_shipdate), MONTH(l_shipdate)
+    ), idxd AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY y, m) AS idx, rev_c FROM monthly
+    ), g AS (SELECT COUNT(*) AS n, SUM(rev_c) AS s FROM idxd),
+    dev AS (
+      SELECT idx, CAST(n AS DECIMAL(38,0)) * rev_c - CAST(s AS DECIMAL(38,0))
+               AS d
+      FROM idxd, g
+    ), den AS (SELECT SUM(d * d) AS dd FROM dev),
+    lags AS (SELECT UNNEST(RANGE(1, 13)) AS lag)
+    SELECT l.lag, COUNT(*) AS n_pairs,
+           CAST(SUM(a.d * b.d) AS DOUBLE) / CAST(den.dd AS DOUBLE) AS acf
+    FROM lags l
+    JOIN dev a ON TRUE
+    JOIN dev b ON b.idx = a.idx + l.lag
+    CROSS JOIN den
+    GROUP BY l.lag, den.dd
+    ORDER BY l.lag
+    """,
+)
+def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of monthly revenue at lags 1-12 — the
+    seasonality detector feeding model selection (a 12-lag peak says
+    'use timeseries_seasonal_decompose').  Exactness: with n and S the
+    month count and total, each deviation is the EXACT integer n*x_t - S
+    (the n^2 scale factors cancel in the ratio), products promote to
+    DECIMAL(38,0) (a long would overflow at cents^2 scale), and each
+    acf value is ONE double division of two exact sums.  The fact scan
+    aggregates to the ~84-row month spine first; every window/join after
+    that runs on spine-sized data (the global row_number is the shared
+    global-order watch item — trivial on a spine, stated as always).
+    Lag pairing is an equi-join on (idx + lag), never 12 window passes."""
+    li = T(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.year("l_shipdate").alias("y"), F.month("l_shipdate").alias("m")
+    ).agg(F.sum(cents("l_extendedprice")).alias("rev_c"))
+    idxd = monthly.select(
+        F.row_number().over(W.orderBy("y", "m")).alias("idx"), "rev_c"
+    )
+    g = idxd.agg(F.count(F.lit(1)).alias("n"), F.sum("rev_c").alias("s"))
+    dev = idxd.crossJoin(F.broadcast(g)).select(
+        "idx",
+        (
+            F.col("n").cast(_D38) * F.col("rev_c") - F.col("s").cast(_D38)
+        ).alias("d"),
+    )
+    den = dev.agg(F.sum(F.col("d") * F.col("d")).alias("dd"))
+    lags = spark.range(1, 13).select(F.col("id").cast("int").alias("lag"))
+    a = dev.select(F.col("idx").alias("ai"), F.col("d").alias("ad"))
+    b = dev.select(F.col("idx").alias("bi"), F.col("d").alias("bd"))
+    return (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.col("bi") == F.col("ai") + F.col("lag"))
+        .crossJoin(F.broadcast(den))
+        .groupBy("lag", "dd")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (
+                F.sum(F.col("ad") * F.col("bd")).cast("double")
+                / F.col("dd").cast("double")
+            ).alias("acf"),
+        )
+        .select("lag", "n_pairs", "acf")
+        .orderBy("lag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint scan
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_cusum_changepoint",
+    tier="B",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS c
+      FROM orders GROUP BY 1
+    ), g AS (SELECT COUNT(*) AS n, SUM(c) AS s FROM daily),
+    cus AS (
+      SELECT d, c,
+             SUM(n * c - s) OVER (ORDER BY d) AS cusum_n
+      FROM daily, g
+    ), mx AS (SELECT MAX(ABS(cusum_n)) AS peak FROM cus)
+    SELECT cus.d, cus.c,
+           CAST(cusum_n AS DOUBLE) / (SELECT n FROM g) AS cusum,
+           ABS(cusum_n) = mx.peak AS is_changepoint
+    FROM cus, mx
+    ORDER BY cus.d
+    """,
+)
+def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over daily order counts: the cumulative sum
+    of mean-centered counts peaks where the series' level shifts (the
+    classic single-changepoint estimator).  Deviations stay exact
+    integers via the n*c - S scaling (one global 2-value aggregate
+    broadcast back); the cumulative window runs over the ~|days| spine
+    AFTER the fact collapses to per-day counts; the peak day(s) flag via
+    a 1-row max broadcast.  Only the final normalization divides.  The
+    global-order cumulative window is spine-sized (shared watch item of
+    every sweep-line query here, cf. orders_open_backlog_daily)."""
+    o = T(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    g = daily.agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("s"))
+    cus = daily.crossJoin(F.broadcast(g)).select(
+        "d",
+        "c",
+        "n",
+        F.sum(F.col("n") * F.col("c") - F.col("s"))
+        .over(W.orderBy("d"))
+        .alias("cusum_n"),
+    )
+    mx = cus.agg(F.max(F.abs(F.col("cusum_n"))).alias("peak"))
+    return (
+        cus.crossJoin(F.broadcast(mx))
+        .select(
+            "d",
+            "c",
+            (F.col("cusum_n").cast("double") / F.col("n")).alias("cusum"),
+            (F.abs(F.col("cusum_n")) == F.col("peak")).alias("is_changepoint"),
+        )
+        .orderBy("d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling median
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_rolling_median",
+    tier="B",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS di,
+             CAST(FLOOR((SUM(CAST(o_totalprice AS DECIMAL(18,2)))) * 100 + 0.5)
+                  AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT d, CAST(rev_c AS DOUBLE) / 100.0 AS day_rev,
+           MEDIAN(rev_c) OVER (ORDER BY di
+                               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+             / 100.0 AS med7
+    FROM daily
+    ORDER BY d
+    """,
+)
+def timeseries_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling MEDIAN of daily revenue — the robust
+    smoother no plain window frame aggregate (sum/avg) can replace, and
+    the one rolling statistic that needs an order statistic per frame.
+    The fact collapses to the ~|days| spine (exact decimal day sums
+    quantized to long cents) before a value-based RANGE frame computes
+    percentile(0.5) per day — tie-safe on the integer day key where a
+    ROWS frame would be order-sensitive on gap days.  Both engines
+    interpolate even-count medians exactly on half-integer cents (the
+    udaf_grouped_agg precedent).  Scale: the window runs over days, not
+    orders; for per-key rolling medians partition the same window by the
+    key.  The day aggregation shuffles |days| rows; the spine window is
+    the usual global-order watch item, trivial at spine size."""
+    o = T(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("di"),
+    ).agg(
+        F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    w = W.orderBy("di").rangeBetween(-6, 0)
+    return daily.select(
+        "d",
+        (F.col("rev_c").cast("double") / 100.0).alias("day_rev"),
+        (F.expr("percentile(rev_c, 0.5)").over(w) / 100.0).alias("med7"),
+    ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# DAU/WAU stickiness
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_stickiness_weekly",
+    tier="B",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS wk,
+             CAST(ts AS DATE) AS d, user_id
+      FROM events
+    ), dau AS (
+      SELECT wk, d, COUNT(*) AS dau FROM du GROUP BY wk, d
+    ), wau AS (
+      SELECT wk, COUNT(DISTINCT user_id) AS wau FROM du GROUP BY wk
+    )
+    SELECT dau.wk, SUM(dau.dau) AS user_days, COUNT(*) AS n_days,
+           ANY_VALUE(wau.wau) AS wau,
+           CAST(SUM(dau.dau) AS DOUBLE) / COUNT(*) / ANY_VALUE(wau.wau)
+             AS stickiness
+    FROM dau JOIN wau ON dau.wk = wau.wk
+    GROUP BY dau.wk
+    ORDER BY dau.wk
+    """,
+)
+def events_stickiness_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly stickiness (avg DAU / WAU): the engagement-intensity ratio
+    (daily habit vs weekly reach).  ONE (week, day, user) distinct pass
+    feeds both aggregates — DAU per day and WAU per week — so the raw
+    event scan happens once; the join keys on the ~|weeks| spine.
+    stickiness = exact user-day count / day count / distinct-user count,
+    divided left-to-right in one shared textual order.  Scale: the
+    distinct pass shuffles on (day, user) grain (bounded by activity,
+    not events); WAU's exact distinct swaps to HLL at extreme reach
+    (agg_hll_mergeable), like every exact-distinct here."""
+    e = T(spark, sf_dir, "events")
+    du = e.select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+        F.col("ts").cast("date").alias("d"),
+        "user_id",
+    ).distinct()
+    dau = du.groupBy("wk", "d").agg(F.count(F.lit(1)).alias("dau"))
+    wau = du.groupBy("wk").agg(F.countDistinct("user_id").alias("wau")).select(
+        F.col("wk").alias("w_wk"), "wau"
+    )
+    return (
+        dau.join(wau, dau.wk == F.col("w_wk"))
+        .groupBy("wk")
+        .agg(
+            F.sum("dau").alias("user_days"),
+            F.count(F.lit(1)).alias("n_days"),
+            F.any_value("wau").alias("wau"),
+            (
+                F.sum("dau").cast("double")
+                / F.count(F.lit(1))
+                / F.any_value("wau")
+            ).alias("stickiness"),
+        )
+        .orderBy("wk")
+    )
