@@ -494,3 +494,136 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_lexical_diversity",
+    tier="B",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tc AS (
+      SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(COUNT(*) AS DOUBLE) / SUM(c) AS ttr,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS hapax_frac
+    FROM tc GROUP BY doc_id
+    """,
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: type-token ratio and hapax-
+    legomenon fraction — the vocabulary-richness signals a corpus
+    curation pass reads next to text_quality_gopher (template/boiler-
+    plate text has low TTR; OCR noise has high hapax share).  One
+    explode -> (doc, term) count -> per-doc rollup; the only shuffle is
+    doc_id-keyed (term rides inside the first aggregate's key, standard
+    two-level agg).  Ratios are single double divisions of exact counts.
+    Scale: identical to text_tfidf's first phase; per-doc state is two
+    integers."""
+    d = T(spark, sf_dir, "documents")
+    tc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return tc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        hapax.cast("bigint").alias("n_hapax"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c")).alias("ttr"),
+        (hapax.cast("double") / F.count(F.lit(1))).alias("hapax_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 100
+_D38Z = "decimal(38,0)"
+
+
+@register(
+    "text_zipf_rank_fit",
+    tier="B",
+    oracle=f"""
+    WITH tf AS (
+      SELECT term, COUNT(*) AS f FROM (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+      ) GROUP BY term
+    ), ranked AS (
+      SELECT term, f, ROW_NUMBER() OVER (ORDER BY f DESC, term) AS r
+      FROM tf
+    ), pts AS (
+      SELECT CAST(FLOOR(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+             CAST(FLOOR(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      FROM ranked WHERE r <= {_ZIPF_TOP}
+    ), s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x AS {_D38Z}) * x) AS sxx,
+             SUM(CAST(x AS {_D38Z}) * y) AS sxy
+      FROM pts
+    )
+    SELECT n,
+           CAST(CAST(n AS {_D38Z}) * sxy - CAST(sx AS {_D38Z}) * sy AS DOUBLE)
+             / CAST(CAST(n AS {_D38Z}) * sxx - CAST(sx AS {_D38Z}) * sx
+                    AS DOUBLE) AS zipf_slope,
+           CAST(CAST(sy AS {_D38Z}) * sxx - CAST(sx AS {_D38Z}) * sxy AS DOUBLE)
+             / CAST(CAST(n AS {_D38Z}) * sxx - CAST(sx AS {_D38Z}) * sx
+                    AS DOUBLE) / 1000000.0 AS ln_c
+    FROM s
+    """,
+)
+def text_zipf_rank_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus frequency table: regress ln(freq)
+    on ln(rank) for the top-100 terms — slope near -1 says natural-
+    language-like frequency decay; far off flags synthetic or templated
+    corpora (a corpus-level screen next to the per-doc gates).  Composes
+    the repo's exact-regression machinery (agg_linear_regression) with
+    the ln-quantization rule (text_tfidf): both ln values floor to
+    integer micro-units BEFORE the power sums, products promote to
+    DECIMAL(38,0), each coefficient is one double division.  The term
+    count aggregates map-side; the rank window runs over |vocab| rows
+    (tie-broken by term) and only top-100 points reach the 1-row
+    regression.  Scale: vocabulary-sized, fact-independent state."""
+    d = T(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    from pyspark.sql import Window as W
+
+    ranked = tf.select(
+        "f", F.row_number().over(W.orderBy(F.desc("f"), F.asc("term"))).alias("r")
+    ).filter(F.col("r") <= _ZIPF_TOP)
+    pts = ranked.select(
+        F.floor(F.log(F.col("r").cast("double")) * 1e6).cast("bigint").alias("x"),
+        F.floor(F.log(F.col("f").cast("double")) * 1e6).cast("bigint").alias("y"),
+    )
+    dz = lambda c: c.cast(_D38Z)  # noqa: E731
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dz(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(dz(F.col("x")) * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
+    den = (dz(n) * sxx - dz(sx) * sx).cast("double")
+    return s.select(
+        "n",
+        ((dz(n) * sxy - dz(sx) * sy).cast("double") / den).alias("zipf_slope"),
+        ((dz(sy) * sxx - dz(sx) * sxy).cast("double") / den / 1e6).alias("ln_c"),
+    )

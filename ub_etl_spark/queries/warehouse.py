@@ -374,3 +374,112 @@ def lineitem_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev_c").cast("double") / F.lag("rev_c", 12).over(w) - 1.0
         ).alias("yoy_growth"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval coalescing (gaps-and-islands with variable-length intervals)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_active_episodes",
+    tier="B",
+    oracle="""
+    WITH iv AS (
+      SELECT o.o_custkey, o.o_orderkey,
+             o.o_orderdate AS iv_start, MAX(l.l_shipdate) AS iv_end
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_custkey, o.o_orderkey, o.o_orderdate
+    ), flagged AS (
+      SELECT o_custkey, iv_start, iv_end,
+             CASE WHEN iv_start > MAX(iv_end) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY iv_start, iv_end, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR MAX(iv_end) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY iv_start, iv_end, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  THEN 1 ELSE 0 END AS new_ep
+      FROM iv
+    ), numbered AS (
+      SELECT o_custkey, iv_start, iv_end,
+             SUM(new_ep) OVER (PARTITION BY o_custkey
+                               ORDER BY iv_start, iv_end
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS episode
+      FROM flagged
+    )
+    SELECT o_custkey, episode,
+           MIN(iv_start) AS episode_start, MAX(iv_end) AS episode_end,
+           COUNT(*) AS n_orders
+    FROM numbered
+    GROUP BY o_custkey, episode
+    ORDER BY o_custkey, episode
+    """,
+)
+def orders_active_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing / gaps-and-islands over VARIABLE-LENGTH
+    intervals: each order spans [orderdate, last shipment]; overlapping
+    or touching spans per customer merge into one 'active episode' (the
+    session-consolidation shape for maintenance windows, coverage
+    periods, engagement spells).  Unlike fixed-gap sessionization
+    (stream_session_window's lag+cumsum), variable ends need a RUNNING
+    MAX of interval end — a lag of the previous end misses an earlier
+    long interval that still covers this start.  One custkey-keyed
+    shuffle carries the interval build (agg), the two windows, and the
+    episode aggregate; nothing global.  Ordering is totalized by
+    (start, end, orderkey); tied starts can swap flag attribution
+    between the tied rows but never change episode MEMBERSHIP (either
+    tied row's end >= the shared start), so the per-episode aggregate is
+    order-stable.  Scale: pure keyed windows — same plan at 1e9
+    customers."""
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    iv = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("iv_end"))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").alias("iv_start"),
+            "iv_end",
+        )
+    )
+    w_prev = (
+        Window.partitionBy("o_custkey")
+        .orderBy("iv_start", "iv_end", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max("iv_end").over(w_prev)
+    flagged = iv.select(
+        "o_custkey",
+        "iv_start",
+        "iv_end",
+        F.when(
+            prev_max.isNull() | (F.col("iv_start") > prev_max), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("new_ep"),
+    )
+    w_cum = (
+        Window.partitionBy("o_custkey")
+        .orderBy("iv_start", "iv_end")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    numbered = flagged.select(
+        "o_custkey",
+        "iv_start",
+        "iv_end",
+        F.sum("new_ep").over(w_cum).alias("episode"),
+    )
+    return (
+        numbered.groupBy("o_custkey", "episode")
+        .agg(
+            F.min("iv_start").alias("episode_start"),
+            F.max("iv_end").alias("episode_end"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_custkey", "episode")
+    )
