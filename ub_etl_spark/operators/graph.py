@@ -1,0 +1,149 @@
+"""Distributed graph primitives on DataFrame ops (no GraphX/GraphFrames
+dependency): degree-oriented triangle counting and level-synchronous BFS.
+
+Family context: the repo's graph tier already holds PageRank
+(queries/mlprep.graph_pagerank_trade), connected components two ways
+(operators/dedup: min-label propagation + large-star/small-star), and
+recursive hierarchy flattening (queries/advanced.hierarchy_flatten_paths).
+These two complete the classic quartet (ranking / components / triangles
+/ distances).
+
+Scale notes
+-----------
+- ``count_triangles`` uses the degree-orientation trick (Suri &
+  Vassilvitskii's MapReduce triangle counting, WWW'11 — public
+  literature): every undirected edge is directed from its lower-degree
+  endpoint to the higher (ties by id), so each node's out-degree is
+  O(sqrt(m)) and the wedge join generates O(m^{3/2}) candidates total —
+  the worst-case-optimal bound — instead of Σ deg² for a naive
+  neighbor-pair expansion (catastrophic on hub nodes).  Both joins are
+  plain equi hash joins; nothing is ever collected.
+- ``bfs_distances`` is level-synchronous frontier expansion like
+  hierarchy_flatten_paths: one equi join per level, frontier anti-joined
+  against the visited set; rounds are bounded by graph diameter.  Each
+  frontier is persisted so levels never recompute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def canonical_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """Distinct undirected edges as (u, v) with u < v, self-loops dropped."""
+    return (
+        pairs.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(node, deg) over canonical undirected edges."""
+    return (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def count_triangles(edges: DataFrame) -> DataFrame:
+    """One row: (n_nodes, n_edges, n_wedges, n_triangles, global_cc).
+
+    edges: canonical (u, v) undirected edge set (u < v, distinct).
+    global_cc = 3*triangles / wedges, one double division of exact longs
+    (NULL for a wedge-free graph rather than a divide error).
+    """
+    deg = degrees(edges)
+    # orient each edge lower-degree -> higher-degree (tie: smaller id),
+    # giving out-degrees O(sqrt(m)) — the wedge-bound trick
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    tagged = edges.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = tagged.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    # wedges centered on src: unordered out-neighbor pairs (x < y)
+    o1 = oriented.select(F.col("src").alias("c"), F.col("dst").alias("x"))
+    o2 = oriented.select(F.col("src").alias("c"), F.col("dst").alias("y"))
+    wedges = o1.join(o2, "c").filter(F.col("x") < F.col("y"))
+    # a wedge closes iff (x, y) is an edge — x < y is already canonical
+    closing = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closing, ["x", "y"], "left_semi")
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("deg") / 2).cast("bigint").alias("n_edges"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    return stats.crossJoin(F.broadcast(n_tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            3.0 * F.col("n_triangles") / F.col("n_wedges"),
+        ).alias("global_cc"),
+    )
+
+
+def bfs_distances(
+    edges: DataFrame, seed_nodes: DataFrame, max_hops: int = 30
+) -> DataFrame:
+    """(node, dist) hop distances from the seed set over an undirected
+    edge list; unreachable nodes are absent (caller left-joins if a
+    dense output is wanted).  Level-synchronous: one join per hop, each
+    frontier persisted; terminates when a frontier drains or max_hops is
+    hit (diameter bound)."""
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    visited = seed_nodes.select(
+        F.col("node"), F.lit(0).cast("int").alias("dist")
+    ).persist()
+    frontier = visited
+    levels = [visited]
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier, sym.u == frontier.node)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(
+                # union of all prior levels, maintained incrementally
+                _union_all(levels).select("node"),
+                "node",
+                "left_anti",
+            )
+            .select("node", F.lit(hop).cast("int").alias("dist"))
+            .persist()
+        )
+        if nxt.isEmpty():
+            nxt.unpersist()
+            break
+        levels.append(nxt)
+        frontier = nxt
+    # leave per-level caches in place for THIS plan's execution (the
+    # returned union references every level; unpersisting here would
+    # force each level to recompute its whole ancestry — the
+    # hierarchy_flatten_paths convention).  Bench/test sessions clear
+    # caches between passes.
+    return _union_all(levels)
+
+
+def _union_all(dfs: list[DataFrame]) -> DataFrame:
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionAll(d)
+    return out

@@ -1,0 +1,143 @@
+"""Graph analytics tier II: triangle counting / clustering coefficient
+and BFS hop distances — completing the graph family (PageRank in
+mlprep.graph_pagerank_trade, connected components in dedup, recursive
+hierarchy flattening in advanced).
+
+Graphs are derived from the warehouse fixtures: the part co-purchase
+graph (parts are adjacent when one order contains both — the
+recommendation graph market_basket_pairs mines) and the nation trade
+graph (customer nation adjacent to supplier nation when a lineitem links
+them — the PageRank fixture).  Both are real DataFrame-shaped edge
+lists; nothing is collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ub_etl_spark.operators.graph import bfs_distances, canonical_edges, count_triangles
+from ub_etl_spark.operators.selection import basket_pair_counts
+from ub_etl_spark.registry import register
+from ub_etl_spark.sources.tables import load_table as T
+
+
+@register(
+    "graph_triangle_count",
+    tier="B",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      ) GROUP BY node
+    ), tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3
+        ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT CAST(SUM(d) / 2 AS BIGINT) FROM deg) AS n_edges,
+           (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+           tri.n_triangles,
+           3.0 * tri.n_triangles
+             / (SELECT SUM(d * (d - 1) / 2) FROM deg) AS global_cc
+    FROM tri
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the part
+    co-purchase graph — the graph-cohesion statistic (recommendation
+    quality, community structure, spam-graph detection).  Spark plan is
+    the degree-ORIENTED wedge join (operators/graph.count_triangles):
+    every edge directs low-degree -> high-degree, bounding candidate
+    wedges at O(m^1.5) where the oracle's textbook triple self-join
+    generates sum-of-deg^2 wedges (hub-quadratic).  Edge generation
+    reuses the map-side basket pair expansion (market_basket_pairs) —
+    never a fact self-join.  All counts exact longs; global_cc is one
+    double division.  Scale: the two hash joins shuffle on node ids;
+    skewed hubs are exactly what the orientation neutralizes."""
+    li = T(spark, sf_dir, "lineitem")
+    pairs = basket_pair_counts(li, "l_orderkey", "l_partkey").select(
+        "part_a", "part_b"
+    )
+    edges = canonical_edges(pairs, "part_a", "part_b")
+    return count_triangles(edges)
+
+
+@register(
+    "graph_bfs_distance",
+    tier="B",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT c.c_nationkey AS u, s.s_nationkey AS v
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+    ), sym AS (
+      SELECT u, v FROM e UNION SELECT v, u FROM e
+    ), walk(node, dist) AS (
+      -- UNION (not UNION ALL): distinct (node, dist) states bound the
+      -- recursion at |V| * depth rows; UNION ALL would enumerate walks
+      SELECT CAST(0 AS INTEGER) AS node, 0 AS dist
+      UNION
+      SELECT sym.v, walk.dist + 1
+      FROM walk JOIN sym ON sym.u = walk.node
+      WHERE walk.dist < 25
+    ), best AS (
+      SELECT node, MIN(dist) AS dist FROM walk GROUP BY node
+    )
+    SELECT n.n_nationkey, n.n_name, best.dist
+    FROM nation n LEFT JOIN best ON n.n_nationkey = best.node
+    ORDER BY n.n_nationkey
+    """,
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from nation 0 to every nation over the undirected
+    trade graph (a lineitem linking a customer nation to a supplier
+    nation is an edge) — single-source shortest path, the reachability
+    twin of hierarchy_flatten_paths.  Level-synchronous BFS
+    (operators/graph.bfs_distances): one equi join per hop, frontier
+    anti-joined against the visited union, rounds bounded by graph
+    diameter; the oracle is DuckDB's recursive CTE with a MIN rollup
+    (textbook formulation, exponential walks pruned only by the depth
+    cap — the frontier algorithm IS the scale answer).  Unreached
+    nations surface with NULL dist via the left join, not dropped.
+    The edge build prunes to DISTINCT nation pairs before any
+    iteration; each hop shuffles |frontier| rows."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").alias("u"), F.col("s_nationkey").alias("v")
+        )
+        .distinct()
+    )
+    seed = n.select(F.col("n_nationkey").alias("node")).filter(
+        F.col("node") == 0
+    )
+    dist = bfs_distances(e, seed, max_hops=25)
+    return (
+        n.join(dist, n.n_nationkey == dist.node, "left_outer")
+        .select("n_nationkey", "n_name", "dist")
+        .orderBy("n_nationkey")
+    )

@@ -171,6 +171,7 @@ def load_all() -> dict[str, QuerySpec]:
             dedup,
             extras,
             flagship,
+            graph,
             manifest,
             merge,
             mlprep,
