@@ -279,3 +279,75 @@ def test_merge_dispatch_delta_path_with_mocked_module(spark, table_dir):
                 sys.modules.pop(k, None)
             else:
                 sys.modules[k] = v
+
+
+# ---------------------------------------------------------------------------
+# Partition-scoped DELETE WHERE (GDPR erasure)
+# ---------------------------------------------------------------------------
+
+
+def _part_files(path):
+    """{partition_dir: {file: mtime_ns}} for a partitioned parquet layout."""
+    out = {}
+    for d in os.listdir(path):
+        full = os.path.join(path, d)
+        if not os.path.isdir(full) or "=" not in d:
+            continue
+        out[d] = {
+            f: os.stat(os.path.join(full, f)).st_mtime_ns
+            for f in os.listdir(full)
+            if f.endswith(".parquet")
+        }
+    return out
+
+
+def test_delete_where_rewrites_only_affected_partitions(spark, table_dir):
+    from ub_etl_spark.operators.storage import delete_where_partitioned
+
+    df = spark.createDataFrame(
+        [(i, i % 7, f"p{i % 3}") for i in range(200)], "id bigint, k int, part string"
+    )
+    path = os.path.join(table_dir, "t")
+    df.write.partitionBy("part").parquet(path)
+    before = _part_files(path)
+    # k == 6 rows live only where id % 7 == 6; ids with those values span
+    # all three parts, so pick a predicate hitting only part p0: delete
+    # ids that are multiples of 21 (id % 3 == 0 and id % 7 == 0)
+    affected = delete_where_partitioned(
+        spark, path, "part", (F.col("id") % 21 == 0)
+    )
+    assert affected == ["p0"]
+    after = _part_files(path)
+    # unaffected partitions: exact same files, byte-time untouched
+    for part in ("part=p1", "part=p2"):
+        assert after[part] == before[part]
+    # affected partition rewritten: its old data files replaced
+    assert after["part=p0"] != before["part=p0"]
+    remaining = spark.read.parquet(path)
+    assert remaining.filter(F.col("id") % 21 == 0).count() == 0
+    assert remaining.count() == 200 - len([i for i in range(200) if i % 21 == 0])
+
+
+def test_delete_where_drains_empty_partition(spark, table_dir):
+    from ub_etl_spark.operators.storage import delete_where_partitioned
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id bigint, part string"
+    )
+    path = os.path.join(table_dir, "t2")
+    df.write.partitionBy("part").parquet(path)
+    delete_where_partitioned(spark, path, "part", F.col("part") == "a")
+    assert not os.path.exists(os.path.join(path, "part=a"))
+    got = spark.read.parquet(path)
+    assert [r.id for r in got.collect()] == [3]
+
+
+def test_delete_where_no_matches_is_noop(spark, table_dir):
+    from ub_etl_spark.operators.storage import delete_where_partitioned
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, part string")
+    path = os.path.join(table_dir, "t3")
+    df.write.partitionBy("part").parquet(path)
+    before = _part_files(path)
+    assert delete_where_partitioned(spark, path, "part", F.lit(False)) == []
+    assert _part_files(path) == before

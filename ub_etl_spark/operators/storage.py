@@ -20,6 +20,7 @@ on the classpath (not in this environment — import-gated).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -311,3 +312,40 @@ def merge_into_bucketed(
         .mode("overwrite")
         .parquet(path)
     )
+
+
+def delete_where_partitioned(
+    spark: SparkSession, path: str, part_col: str, predicate
+) -> list:
+    """DELETE-WHERE against a partitioned parquet layout, rewriting only
+    the partitions that contain matching rows (the plain-parquet form of
+    Delta/Iceberg's logged DELETE; GDPR-erasure shape).
+
+    ``predicate``: Column marking rows to DELETE.  Returns the list of
+    affected partition values (metadata-sized).  Untouched partitions'
+    files are never opened or replaced — pinned in tests/test_storage.py
+    via file mtimes.  A partition drained to zero rows is removed
+    explicitly (dynamic partition overwrite cannot express emptiness).
+    """
+    import shutil as _sh
+
+    base = spark.read.parquet(path)
+    # partition-pruned discovery scan: which partitions hold target rows
+    affected = [r[part_col] for r in base.filter(predicate).select(part_col).distinct().collect()]
+    if not affected:
+        return []
+    survivors = base.filter(F.col(part_col).isin(affected) & ~predicate)
+    # surviving-partition set collects BEFORE the overwrite: afterward
+    # `base`'s file listing is stale (pre-rewrite files gone) and any
+    # plan over it would FAILED_READ_FILE
+    alive = {r[part_col] for r in survivors.select(part_col).distinct().collect()}
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        survivors.write.partitionBy(part_col).mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set(mode_key, prev)
+    for val in set(affected) - alive:
+        _sh.rmtree(os.path.join(path, f"{part_col}={val}"), ignore_errors=True)
+    return affected

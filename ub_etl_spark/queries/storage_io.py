@@ -535,3 +535,58 @@ def storage_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"), csum("l_extendedprice", "total"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Targeted delete (GDPR erasure) with partition-scoped rewrite
+# ---------------------------------------------------------------------------
+
+_GDPR_CUSTKEY = 1
+
+
+@register(
+    "storage_gdpr_delete",
+    tier="B",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           YEAR(o_orderdate) AS o_year
+    FROM orders WHERE o_custkey <> {_GDPR_CUSTKEY}
+    """,
+)
+def storage_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure delete against a partitioned parquet layout,
+    rewriting ONLY the partitions that contain the subject's rows — the
+    plain-parquet form of DELETE WHERE (Delta/Iceberg do the same dance
+    through their transaction log).  Steps: (1) a partition-pruned scan
+    finds which o_year partitions hold the custkey (the collected list
+    is |years|-sized partition METADATA, like the touched-bucket lists
+    in operators/storage.py); (2) surviving rows of affected partitions
+    rewrite through dynamic partition overwrite — untouched partitions'
+    files are never opened, never rewritten (mtime-pinned in
+    tests/test_storage.py); (3) a partition drained to zero rows is
+    removed explicitly (dynamic overwrite can't replace a partition
+    with emptiness).  At 100 TB the rewrite cost is proportional to the
+    subject's partition footprint, not the table.  The result is the
+    post-delete table, value-checked against the anti-filtered oracle."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.year("o_orderdate").alias("o_year"),
+    )
+    from ub_etl_spark.operators.storage import delete_where_partitioned
+
+    path = os.path.join(tempfile.gettempdir(), "ub_etl_spark_gdpr")
+    shutil.rmtree(path, ignore_errors=True)
+    o.write.partitionBy("o_year").mode("overwrite").parquet(path)
+    delete_where_partitioned(
+        spark, path, "o_year", F.col("o_custkey") == _GDPR_CUSTKEY
+    )
+    return spark.read.parquet(path).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_year").cast("bigint").alias("o_year"),
+    )
