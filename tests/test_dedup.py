@@ -194,3 +194,74 @@ def test_star_cc_matches_minlabel_on_deep_chain(spark):
     assert a == b
     # the chain collapses to a single cluster rooted at 0
     assert {c for i, c in b if i <= 120} == {0}
+
+
+# ---------------------------------------------------------------------------
+# Generic Hamming banding (hamming_pairs) + perceptual-hash dedup
+# ---------------------------------------------------------------------------
+
+
+def test_hamming_pairs_complete_vs_brute_force(spark):
+    """Pigeonhole banding must find EVERY pair within max_hamming when
+    n_chunks > max_hamming (recall 1.0 by construction)."""
+    import itertools
+    import random
+
+    from ub_etl_spark.operators.dedup import hamming_pairs
+
+    random.seed(11)
+    base = random.getrandbits(63)
+    # seeds plus near-copies at controlled distances 1..9 plus noise
+    vals = [base]
+    for d in range(1, 10):
+        v = base
+        for bit in random.sample(range(64), d):
+            v ^= 1 << bit
+        vals.append(v)
+    vals += [random.getrandbits(63) for _ in range(60)]
+    rows = [(i, v - (1 << 64 if v >= 1 << 63 else 0)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "doc_id long, h long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_pairs(
+            df, id_col="doc_id", hash_col="h", max_hamming=7, n_chunks=8
+        ).collect()
+    }
+    expect = set()
+    for (i, a), (j, b) in itertools.combinations(enumerate(vals), 2):
+        hd = bin(a ^ b).count("1")
+        if hd <= 7:
+            expect.add((min(i, j), max(i, j), hd))
+    assert got == expect
+    assert len(expect) >= 7  # the planted near-copies are actually found
+
+
+def test_phash_media_deterministic_and_byte_derived(spark):
+    from ub_etl_spark.operators.multimodal import phash_media, with_binary_payload
+
+    df = spark.createDataFrame(
+        [(1, "aaaa bbbb cccc"), (2, "aaaa bbbb cccc"), (3, "zzzz qqqq wwww xyz")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.phash for r in phash_media(
+        with_binary_payload(df, "doc_id", "text"), fake=True
+    ).collect()}
+    assert out[1] == out[2]  # identical bytes -> identical hash
+    assert out[1] != out[3]  # different content -> different hash
+    # repeated run is bit-identical
+    out2 = {r.doc_id: r.phash for r in phash_media(
+        with_binary_payload(df, "doc_id", "text"), fake=True
+    ).collect()}
+    assert out == out2
+
+
+def test_phash_media_real_path_stubbed(spark):
+    import pytest as _pytest
+
+    from ub_etl_spark.operators.multimodal import phash_media, with_binary_payload
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with _pytest.raises(Exception):
+        phash_media(
+            with_binary_payload(df, "doc_id", "text"), fake=False
+        ).collect()

@@ -348,22 +348,28 @@ def simhash64(docs: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFr
     return sums.select("doc_id", out.alias("sh"))
 
 
-def simhash_pairs(
-    docs: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, n_chunks: int = 4
+def hamming_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "sh",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+    """All pairs within Hamming ``max_hamming`` of a 64-bit hash column,
+    via chunk-pigeonhole banding (generic core shared by SimHash text
+    dedup and perceptual-hash media dedup).
 
-    Banding: split the 64-bit hash into ``n_chunks`` equal bit chunks; any
-    pair within Hamming n_chunks-1 must agree on >= 1 chunk (pigeonhole),
-    so the co-bucket join on chunks finds ALL of them without O(n^2) —
-    choose n_chunks > max_hamming for guaranteed-complete candidate
-    generation (recall 1.0 by construction); n_chunks <= max_hamming trades
-    recall for smaller buckets.
+    Split the 64-bit hash into ``n_chunks`` equal bit chunks; any pair
+    within Hamming n_chunks-1 must agree on >= 1 chunk (pigeonhole), so
+    the co-bucket join on chunks finds ALL of them without O(n^2) —
+    choose n_chunks > max_hamming for guaranteed-complete candidates
+    (recall 1.0 by construction); n_chunks <= max_hamming trades recall
+    for smaller buckets.  Output: (id_a, id_b, hamming), id_a < id_b.
     """
     assert 64 % n_chunks == 0, "n_chunks must divide 64"
     bits = 64 // n_chunks
     mask = (1 << bits) - 1
-    sh = simhash64(docs, id_col, text_col)
+    sh = hashes.select(F.col(id_col).alias("doc_id"), F.col(hash_col).alias("sh"))
     chunks = sh.select(
         "doc_id",
         "sh",
@@ -396,6 +402,18 @@ def simhash_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, n_chunks: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming (the
+    chunk-pigeonhole candidate join lives in hamming_pairs)."""
+    return hamming_pairs(
+        simhash64(docs, id_col, text_col),
+        max_hamming=max_hamming,
+        n_chunks=n_chunks,
     )
 
 

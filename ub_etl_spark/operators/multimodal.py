@@ -160,3 +160,42 @@ def resize_media(
             "dst_w long, dst_h long, scale_x double, scale_y double"
         ),
     )
+
+
+def phash_media(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Perceptual hash (average-hash) stub: binary payload -> 64-bit
+    pHash as (doc_id, phash long).
+
+    Real path decodes the image, downsamples to an 8x8 luminance grid,
+    and sets bit i when pixel_i exceeds the grid mean.  Codecs are absent
+    here, so the DECODE is stubbed while the hashing pipeline is real:
+    the "grid" is 64 bytes sampled at evenly spaced offsets of the
+    payload (genuinely derived from the input bytes, like resize_media's
+    truncation), thresholded against their mean exactly as a real aHash
+    would threshold luminance.  Deterministic, so downstream banding +
+    verify is fully testable end-to-end.
+    """
+
+    def hasher(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image codecs not available in this environment; "
+                    "use fake=True for the deterministic stand-in"
+                )
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                px = [payload[(i * n) // 64] for i in range(64)] if n else [0] * 64
+                mean = sum(px) / 64.0
+                h = 0
+                for i, p in enumerate(px):
+                    if p > mean:
+                        h |= 1 << i
+                # interpret as signed 64-bit for the LongType column
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                out.append({"doc_id": doc_id, "phash": h})
+            yield pd.DataFrame(out, columns=["doc_id", "phash"])
+
+    return df.mapInPandas(hasher, schema="doc_id long, phash long")

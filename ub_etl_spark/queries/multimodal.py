@@ -107,3 +107,32 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scale_x",
         "scale_y",
     )
+
+
+# Perceptual-hash near-dup pairs over binary payloads: the multimodal
+# member of the dedup family (exact/minhash/simhash/embedding-cosine are
+# text/vector; this one keys on media bytes).  Rows-only by construction
+# (the pHash rides a mapInPandas decode stub with no SQL twin);
+# completeness of the banding vs brute-force Hamming is pinned in
+# tests/test_dedup.py.
+@register("multimodal_phash_dedup", tier="B")
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate media detection by perceptual hash: aHash each
+    payload (operators/multimodal.phash_media — decode stubbed, hashing
+    real), then find all pairs within Hamming distance 7 via the
+    8-chunk pigeonhole band join (operators/dedup.hamming_pairs — every
+    pair at distance <= n_chunks-1 shares >= 1 exact chunk, so candidate
+    generation is complete WITHOUT an all-pairs comparison).  The binary
+    column is dropped at the hash step — only (doc_id, 8-byte hash)
+    shuffles, the B6 scale rule.  Scale: same banded-join shape as
+    dedup_simhash; bucket skew is bounded by the 8-bit chunk alphabet
+    per band times hash diversity, and the verify is a bit_count on
+    co-bucketed candidates only."""
+    from ub_etl_spark.operators.dedup import hamming_pairs
+    from ub_etl_spark.operators.multimodal import phash_media
+
+    d = T(spark, sf_dir, "documents")
+    hashes = phash_media(with_binary_payload(d, "doc_id", "text"), fake=True)
+    return hamming_pairs(
+        hashes, id_col="doc_id", hash_col="phash", max_hamming=7, n_chunks=8
+    ).orderBy("id_a", "id_b")
