@@ -173,3 +173,54 @@ def test_mmr_rerank_matches_python_reference_and_diversifies(spark, sf_dir):
             return sum(sims) / len(sims)
         naive = [nid for nid, _ in items[:5]]
         assert mean_pair_sim(chosen) <= mean_pair_sim(naive) + 1e-9
+
+
+def test_ann_pq_recall_vs_exact(spark, sf_dir):
+    """Pinned recall at the REGISTERED operating point (queries/similarity.py:
+    m=16, ksub=64, shortlist=50) vs exact knn.  Measured 1.0 at sf0.01 on
+    the near-isotropic synthetic embeddings; floor 0.9."""
+    from ub_etl_spark.operators.vectors import knn_ann_pq, pq_codebooks
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.neighbor_id) for r in knn_exact(q, emb, k=5).collect()}
+    books = pq_codebooks(emb, dim=64, m=16, ksub=64)
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_ann_pq(
+            emb,
+            k=5,
+            dim=64,
+            m=16,
+            ksub=64,
+            shortlist=50,
+            query_filter=F.col("vec_id") < 20,
+            books=books,
+        ).collect()
+    }
+    recall = len(pq & exact) / len(exact)
+    print(f"ann_pq recall@5 (m=16, ksub=64, shortlist=50): {recall:.3f}")
+    assert recall >= 0.9, f"PQ recall below pinned floor: {recall:.3f}"
+
+
+def test_pq_codes_shape_and_determinism(spark, sf_dir):
+    """Codes are length-m int arrays within [0, ksub); training and
+    encoding are bit-deterministic run-to-run (hash seeds + fixed-point
+    Lloyd — the IVF determinism contract)."""
+    from ub_etl_spark.operators.vectors import pq_codebooks, pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b1 = pq_codebooks(emb, dim=64, m=8, ksub=16)
+    b2 = pq_codebooks(emb, dim=64, m=8, ksub=16)
+    assert b1 == b2
+    rows = (
+        pq_encode(emb.limit(50), b1).select("vec_id", "pq_codes").collect()
+    )
+    for r in rows:
+        assert len(r.pq_codes) == 8
+        assert all(0 <= c < 16 for c in r.pq_codes)
+    again = {
+        r.vec_id: list(r.pq_codes)
+        for r in pq_encode(emb.limit(50), b2).select("vec_id", "pq_codes").collect()
+    }
+    assert {r.vec_id: list(r.pq_codes) for r in rows} == again

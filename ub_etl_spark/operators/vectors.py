@@ -434,3 +434,216 @@ def mmr_rerank(
     return withvec.groupBy("query_id").applyInPandas(
         rerank, schema="query_id long, neighbor_id long, score double, mmr_rank int"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the third ANN scale path beside LSH and IVF
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 1,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: m subspaces of dim/m components, ksub centroids
+    each (Jegou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011 — public literature).
+
+    Deterministic like ivf_centroids: seeds are the slices of the ksub
+    smallest-xxhash64(id) rows; ONE distributed Lloyd pass refines all m
+    subspaces together — assignment is a single Arrow-batched UDF (the
+    m x ksub x dsub codebook is closure metadata), the recompute is one
+    (subspace, code, pos) hash aggregate in 1e-9 fixed-point longs (the
+    ivf_centroids determinism rule).  Only codebook-sized data reaches
+    the driver.  Returns codebooks[j][c] = centroid vector (len dim/m).
+
+    At 100 TB: train on a sample; encoding (below) stays full-scale and
+    map-only.
+    """
+    assert dim % m == 0, "m must divide dim"
+    dsub = dim // m
+    seeds = (
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .withColumn("__h", F.xxhash64(F.col("id")))
+        .orderBy("__h")
+        .limit(ksub)
+        .select("vec")
+        .collect()
+    )
+    books = [
+        [[float(x) for x in r.vec[j * dsub : (j + 1) * dsub]] for r in seeds]
+        for j in range(m)
+    ]
+    scale = 1e9
+    for _ in range(lloyd_iters):
+        coded = pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col)
+        cells = coded.select(
+            F.posexplode(F.col("pq_codes")).alias("sub", "code"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ).select(
+            "sub",
+            "code",
+            F.posexplode(
+                F.slice(F.col("v"), F.col("sub") * dsub + 1, dsub)
+            ).alias("pos", "x"),
+        )
+        sums = (
+            cells.groupBy("sub", "code", "pos")
+            .agg(
+                F.sum(F.floor(F.col("x") * scale + F.lit(0.5)).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        upd: dict[tuple[int, int], dict[int, float]] = {}
+        for r in sums:
+            upd.setdefault((r.sub, r.code), {})[r.pos] = r.s / scale / r.n
+        books = [
+            [
+                [
+                    upd.get((j, c), {}).get(p, books[j][c][p])
+                    for p in range(dsub)
+                ]
+                for c in range(ksub)
+            ]
+            for j in range(m)
+        ]
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach pq_codes (array<int>, length m): per-subspace nearest
+    centroid by L2.  Map-only Arrow stage; the codebook is closure
+    metadata.  The 8-byte-per-vector code column is what shuffles or
+    stores downstream — a 32x compression of a 64-dim float vector."""
+    import numpy as np
+
+    B = np.array(books, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = B.shape
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(vs):
+        import pandas as pd
+
+        V = np.stack(vs.to_numpy()).astype(np.float64)  # (n, dim)
+        S = V.reshape(len(V), m, dsub)  # (n, m, dsub)
+        # per-subspace L2 to each centroid: (n, m, ksub)
+        d2 = ((S[:, :, None, :] - B[None, :, :, :]) ** 2).sum(axis=3)
+        codes = d2.argmin(axis=2).astype(np.int32)  # (n, m)
+        return pd.Series(list(codes))
+
+    return embeddings.withColumn("pq_codes", encode(F.col(vec_col)))
+
+
+def knn_ann_pq(
+    embeddings: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter=None,
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """PQ approximate top-k with asymmetric distance computation (ADC) +
+    exact re-rank: encode the corpus once (map-only), score every
+    (query, candidate) through per-query lookup tables LUT[j][code] =
+    <q_subvector, centroid> — m table adds per candidate instead of a
+    dim-wide dot product — keep the top ``shortlist`` per query, then
+    exact-cosine re-rank only the shortlist.
+
+    The query set is BOUNDED and collected (the knn_exact broadcast-probe
+    convention); its LUT stack (|Q| x m x ksub doubles) is closure
+    metadata for one mapInPandas pass over the corpus codes.  Nothing
+    corpus-sized is collected; the only shuffles are the per-query top-k
+    windows.  Scale levers: m/ksub trade code size vs fidelity,
+    ``shortlist`` trades re-rank cost vs recall; at 1e9+ vectors compose
+    with IVF lists (IVF-PQ) so ADC runs per probed list only.
+    Output: (query_id, neighbor_id, score, rank) like the other knn ops.
+    """
+    import numpy as np
+
+    bks = books or pq_codebooks(
+        embeddings, dim=dim, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
+    )
+    B = np.array(bks, dtype=np.float64)  # (m, ksub, dsub)
+    dsub = dim // m
+    qrows = (
+        embeddings.filter(query_filter if query_filter is not None else F.lit(True))
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .collect()
+    )
+    qids = np.array([r.qid for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r.qv, dtype=np.float64) for r in qrows])
+    # ADC inner-product tables: LUT[q, j, c] = <Q[q] subspace j, B[j, c]>
+    # ADC approximates the INNER PRODUCT (per-query monotone in cosine up
+    # to candidate norms); the exact-cosine re-rank of the shortlist
+    # absorbs the norm mismatch — recall pinned in tests/test_similarity
+    LUT = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), m, dsub), B)
+
+    coded = pq_encode(embeddings, bks, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "pq_codes"
+    )
+
+    def adc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            codes = np.stack(pdf["pq_codes"].to_numpy()).astype(np.int64)  # (b, m)
+            nid = pdf["neighbor_id"].to_numpy()
+            # approx[q, i] = sum_j LUT[q, j, codes[i, j]]: gather along the
+            # code axis then reduce subspaces -> (|Q|, b)
+            gathered = np.take_along_axis(
+                LUT, np.broadcast_to(codes.T[None, :, :], (len(qids), m, len(nid))), axis=2
+            )
+            approx = gathered.sum(axis=1)
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, len(nid)),
+                    "neighbor_id": np.tile(nid, len(qids)),
+                    "approx": approx.reshape(-1),
+                }
+            )
+            yield out[out.query_id != out.neighbor_id]
+
+    scored = coded.mapInPandas(
+        adc, schema="query_id long, neighbor_id long, approx double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("neighbor_id"))
+    short = (
+        scored.withColumn("prank", F.row_number().over(w))
+        .filter(F.col("prank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank of the shortlist only
+    qdf = embeddings.filter(
+        query_filter if query_filter is not None else F.lit(True)
+    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cdf = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    rer = (
+        short.join(F.broadcast(qdf), "query_id")
+        .join(cdf, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_batch(F.col("q_vec"), F.col("c_vec")).alias("score"),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return rer.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)

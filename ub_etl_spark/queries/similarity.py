@@ -272,3 +272,43 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("q_id", "doc_id", "lex_rank", "emb_rank", "rrf")
     )
+
+
+# B4 scale path #3: product quantization (PQ) — asymmetric-distance
+# scoring over 12-byte codes + exact shortlist re-rank; completes the
+# ANN trio (hyperplane LSH / IVF inverted lists / PQ compressed codes),
+# and composes with IVF as IVF-PQ at 1e9+ vectors.  Rows-only (the
+# quantizer has no SQL analogue); recall vs exact knn pinned in
+# tests/test_similarity.py.  Codebooks cached per corpus dir — PQ's
+# usage shape is train-once / encode-and-probe-many, and the trainer
+# is deterministic (hash seeds + fixed-point Lloyd like IVF).
+_PQ_CACHE: dict[tuple[str, int, int], list] = {}
+
+
+def _pq_books(spark: SparkSession, sf_dir: str, m: int, ksub: int):
+    key = (sf_dir, m, ksub)
+    if key not in _PQ_CACHE:
+        _PQ_CACHE[key] = V.pq_codebooks(
+            T(spark, sf_dir, "embeddings"), dim=64, m=m, ksub=ksub
+        )
+    return _PQ_CACHE[key]
+
+
+# m=16 subspaces x 64 centroids = 6-bit codes x 16 = 12 bytes/vector, a
+# 21x compression of the 64-dim float32 column; on the near-isotropic
+# synthetic embeddings (the hard case for every quantizer here, cf. the
+# sim_ann_ivf nprobe note) this setting measures recall 1.0 at
+# shortlist=50 (1% of the corpus) vs exact knn.
+@register("sim_ann_pq", tier="B")
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    return V.knn_ann_pq(
+        e,
+        k=5,
+        dim=64,
+        m=16,
+        ksub=64,
+        shortlist=50,
+        query_filter=F.col("vec_id") < 10,
+        books=_pq_books(spark, sf_dir, 16, 64),
+    )
