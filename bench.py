@@ -182,6 +182,25 @@ HEADLINE = [
     "agg_bitwise_flags",
     "quantile_bucket_approx",
     "events_survival_curve",
+    # round-3 late additions: governance, time-series statistics, graph
+    # tier II, interval coalescing, storage delete, media dedup, PQ ANN
+    "agg_benford_first_digit",
+    "feature_target_encode",
+    "privacy_l_diversity",
+    "events_funnel_windowed",
+    "events_cohort_ltv",
+    "timeseries_autocorrelation",
+    "timeseries_cusum_changepoint",
+    "timeseries_rolling_median",
+    "events_stickiness_weekly",
+    "orders_active_episodes",
+    "text_lexical_diversity",
+    "text_zipf_rank_fit",
+    "storage_gdpr_delete",
+    "graph_triangle_count",
+    "graph_bfs_distance",
+    "multimodal_phash_dedup",
+    "sim_ann_pq",
 ]
 
 

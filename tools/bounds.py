@@ -334,6 +334,69 @@ def bound_equidepth_approx(spark, sf) -> dict:
     }
 
 
+def bound_ann_pq(spark, sf) -> dict:
+    """PQ recall@5 vs exact knn at the registered operating point."""
+    from ub_etl_spark.queries.similarity import _pq_books
+
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in V.knn_exact(q, emb, k=5).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in V.knn_ann_pq(
+            emb,
+            k=5,
+            dim=64,
+            m=16,
+            ksub=64,
+            shortlist=50,
+            query_filter=F.col("vec_id") < 10,
+            books=_pq_books(spark, sf, 16, 64),
+        ).collect()
+    }
+    recall = len(pq & exact) / len(exact)
+    return {
+        "pinned_bound": 0.9,
+        "measured": round(recall, 4),
+        "unit": "recall@5_vs_exact_knn",
+        "op_point": "registered: m=16 ksub=64 shortlist=50 (ADC + exact re-rank), 10 queries",
+        "pass": recall >= 0.9,
+    }
+
+
+def bound_phash(spark, sf) -> dict:
+    """Banding completeness: hamming_pairs must find EVERY pHash pair at
+    Hamming <= 7 (pigeonhole guarantees it; measured vs brute force)."""
+    from itertools import combinations
+
+    from ub_etl_spark.operators.multimodal import phash_media, with_binary_payload
+
+    d = load_table(spark, sf, "documents")
+    hashes = phash_media(with_binary_payload(d, "doc_id", "text"), fake=True)
+    rows = [(r.doc_id, r.phash) for r in hashes.collect()]
+    brute = set()
+    for (i, a), (j, b) in combinations(rows, 2):
+        if bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1") <= 7:
+            brute.add((min(i, j), max(i, j)))
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.hamming_pairs(
+            hashes, id_col="doc_id", hash_col="phash", max_hamming=7, n_chunks=8
+        ).collect()
+    }
+    missed = len(brute - got)
+    return {
+        "pinned_bound": 0,
+        "measured": missed,
+        "unit": "pairs_missed_vs_brute_force (n_pairs=%d)" % len(brute),
+        "op_point": "aHash stub, max_hamming=7, n_chunks=8 (pigeonhole-complete)",
+        "pass": missed == 0 and got == brute,
+    }
+
+
 MEASURES = {
     "agg_hll_mergeable": bound_hll,
     "agg_cms_term_counts": bound_cms,
@@ -346,6 +409,8 @@ MEASURES = {
     "dedup_simhash": bound_simhash,
     "agg_kmv_distinct": bound_kmv,
     "quantile_bucket_approx": bound_equidepth_approx,
+    "sim_ann_pq": bound_ann_pq,
+    "multimodal_phash_dedup": bound_phash,
 }
 
 

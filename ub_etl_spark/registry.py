@@ -156,6 +156,22 @@ DRIVER_PRIORITY = [
 #   behavior.py (+5): events_ab_test_zscore events_burst_detection
 #     events_user_entropy agg_bitwise_flags events_survival_curve
 #   udfs.py: udaf_grouped_agg   sketches.py: agg_kmv_distinct (rows-only)
+#
+# ROUND-5 ROTATION CANDIDATES (late round-3 additions, same contract —
+# local parity green at sf0.001+sf0.01, no driver row yet; 17 queries):
+#   mlprep.py (3): agg_benford_first_digit feature_target_encode
+#     privacy_l_diversity
+#   behavior.py (2): events_funnel_windowed events_cohort_ltv
+#   timeseries.py (4): timeseries_autocorrelation
+#     timeseries_cusum_changepoint timeseries_rolling_median
+#     events_stickiness_weekly
+#   warehouse.py (1): orders_active_episodes
+#   text.py (2): text_lexical_diversity text_zipf_rank_fit
+#   storage_io.py (1): storage_gdpr_delete
+#   graph.py (2): graph_triangle_count graph_bfs_distance
+#   multimodal.py (1): multimodal_phash_dedup (rows-only; banding
+#     completeness pinned in tests)
+#   similarity.py (1): sim_ann_pq (rows-only; recall pinned in tests)
 
 
 def load_all() -> dict[str, QuerySpec]:
