@@ -474,3 +474,56 @@ def quantile_bucket_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             csum("o_totalprice", "total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality index
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_theil_inequality",
+    tier="B",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey, SUM({sql_cents("o_totalprice")}) AS rev_c
+      FROM orders GROUP BY o_custkey
+    ), g AS (SELECT COUNT(*) AS n, SUM(rev_c) AS s FROM cust),
+    terms AS (
+      SELECT CAST(FLOOR(
+               (CAST(rev_c * n AS DOUBLE) / s)
+               * CAST(FLOOR(ln(CAST(rev_c * n AS DOUBLE) / s) * 1000000)
+                      AS BIGINT)
+             ) AS BIGINT) AS t_u, n
+      FROM cust, g
+    )
+    SELECT ANY_VALUE(n) AS n_customers,
+           SUM(t_u) / 1000000.0 / ANY_VALUE(n) AS theil_t
+    FROM terms
+    """,
+)
+def agg_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer revenue — the entropy-based
+    concentration metric beside the rank-based Gini
+    (agg_gini_concentration): T = (1/n) Σ r·ln(r), r = x_i/μ.  No global
+    sort at all (Gini needs ranks; Theil is a pure aggregate — at scale
+    this is the cheaper inequality number).  Determinism: r = x·n/S is
+    one shared-order double division of exact longs; ln QUANTIZES to
+    integer micro-units first (the repo-wide ln rule), the single r·L
+    float product has bit-identical operands both engines, and the
+    per-term floor makes the final sum order-independent.  Shuffles:
+    one |customers| agg + a 1-row broadcast back."""
+    o = T(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(F.sum(cents("o_totalprice")).alias("rev_c"))
+    g = cust.agg(F.count(F.lit(1)).alias("n"), F.sum("rev_c").alias("s"))
+    r = (F.col("rev_c") * F.col("n")).cast("double") / F.col("s")
+    l_u = F.floor(F.log(r) * 1e6).cast("bigint")
+    t_u = F.floor(r * l_u).cast("bigint")
+    return (
+        cust.crossJoin(F.broadcast(g))
+        .select(t_u.alias("t_u"), "n")
+        .agg(
+            F.any_value("n").alias("n_customers"),
+            (F.sum("t_u") / 1e6 / F.any_value("n")).alias("theil_t"),
+        )
+    )

@@ -730,3 +730,55 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("at_risk", F.col("l_distinct") < _LDIV_L)
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window features (point-in-time feature snapshot)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "feature_trailing_windows",
+    tier="B",
+    oracle=f"""
+    WITH ref AS (SELECT MAX(o_orderdate) AS ref_date FROM orders)
+    SELECT o_custkey,
+           SUM(CASE WHEN o_orderdate > ref_date - INTERVAL 90 DAY
+                    THEN {sql_cents("o_totalprice")} ELSE 0 END) / 100.0
+             AS spend_90d,
+           SUM(CASE WHEN o_orderdate > ref_date - INTERVAL 365 DAY
+                    THEN {sql_cents("o_totalprice")} ELSE 0 END) / 100.0
+             AS spend_365d,
+           SUM({sql_cents("o_totalprice")}) / 100.0 AS spend_total,
+           CAST(SUM(CASE WHEN o_orderdate > ref_date - INTERVAL 90 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orders_90d
+    FROM orders, ref
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def feature_trailing_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window spend features per customer at a point-in-time
+    reference (the corpus max date — in production, the feature-snapshot
+    date): 90-day / 365-day / lifetime spend and recent order count.
+    The t-minus conditional-aggregate shape every feature store
+    materializes.  NO per-customer window pass: the reference date is a
+    1-row broadcast and every window is a conditional sum inside ONE
+    map-side-combined aggregate — shuffle carries |customers| rows with
+    4 integer columns.  Exact long-cents sums; /100 once at output."""
+    o = T(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("ref_date"))
+    sp = cents("o_totalprice")
+    in90 = F.col("o_orderdate") > F.col("ref_date") - F.expr("INTERVAL 90 DAY")
+    in365 = F.col("o_orderdate") > F.col("ref_date") - F.expr("INTERVAL 365 DAY")
+    return (
+        o.crossJoin(F.broadcast(ref))
+        .groupBy("o_custkey")
+        .agg(
+            (F.sum(F.when(in90, sp).otherwise(0)) / 100.0).alias("spend_90d"),
+            (F.sum(F.when(in365, sp).otherwise(0)) / 100.0).alias("spend_365d"),
+            (F.sum(sp) / 100.0).alias("spend_total"),
+            F.sum(F.when(in90, 1).otherwise(0)).cast("bigint").alias("n_orders_90d"),
+        )
+        .orderBy("o_custkey")
+    )

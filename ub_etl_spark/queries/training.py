@@ -270,3 +270,40 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= 25)
         .drop("__rn")
     )
+
+
+# Group-aware split: every EVENT follows its USER's fold — the leakage-
+# safe split for behavioral data (a row-level split would scatter one
+# user's history across train and test, leaking user identity into
+# evaluation).  Same deterministic multiplicative hash as
+# split_train_val_test, applied to the GROUP key; map-only, value-checked
+# end to end.  The summary proves the grouping invariant structurally:
+# each user lands in exactly one split.
+@register(
+    "split_group_aware",
+    tier="B",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT user_id, event_id,
+             CASE WHEN {sql_hash_bucket("user_id")} < 80 THEN 'train'
+                  WHEN {sql_hash_bucket("user_id")} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM events
+    )
+    SELECT split, COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM tagged GROUP BY split
+    ORDER BY split
+    """,
+)
+def split_group_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    tagged = train_val_test_split(e, "user_id")
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("split")
+    )

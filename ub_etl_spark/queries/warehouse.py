@@ -483,3 +483,60 @@ def orders_active_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "episode")
     )
+
+
+# ---------------------------------------------------------------------------
+# OTIF (on-time-in-full) fulfillment rate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_otif_rate",
+    tier="B",
+    oracle="""
+    WITH per_order AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             CASE WHEN MAX(l.l_shipdate) <= o.o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END AS otif
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(otif) AS BIGINT) AS n_otif,
+           CAST(SUM(otif) AS DOUBLE) / COUNT(*) AS otif_rate
+    FROM per_order GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def lineitem_otif_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-time-in-full rate per order priority — the supply-chain
+    fulfillment KPI: an order counts only when its LAST line ships
+    within 90 days of order date (per-order MAX, not per-line — the
+    'in full' part).  The fact joins on its own key and collapses to
+    one row per order before the tiny priority rollup; otif flags are
+    exact integers, the rate is one double division.  Scale: both
+    aggregates map-side-combine on the l_orderkey exchange."""
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(
+            F.when(
+                F.max("l_shipdate")
+                <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+                1,
+            )
+            .otherwise(0)
+            .alias("otif")
+        )
+    )
+    return (
+        per_order.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("otif").cast("bigint").alias("n_otif"),
+            (F.sum("otif").cast("double") / F.count(F.lit(1))).alias("otif_rate"),
+        )
+        .orderBy("o_orderpriority")
+    )
