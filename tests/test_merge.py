@@ -231,3 +231,67 @@ def test_cdc_apply_semantics(spark, sf_dir):
             assert out[k] == v  # inserted
         else:
             assert out[k] == v  # untouched base
+
+
+# ---------------------------------------------------------------------------
+# Incremental SCD2 apply (scd2_apply_changes)
+# ---------------------------------------------------------------------------
+
+
+def _scd2_rows(df):
+    return {
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current) for r in df.collect()
+    }
+
+
+def test_scd2_apply_equals_full_rebuild_all_stitch_cases(spark):
+    """One fixture exercising every boundary case: key 1 = batch opens
+    with the SAME value (run merges into the open row, later change
+    still closes it); key 2 = batch opens CHANGED (current closes at
+    batch start); key 3 = unseen key (inserts); key 4 = untouched by the
+    batch (passes through); key 5 = same-valued single-run batch (stays
+    current, no new version)."""
+    from ub_etl_spark.operators.merge import scd2_apply_changes, scd2_history
+
+    base = spark.createDataFrame(
+        [
+            (1, "a", 1), (1, "a", 2),
+            (2, "x", 1),
+            (4, "q", 1),
+            (5, "m", 3),
+        ],
+        "k int, v string, t int",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "a", 10), (1, "b", 11),
+            (2, "y", 10), (2, "z", 12),
+            (3, "n", 10),
+            (5, "m", 10),
+        ],
+        "k int, v string, t int",
+    )
+    args = dict(keys=["k"], tracked=["v"], order_by=["t"], valid_from_col="t")
+    hist = scd2_history(base, **args)
+    applied = scd2_apply_changes(hist, batch, **args)
+    rebuilt = scd2_history(base.unionByName(batch), **args)
+    assert _scd2_rows(applied) == _scd2_rows(rebuilt)
+    # spot-check the interesting rows
+    got = _scd2_rows(applied)
+    assert (1, "a", 1, 11, False) in got  # merged run, closed by the 'b' change
+    assert (1, "b", 11, None, True) in got
+    assert (2, "x", 1, 10, False) in got  # closed at batch start
+    assert (5, "m", 3, None, True) in got  # single same-valued run: stays current
+    assert (4, "q", 1, None, True) in got  # untouched key passes through
+
+
+def test_scd2_apply_idempotent_on_empty_batch(spark):
+    from ub_etl_spark.operators.merge import scd2_apply_changes, scd2_history
+
+    base = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 5), (2, "x", 2)], "k int, v string, t int"
+    )
+    empty = spark.createDataFrame([], "k int, v string, t int")
+    args = dict(keys=["k"], tracked=["v"], order_by=["t"], valid_from_col="t")
+    hist = scd2_history(base, **args)
+    assert _scd2_rows(scd2_apply_changes(hist, empty, **args)) == _scd2_rows(hist)

@@ -192,3 +192,82 @@ def merge_agg_state(
         + [F.min(c).alias(c) for c in min_cols]
     )
     return both.groupBy(*keys).agg(*aggs)
+
+
+def scd2_apply_changes(
+    history: DataFrame,
+    batch: DataFrame,
+    keys: Sequence[str],
+    tracked: Sequence[str],
+    order_by: Sequence[str],
+    valid_from_col: str,
+) -> DataFrame:
+    """Incrementally maintain SCD Type-2 history: apply a LATER batch of
+    raw change rows to an existing history WITHOUT rebuilding from the
+    full stream — the nightly-dimension-maintenance operator, contracted
+    (and oracle-checked in queries/merge.py) to equal scd2_history over
+    base ∪ batch exactly.
+
+    Contract: every batch row's ``valid_from_col`` is at or after the
+    key's last history row (a nightly batch is strictly newer).  Steps:
+    (1) compress the batch alone with scd2_history (per-key windows);
+    (2) stitch the boundary per key — if the batch's first run carries
+    the SAME tracked values as the key's current history row, that run
+    is redundant (no version boundary in a full rebuild): drop it and
+    extend the current row to the batch's second run start (or leave it
+    current); if the values CHANGED, close the current row at the
+    batch's first run start; (3) unseen keys' runs insert as-is, closed
+    history rows pass through untouched.  All joins/windows are keyed on
+    the dimension key — one key-shuffle family, no global op — and the
+    cost is proportional to the BATCH, not the accumulated history
+    (only current rows of touched keys are rewritten)."""
+    mini = scd2_history(batch, keys, tracked, order_by, valid_from_col)
+    kl = list(keys)
+    w = W.partitionBy(*kl).orderBy("valid_from")
+    mini_rn = mini.withColumn("__rn", F.row_number().over(w))
+    first = mini_rn.filter(F.col("__rn") == 1).select(
+        *kl,
+        *[F.col(c).alias(f"__f_{c}") for c in tracked],
+        F.col("valid_from").alias("__f_vf"),
+        F.col("valid_to").alias("__f_vt"),
+        F.lit(1).alias("__in_batch"),
+    )
+    cur = history.filter(F.col("is_current"))
+    closed = history.filter(~F.col("is_current"))
+    j = cur.join(first, kl, "left")
+    same = F.struct(*[F.col(c) for c in tracked]).eqNullSafe(
+        F.struct(*[F.col(f"__f_{c}") for c in tracked])
+    )
+    adj_to = (
+        F.when(F.col("__in_batch").isNull(), F.col("valid_to"))
+        .when(same, F.col("__f_vt"))
+        .otherwise(F.col("__f_vf"))
+    )
+    adj_cur = j.select(
+        *kl,
+        *tracked,
+        F.col("valid_from"),
+        adj_to.alias("valid_to"),
+        adj_to.isNull().alias("is_current"),
+    )
+    # batch runs to keep: run 1 drops iff the key HAS a current row with
+    # identical tracked values (its interval merged into that row above)
+    cur_tag = cur.select(
+        *kl,
+        *[F.col(c).alias(f"__c_{c}") for c in tracked],
+        F.lit(1).alias("__has_cur"),
+    )
+    m = mini_rn.join(cur_tag, kl, "left")
+    redundant_first = (
+        (F.col("__rn") == 1)
+        & F.col("__has_cur").isNotNull()
+        & F.struct(*[F.col(c) for c in tracked]).eqNullSafe(
+            F.struct(*[F.col(f"__c_{c}") for c in tracked])
+        )
+    )
+    kept = m.filter(~redundant_first).select(
+        *kl, *tracked, "valid_from", "valid_to", "is_current"
+    )
+    return closed.select(
+        *kl, *tracked, "valid_from", "valid_to", "is_current"
+    ).unionByName(adj_cur).unionByName(kept)

@@ -335,3 +335,74 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     untouched = base.join(latest.select("o_orderkey"), "o_orderkey", "left_anti")
     return survivors.unionByName(untouched)
+
+
+# ---------------------------------------------------------------------------
+# Incremental SCD2 maintenance
+# ---------------------------------------------------------------------------
+
+
+# Oracle = the FULL-stream rebuild (dim_scd2_history's formulation over
+# all of orders): the strongest possible check for an incremental
+# operator — apply(base-history, later-batch) must equal rebuild(base ∪
+# batch) bit-for-bit, the same split-invariance contract
+# agg_incremental_refresh pins for algebraic aggregates, here for the
+# non-algebraic interval-stitching case.
+@register(
+    "dim_scd2_apply_changes",
+    tier="B",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+             LAG(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev
+      FROM orders
+    ), changes AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority
+      FROM ranked WHERE prev IS NULL OR prev <> o_orderpriority
+    )
+    SELECT o_custkey,
+           o_orderpriority,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS valid_to,
+           LEAD(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) IS NULL AS is_current
+    FROM changes
+    """,
+)
+def dim_scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly SCD2 maintenance: the orders stream splits at 1998-01-01
+    into an accumulated base (compressed once into history) and a later
+    batch, and operators/merge.scd2_apply_changes stitches the batch in
+    WITHOUT touching the base stream again — per-key boundary logic:
+    same-valued first batch run merges into the open current row,
+    changed values close it; unseen keys insert.  Cost is proportional
+    to the batch + touched keys' current rows (at 100 TB: the nightly
+    delta, not three years of history).  The oracle rebuilds from the
+    FULL stream, so every stitch case is value-checked against the
+    from-scratch answer."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    base = o.filter(F.col("o_orderdate") < cutoff)
+    batch = o.filter(F.col("o_orderdate") >= cutoff)
+    history = M.scd2_history(
+        base,
+        keys=["o_custkey"],
+        tracked=["o_orderpriority"],
+        order_by=["o_orderdate", "o_orderkey"],
+        valid_from_col="o_orderdate",
+    )
+    return M.scd2_apply_changes(
+        history,
+        batch,
+        keys=["o_custkey"],
+        tracked=["o_orderpriority"],
+        order_by=["o_orderdate", "o_orderkey"],
+        valid_from_col="o_orderdate",
+    )
