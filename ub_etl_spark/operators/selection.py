@@ -74,18 +74,17 @@ def weighted_median_two_phase(
     )
 
 
-def basket_pair_counts(
-    df: DataFrame, basket_col: str, item_col: str
-) -> DataFrame:
-    """Co-occurrence pair counts without a self-join: collect each
-    basket once (collect_set dedups, sort_array orders), generate the
-    ordered pairs map-side with array HOFs inside codegen.  Linear in
-    baskets when basket size is bounded.  Output: (part_a, part_b,
-    n_orders)."""
+def basket_pairs(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+    """Ordered co-occurrence pair instances (part_a < part_b, one row per
+    basket containing the pair) without a self-join: collect each basket
+    once (collect_set dedups, sort_array orders), generate the pairs
+    map-side with array HOFs inside codegen.  Linear in baskets when
+    basket size is bounded.  Consumers aggregate (counts) or dedup
+    (edge sets) as needed — this stage itself adds no extra shuffle."""
     baskets = df.groupBy(basket_col).agg(
         F.sort_array(F.collect_set(item_col)).alias("parts")
     )
-    pairs = baskets.select(
+    return baskets.select(
         F.explode(
             F.flatten(
                 F.transform(
@@ -97,7 +96,14 @@ def basket_pair_counts(
                 )
             )
         ).alias("pr")
-    )
-    return pairs.groupBy(
-        F.col("pr.part_a").alias("part_a"), F.col("pr.part_b").alias("part_b")
+    ).select(F.col("pr.part_a").alias("part_a"), F.col("pr.part_b").alias("part_b"))
+
+
+def basket_pair_counts(
+    df: DataFrame, basket_col: str, item_col: str
+) -> DataFrame:
+    """Co-occurrence pair counts (basket_pairs + one map-side-combined
+    aggregate).  Output: (part_a, part_b, n_orders)."""
+    return basket_pairs(df, basket_col, item_col).groupBy(
+        "part_a", "part_b"
     ).agg(F.count(F.lit(1)).alias("n_orders"))

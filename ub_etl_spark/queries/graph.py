@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ub_etl_spark.operators.graph import bfs_distances, canonical_edges, count_triangles
-from ub_etl_spark.operators.selection import basket_pair_counts
+from ub_etl_spark.operators.selection import basket_pairs
 from ub_etl_spark.registry import register
 from ub_etl_spark.sources.tables import load_table as T
 
@@ -62,9 +62,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     double division.  Scale: the two hash joins shuffle on node ids;
     skewed hubs are exactly what the orientation neutralizes."""
     li = T(spark, sf_dir, "lineitem")
-    pairs = basket_pair_counts(li, "l_orderkey", "l_partkey").select(
-        "part_a", "part_b"
-    )
+    # basket_pairs (no count agg — the edge set only needs distinct
+    # pairs, which canonical_edges' dedup provides in one shuffle)
+    pairs = basket_pairs(li, "l_orderkey", "l_partkey")
     edges = canonical_edges(pairs, "part_a", "part_b")
     return count_triangles(edges)
 
