@@ -99,3 +99,23 @@ def test_kmv_merge_equals_from_scratch(spark, sf_dir):
     n_kept, kth = scratch.agg(F.count("*"), F.max("h")).first()
     expect = float(n_kept) if n_kept < _KMV_K else (_KMV_K - 1) / kth
     assert got_all == expect
+
+
+def test_hll_intersection_error_bound(spark, sf_dir):
+    """Inclusion-exclusion intersection estimate: relative error vs the
+    exact intersection stays within 15% (union errors compound into the
+    difference — looser than the 5% single-sketch bound, and measured
+    into BOUNDS.json)."""
+    from ub_etl_spark.queries.sketches import agg_hll_intersection
+
+    r = agg_hll_intersection(spark, sf_dir).first()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = {x.o_custkey for x in o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct().collect()}
+    b = {x.o_custkey for x in o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey").distinct().collect()}
+    exact = len(a & b)
+    assert exact > 0
+    rel = abs(r.est_intersection - exact) / exact
+    print(f"hll intersection: est={r.est_intersection:.1f} exact={exact} rel_err={rel:.4f}")
+    assert rel <= 0.15
+    # identity: est_intersection == est_a + est_b - est_union by construction
+    assert abs(r.est_intersection - (r.est_a + r.est_b - r.est_union)) < 1e-9

@@ -397,6 +397,27 @@ def bound_phash(spark, sf) -> dict:
     }
 
 
+def bound_hll_intersection(spark, sf) -> dict:
+    """Inclusion-exclusion HLL intersection: relative error vs exact."""
+    from ub_etl_spark.queries.sketches import agg_hll_intersection
+
+    r = agg_hll_intersection(spark, sf).first()
+    o = load_table(spark, sf, "orders")
+    a = {x.o_custkey for x in o.filter(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_custkey").distinct().collect()}
+    b = {x.o_custkey for x in o.filter(F.col("o_orderpriority") == "5-LOW")
+         .select("o_custkey").distinct().collect()}
+    exact = len(a & b)
+    rel = abs(r.est_intersection - exact) / max(exact, 1)
+    return {
+        "pinned_bound": 0.15,
+        "measured": round(rel, 4),
+        "unit": "relative_error_vs_exact_intersection",
+        "op_point": f"inclusion-exclusion over hll_sketch_agg lgConfigK=12; exact={exact}",
+        "pass": rel <= 0.15,
+    }
+
+
 MEASURES = {
     "agg_hll_mergeable": bound_hll,
     "agg_cms_term_counts": bound_cms,
@@ -411,6 +432,7 @@ MEASURES = {
     "quantile_bucket_approx": bound_equidepth_approx,
     "sim_ann_pq": bound_ann_pq,
     "multimodal_phash_dedup": bound_phash,
+    "agg_hll_intersection": bound_hll_intersection,
 }
 
 

@@ -140,3 +140,47 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     all_row = estimate(merged, "g")
     return per_status.unionByName(all_row)
+
+
+# HLL set-algebra: intersection estimate via inclusion-exclusion over
+# mergeable sketches — |A∩B| ≈ est(A) + est(B) − est(A∪B).  The audience
+# -overlap / cross-segment question answered from STORED per-segment
+# sketches with no rescan of either side (the whole point of keeping
+# sketches instead of counts: union is lossless, so any rollup of the
+# sketched segments — including this difference form — needs only the
+# KB-sized sketch states).  Rows-only: sketch internals have no SQL
+# twin; the inclusion-exclusion error (union errors compound into the
+# difference) is measured into BOUNDS.json and pinned in
+# tests/test_sketches.py.
+@register("agg_hll_intersection", tier="B")
+def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    sk = (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .groupBy("o_orderpriority")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    )
+    per = sk.select(
+        "o_orderpriority", F.hll_sketch_estimate("sk").alias("est")
+    )
+    a = per.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("est").alias("est_a")
+    )
+    b = per.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("est").alias("est_b")
+    )
+    u = sk.agg(F.hll_union_agg("sk").alias("un")).select(
+        F.hll_sketch_estimate("un").alias("est_union")
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(u))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_intersection"
+            ),
+        )
+    )
