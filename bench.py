@@ -201,6 +201,12 @@ HEADLINE = [
     "graph_bfs_distance",
     "multimodal_phash_dedup",
     "sim_ann_pq",
+    "lineitem_otif_rate",
+    "split_group_aware",
+    "feature_trailing_windows",
+    "agg_theil_inequality",
+    "dim_scd2_apply_changes",
+    "agg_hll_intersection",
 ]
 
 

@@ -172,6 +172,12 @@ DRIVER_PRIORITY = [
 #   multimodal.py (1): multimodal_phash_dedup (rows-only; banding
 #     completeness pinned in tests)
 #   similarity.py (1): sim_ann_pq (rows-only; recall pinned in tests)
+#   warehouse.py (+1): lineitem_otif_rate
+#   training.py (+1): split_group_aware
+#   mlprep.py (+1): feature_trailing_windows
+#   advanced.py (+1): agg_theil_inequality
+#   merge.py (+1): dim_scd2_apply_changes (oracle = full rebuild)
+#   sketches.py (+1): agg_hll_intersection (rows-only; error in BOUNDS)
 
 
 def load_all() -> dict[str, QuerySpec]:
