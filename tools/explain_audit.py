@@ -253,6 +253,37 @@ EXPECT = {
     # sketch-boundary equi-depth: NO sort, NO window anywhere in the plan
     "quantile_bucket_approx": ["HashAggregate", "!Window", "!Sort "],
     "events_survival_curve": ["HashAggregate", "Window"],
+    # late-round-3 tier
+    # benford: digit from the cents-integer string, 9-row agg, 1-row total
+    "agg_benford_first_digit": ["HashAggregate", "codegen id :"],
+    "feature_target_encode": ["BroadcastHashJoin", "HashAggregate"],
+    "privacy_l_diversity": ["HashAggregate", "Exchange hashpartitioning(c_nationkey"],
+    # bounded funnel: both conditional MINs share the user_id exchange
+    "events_funnel_windowed": ["HashAggregate", "Exchange hashpartitioning(user_id"],
+    "events_cohort_ltv": ["Window", "BroadcastHashJoin"],
+    # ACF: fact collapses to the month spine before any window/join
+    "timeseries_autocorrelation": ["HashAggregate", "BroadcastNestedLoopJoin"],
+    "timeseries_cusum_changepoint": ["Window", "HashAggregate"],
+    # rolling median: value-based RANGE frame over the day spine
+    "timeseries_rolling_median": ["Window", "RangeFrame"],
+    "events_stickiness_weekly": ["HashAggregate", "Exchange hashpartitioning(wk"],
+    # episodes: both windows + the episode agg share ONE custkey exchange
+    "orders_active_episodes": ["Window", "Exchange hashpartitioning(o_custkey"],
+    "text_lexical_diversity": ["Generate", "HashAggregate"],
+    "text_zipf_rank_fit": ["TakeOrderedAndProject", "HashAggregate"],
+    # delete-where: result is a plain pruned parquet read-back
+    "storage_gdpr_delete": ["codegen id :"],
+    # triangles: adjacency attaches via broadcast, intersection in codegen,
+    # nothing wedge-shaped shuffles
+    "graph_triangle_count": ["BroadcastHashJoin", "array_intersect", "HashAggregate"],
+    "graph_bfs_distance": ["InMemoryTableScan", "Union"],
+    "lineitem_otif_rate": ["HashAggregate", "Exchange hashpartitioning(o_orderkey" ],
+    "split_group_aware": ["HashAggregate", "Exchange hashpartitioning(split"],
+    # trailing windows: conditional sums in ONE aggregate, no Window node
+    "feature_trailing_windows": ["HashAggregate", "!Window"],
+    # Theil: aggregate-only inequality — NO sort, NO window (Gini needs ranks)
+    "agg_theil_inequality": ["HashAggregate", "!Window", "!Sort "],
+    "dim_scd2_apply_changes": ["Window", "Exchange hashpartitioning(o_custkey"],
 }
 
 # Kept by hand; prepended to the generated PLANS.md on every regeneration.
