@@ -828,3 +828,78 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Association-rule lift
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "market_basket_lift",
+    tier="B",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM baskets),
+    item AS (SELECT l_partkey, COUNT(*) AS ni FROM baskets GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS nab
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, nab,
+           (CAST(nab AS DOUBLE) * n.n) / (CAST(ia.ni AS DOUBLE) * ib.ni)
+             AS lift,
+           CAST(nab AS DOUBLE) / ia.ni AS confidence_a_to_b
+    FROM pairs
+    JOIN item ia ON pairs.part_a = ia.l_partkey
+    JOIN item ib ON pairs.part_b = ib.l_partkey
+    CROSS JOIN n_orders n
+    WHERE nab >= 3
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 50
+    """,
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining metrics over co-purchase pairs: lift
+    (P(ab)/(P(a)P(b))) and confidence — the actual recommendation
+    scores market_basket_pairs' raw counts feed (count-ranked partners
+    are just popular items; lift-ranked partners are genuinely
+    associated).  The pair counts come from the map-side basket
+    expansion (never a fact self-join — the oracle keeps the textbook
+    join form); item supports re-aggregate the DISTINCT basket rows;
+    support >= 3 prunes noise pairs BEFORE the lift join; every ratio
+    is a shared-order double division of exact longs.  Top-50 by lift
+    is TakeOrderedAndProject.  Scale: |pairs| is linear in baskets
+    (bounded basket size); the item-support joins broadcast at dim
+    scale and co-key otherwise (AQE)."""
+    from ub_etl_spark.operators.selection import basket_pair_counts
+
+    li = T(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.agg(F.countDistinct("l_orderkey").alias("n"))
+    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ni"))
+    pairs = basket_pair_counts(li, "l_orderkey", "l_partkey").withColumnRenamed(
+        "n_orders", "nab"
+    ).filter(F.col("nab") >= 3)
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("ni").alias("ni_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("ni").alias("ni_b"))
+    return (
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "nab",
+            (
+                (F.col("nab").cast("double") * F.col("n"))
+                / (F.col("ni_a").cast("double") * F.col("ni_b"))
+            ).alias("lift"),
+            (F.col("nab").cast("double") / F.col("ni_a")).alias("confidence_a_to_b"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(50)
+    )

@@ -782,3 +782,150 @@ def feature_trailing_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between two categoricals
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_mutual_information",
+    tier="B",
+    oracle="""
+    WITH joint AS (
+      SELECT c.c_mktsegment AS x, o.o_orderpriority AS y, COUNT(*) AS nxy
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), mx AS (SELECT x, SUM(nxy) AS nx FROM joint GROUP BY x),
+    my AS (SELECT y, SUM(nxy) AS ny FROM joint GROUP BY y),
+    g AS (SELECT SUM(nxy) AS n FROM joint),
+    terms AS (
+      SELECT CAST(nxy AS BIGINT) * CAST(FLOOR(
+               ln((CAST(nxy AS DOUBLE) * n) / (CAST(nx AS DOUBLE) * ny))
+               * 1000000) AS BIGINT) AS t_u, n
+      FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN g
+    )
+    SELECT SUM(t_u) / 1000000.0 / ANY_VALUE(n) AS mutual_information,
+           ANY_VALUE(n) AS n_rows
+    FROM terms
+    """,
+)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between market segment and order priority —
+    the dependency screen feature selection runs over categorical pairs
+    (MI 0 = independent; here it measures whether segment predicts
+    priority).  I(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))), computed as
+    exact joint/marginal counts with the ln of the count-ratio
+    quantized to integer micro-units per CELL before the weighted sum
+    (the repo ln rule) — each term multiplies an exact long count by an
+    exact quantized long, so the reduction is order- and engine-
+    independent; one double division at the end.  The fact aggregates
+    to the |X×Y| contingency grid first; marginals re-aggregate the
+    grid (never the fact); everything after the first agg is
+    grid-sized.  Scale: contingency-table state, fact scanned once."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    joint = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("x"), F.col("o_orderpriority").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("nxy"))
+    )
+    mx = joint.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    my = joint.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    g = joint.agg(F.sum("nxy").alias("n"))
+    ratio = (F.col("nxy").cast("double") * F.col("n")) / (
+        F.col("nx").cast("double") * F.col("ny")
+    )
+    t_u = F.col("nxy").cast("bigint") * F.floor(F.log(ratio) * 1e6).cast("bigint")
+    return (
+        joint.join(mx, "x")
+        .join(my, "y")
+        .crossJoin(F.broadcast(g))
+        .select(t_u.alias("t_u"), "n")
+        .agg(
+            (F.sum("t_u") / 1e6 / F.any_value("n")).alias("mutual_information"),
+            F.any_value("n").alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weight of evidence / information value
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "feature_woe_iv",
+    tier="B",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS cat,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), per_cat AS (
+      SELECT cat, SUM(1 - bad) AS n_good, SUM(bad) AS n_bad FROM base
+      GROUP BY cat
+    ), tot AS (SELECT SUM(n_good) AS tg, SUM(n_bad) AS tb FROM per_cat),
+    w AS (
+      SELECT cat, n_good, n_bad,
+             FLOOR(ln((CAST(n_good AS DOUBLE) * tb)
+                      / (CAST(n_bad AS DOUBLE) * tg)) * 1000000)
+               / 1000000.0 AS woe,
+             (CAST(n_good AS DOUBLE) / tg - CAST(n_bad AS DOUBLE) / tb)
+               AS dp
+      FROM per_cat, tot
+    )
+    SELECT cat, CAST(n_good AS BIGINT) AS n_good,
+           CAST(n_bad AS BIGINT) AS n_bad, woe, dp * woe AS iv_term
+    FROM w
+    ORDER BY cat
+    """,
+)
+def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of evidence + information-value terms per category — the
+    credit-scoring / churn-model encoder and feature screen (|IV| sums
+    over categories; < 0.02 = useless feature, > 0.5 = suspicious).
+    'Bad' = finished-status orders as the stand-in binary target.  WoE
+    = ln(good-share / bad-share) with the ln QUANTIZED to micro-units
+    (repo ln rule); shares are shared-order double divisions of exact
+    longs; the iv term multiplies the already-quantized WoE — one float
+    product on bit-identical operands.  One fact aggregate to |cats|
+    rows + a 1-row total broadcast.  Scale: encoder state is
+    |categories| rows, same as feature_target_encode."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("cat"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("bad"),
+    )
+    per_cat = base.groupBy("cat").agg(
+        F.sum(1 - F.col("bad")).alias("n_good"), F.sum("bad").alias("n_bad")
+    )
+    tot = per_cat.agg(F.sum("n_good").alias("tg"), F.sum("n_bad").alias("tb"))
+    woe = (
+        F.floor(
+            F.log(
+                (F.col("n_good").cast("double") * F.col("tb"))
+                / (F.col("n_bad").cast("double") * F.col("tg"))
+            )
+            * 1e6
+        )
+        / 1e6
+    )
+    dp = F.col("n_good").cast("double") / F.col("tg") - F.col("n_bad").cast(
+        "double"
+    ) / F.col("tb")
+    return (
+        per_cat.crossJoin(F.broadcast(tot))
+        .select(
+            "cat",
+            F.col("n_good").cast("bigint").alias("n_good"),
+            F.col("n_bad").cast("bigint").alias("n_bad"),
+            woe.alias("woe"),
+            (dp * woe).alias("iv_term"),
+        )
+        .orderBy("cat")
+    )

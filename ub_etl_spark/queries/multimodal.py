@@ -136,3 +136,29 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_pairs(
         hashes, id_col="doc_id", hash_col="phash", max_hamming=7, n_chunks=8
     ).orderBy("id_a", "id_b")
+
+
+# Exact media dedup on the content digest: the cheap first pass of the
+# media dedup family (multimodal_phash_dedup is the NEAR-dup second
+# pass), identical in shape to dedup_normalized_exact but keyed on the
+# binary payload's md5 from the typed metadata struct — dedup never
+# touches payload bytes after the one hash projection.
+@register(
+    "multimodal_dedup_exact",
+    tier="B",
+    oracle="""
+    SELECT md5(text) AS content_md5, MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    HAVING COUNT(*) >= 1
+    """,
+)
+def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    media = with_binary_payload(d, "doc_id", "text")
+    return (
+        media.select("doc_id", F.col("meta.content_md5").alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )

@@ -627,3 +627,74 @@ def text_zipf_rank_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((dz(n) * sxy - dz(sx) * sy).cast("double") / den).alias("zipf_slope"),
         ((dz(sy) * sxx - dz(sx) * sxy).cast("double") / den / 1e6).alias("ln_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyphrase extraction (top-k tf-idf terms per document)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_keyphrase_topk",
+    tier="B",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+             floor(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df)
+                   * 1000000) / 1000000 AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rk FROM (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def text_keyphrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyphrase extraction: the top-3 tf-idf terms per document — the
+    tagging/snippet primitive built on text_tfidf's exact expression
+    tree (same quantized-ln score, so ranking is engine-stable: scores
+    floor to 6dp BEFORE comparison and ties break on the term).  The
+    per-doc rank is a WindowGroupLimit window partitioned on doc_id —
+    state bounded by per-doc vocabulary, shuffle keyed like the tf
+    aggregate before it (AQE reuses the exchange partitioning).  Scale:
+    identical to tf-idf plus a keyed top-k; the df side joins broadcast
+    while the vocabulary fits, co-keyed beyond."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.floor(
+                    F.col("tf").cast("double")
+                    * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                    * 1e6
+                )
+                / 1e6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", "rk")
+    )
