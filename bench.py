@@ -207,6 +207,12 @@ HEADLINE = [
     "agg_theil_inequality",
     "dim_scd2_apply_changes",
     "agg_hll_intersection",
+    "agg_mutual_information",
+    "feature_woe_iv",
+    "market_basket_lift",
+    "multimodal_dedup_exact",
+    "text_keyphrase_topk",
+    "graph_jaccard_link_prediction",
 ]
 
 

@@ -178,6 +178,11 @@ DRIVER_PRIORITY = [
 #   advanced.py (+1): agg_theil_inequality
 #   merge.py (+1): dim_scd2_apply_changes (oracle = full rebuild)
 #   sketches.py (+1): agg_hll_intersection (rows-only; error in BOUNDS)
+#   mlprep.py (+2): agg_mutual_information feature_woe_iv
+#   behavior.py (+1): market_basket_lift
+#   multimodal.py (+1): multimodal_dedup_exact
+#   text.py (+1): text_keyphrase_topk
+#   graph.py (+1): graph_jaccard_link_prediction
 
 
 def load_all() -> dict[str, QuerySpec]:
