@@ -527,3 +527,146 @@ def agg_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("t_u") / 1e6 / F.any_value("n")).alias("theil_t"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov distance (bucketed CDFs)
+# ---------------------------------------------------------------------------
+
+_KS_BUCKETS = 1000
+_KS_WIDTH_C = 60000  # $600 per bucket in cents: covers o_totalprice's range
+
+
+@register(
+    "agg_ks_test_bucketed",
+    tier="B",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT LEAST({_KS_BUCKETS - 1},
+                   {sql_cents("o.o_totalprice")} // {_KS_WIDTH_C}) AS b,
+             CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS s1,
+             CASE WHEN c.c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS s2
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ), bucketed AS (
+      SELECT b, SUM(s1) AS n1, SUM(s2) AS n2 FROM tagged GROUP BY b
+    ), tot AS (SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM bucketed),
+    cdf AS (
+      SELECT b,
+             SUM(n1) OVER (ORDER BY b) AS c1,
+             SUM(n2) OVER (ORDER BY b) AS c2, t1, t2
+      FROM bucketed, tot
+    )
+    SELECT MAX(ABS(CAST(c1 * t2 - c2 * t1 AS DOUBLE))) / (SELECT t1 * CAST(t2 AS DOUBLE) FROM tot)
+             AS ks_distance,
+           (SELECT t1 FROM tot) AS n_building,
+           (SELECT t2 FROM tot) AS n_machinery
+    FROM cdf
+    """,
+)
+def agg_ks_test_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the order-value
+    distributions of two customer segments — the distribution-drift
+    test (train/serve skew, A/B sanity, cohort comparison), computed
+    over 1000 fixed-width bucketed CDFs: max |F1−F2| evaluated at
+    bucket edges.  Bucketing in exact integer cents DIV; the deviation
+    |c1·t2 − c2·t1| stays an exact integer (cross-multiplied — NO
+    per-bucket float division), one double division by t1·t2 at the
+    end.  The cumulative window runs over the 1000-row bucket spine
+    AFTER the fact collapses; exact-value KS (sort over all distinct
+    values) is the oracle-checkable reference this approximates at
+    bucket resolution — at 100 TB the bucket form is the only sane
+    shape (the spine is constant-size regardless of data)."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    tagged = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.least(
+                F.lit(_KS_BUCKETS - 1).cast("long"),
+                F.expr(
+                    f"CAST(FLOOR((o_totalprice) * 100 + 0.5) AS BIGINT) DIV {_KS_WIDTH_C}"
+                ),
+            ).alias("b"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("s1"),
+            F.when(F.col("c_mktsegment") == "MACHINERY", 1).otherwise(0).alias("s2"),
+        )
+    )
+    bucketed = tagged.groupBy("b").agg(
+        F.sum("s1").alias("n1"), F.sum("s2").alias("n2")
+    )
+    tot = bucketed.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    from pyspark.sql import Window as W
+
+    wc = W.orderBy("b")
+    cdf = bucketed.crossJoin(F.broadcast(tot)).select(
+        F.sum("n1").over(wc).alias("c1"),
+        F.sum("n2").over(wc).alias("c2"),
+        "t1",
+        "t2",
+    )
+    dev = F.abs((F.col("c1") * F.col("t2") - F.col("c2") * F.col("t1")).cast("double"))
+    return cdf.agg(
+        (F.max(dev) / (F.any_value("t1") * F.any_value("t2").cast("double"))).alias(
+            "ks_distance"
+        ),
+        F.any_value("t1").alias("n_building"),
+        F.any_value("t2").alias("n_machinery"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_winsorized_mean",
+    tier="B",
+    oracle=f"""
+    WITH v AS (SELECT {sql_cents("o_totalprice")} AS c FROM orders),
+    bounds AS (
+      SELECT CAST(FLOOR(quantile_cont(c, 0.05)) AS BIGINT) AS lo,
+             CAST(FLOOR(quantile_cont(c, 0.95)) AS BIGINT) AS hi
+      FROM v
+    )
+    SELECT SUM(LEAST(GREATEST(c, lo), hi)) / 100.0 / COUNT(*) AS winsorized_mean,
+           SUM(c) / 100.0 / COUNT(*) AS raw_mean,
+           lo / 100.0 AS p05, hi / 100.0 AS p95
+    FROM v, bounds
+    GROUP BY lo, hi
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of order value (5%/95% clamp) — the outlier-
+    robust center feature pipelines prefer over raw means when heavy
+    tails poison models.  The clamp bounds come from EXACT percentiles
+    over integer cents (floored to integers so both engines' midpoint
+    interpolation collapses to the same value), broadcast as a 1-row
+    frame; the clamped sum is pure long arithmetic — exact,
+    order-independent — with two double divisions at output in shared
+    order.  Scale: percentile_approx replaces the exact percentile at
+    extreme cardinality (the B96/B122 lever); the clamp-sum pass is
+    map-side-combined either way."""
+    o = T(spark, sf_dir, "orders")
+    v = o.select(cents("o_totalprice").alias("c"))
+    bounds = v.agg(
+        F.floor(F.expr("percentile(c, 0.05)")).cast("bigint").alias("lo"),
+        F.floor(F.expr("percentile(c, 0.95)")).cast("bigint").alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("c"), F.col("lo")), F.col("hi"))
+    return (
+        v.crossJoin(F.broadcast(bounds))
+        .groupBy("lo", "hi")
+        .agg(
+            (F.sum(clamped) / 100.0 / F.count(F.lit(1))).alias("winsorized_mean"),
+            (F.sum("c") / 100.0 / F.count(F.lit(1))).alias("raw_mean"),
+        )
+        .select(
+            "winsorized_mean",
+            "raw_mean",
+            (F.col("lo") / 100.0).alias("p05"),
+            (F.col("hi") / 100.0).alias("p95"),
+        )
+    )

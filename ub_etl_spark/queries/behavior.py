@@ -903,3 +903,51 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Any-order (set-based) funnel
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel_any_order",
+    tier="B",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS s,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(s) AS BIGINT) AS did_signup,
+           CAST(SUM(s * v) AS BIGINT) AS did_signup_view,
+           CAST(SUM(s * v * p) AS BIGINT) AS did_all_three,
+           CAST(SUM(s * v * p) AS DOUBLE) / COUNT(*) AS completion_rate
+    FROM per_user
+    """,
+)
+def events_funnel_any_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-based funnel: users who performed ALL of {signup, view,
+    purchase} in ANY order — the engagement-breadth metric next to the
+    ordered funnels (events_funnel requires the sequence; this only
+    membership; both belong in a funnel suite because ordered-only
+    undercounts users who purchased before browsing).  One per-user
+    conditional-MAX aggregate + one scalar rollup — the flag products
+    (s·v·p) are exact 0/1 integer arithmetic; one division.  Scale:
+    per-user state is three bits; both aggregates map-side-combine."""
+    e = T(spark, sf_dir, "events")
+    flag = lambda t: F.max(F.when(F.col("event_type") == t, 1).otherwise(0))  # noqa: E731
+    per_user = e.groupBy("user_id").agg(
+        flag("signup").alias("s"), flag("view").alias("v"), flag("purchase").alias("p")
+    )
+    svp = F.col("s") * F.col("v") * F.col("p")
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("s").cast("bigint").alias("did_signup"),
+        F.sum(F.col("s") * F.col("v")).cast("bigint").alias("did_signup_view"),
+        F.sum(svp).cast("bigint").alias("did_all_three"),
+        (F.sum(svp).cast("double") / F.count(F.lit(1))).alias("completion_rate"),
+    )
