@@ -387,3 +387,68 @@ def test_interval_join_stream_agrees_with_batch_twin(spark, sf_dir):
     for r in rows:
         lag = (r.right_ts - r.left_ts).total_seconds()
         assert 0 <= lag <= 7200
+
+
+def test_scd2_stream_equals_full_rebuild_across_batches(spark, tmpdir):
+    """Streaming SCD2 maintenance: stitching micro-batches of a
+    time-ordered change feed must equal scd2_history over everything
+    ingested so far — the dim_scd2_apply_changes split-invariance
+    contract re-checked across micro-batch boundaries, including a
+    same-value run crossing a batch boundary and a restart replay."""
+    from ub_etl_spark.operators.merge import scd2_history
+    from ub_etl_spark.streaming.pipelines import scd2_stream_foreach_batch
+
+    src, state, ckpt = f"{tmpdir}/src", f"{tmpdir}/state", f"{tmpdir}/ckpt"
+    args = dict(
+        keys=["user_id"],
+        tracked=["event_type"],
+        order_by=["ts", "event_id"],
+        valid_from_col="ts",
+    )
+    gen1 = [
+        (1, T0, 10, "enroll", 0.0),
+        (2, T0 + timedelta(hours=1), 10, "progress", 0.0),
+        (3, T0, 20, "enroll", 0.0),
+    ]
+    write_batch(spark, src, gen1)
+    q = scd2_stream_foreach_batch(
+        read_stream(spark, src), state_dir=state, checkpoint_dir=ckpt, **args
+    )
+    q.awaitTermination(120)
+    # gen2: user 10 continues with the SAME value (run crosses the batch
+    # boundary -> no new version), user 20 changes, user 30 appears
+    gen2 = [
+        (4, T0 + timedelta(hours=2), 10, "progress", 0.0),
+        (5, T0 + timedelta(hours=3), 10, "complete", 0.0),
+        (6, T0 + timedelta(hours=2), 20, "progress", 0.0),
+        (7, T0 + timedelta(hours=2), 30, "enroll", 0.0),
+    ]
+    write_batch(spark, src, gen2)
+    q2 = scd2_stream_foreach_batch(
+        read_stream(spark, src), state_dir=state, checkpoint_dir=ckpt, **args
+    )
+    q2.awaitTermination(120)
+    got = {
+        (r.user_id, r.event_type, r.valid_from, r.valid_to, r.is_current)
+        for r in spark.read.parquet(f"{state}/history").collect()
+    }
+    full = spark.createDataFrame(gen1 + gen2, SCHEMA)
+    expect = {
+        (r.user_id, r.event_type, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_history(full, **args).collect()
+    }
+    assert got == expect
+    # user 10's 'progress' run crossed the boundary without a new version
+    assert sum(1 for u, v, *_ in got if u == 10 and v == "progress") == 1
+
+    # restart with the same checkpoint and no new data: committed batches
+    # replay as no-ops (exactly-once), history unchanged
+    q3 = scd2_stream_foreach_batch(
+        read_stream(spark, src), state_dir=state, checkpoint_dir=ckpt, **args
+    )
+    q3.awaitTermination(120)
+    again = {
+        (r.user_id, r.event_type, r.valid_from, r.valid_to, r.is_current)
+        for r in spark.read.parquet(f"{state}/history").collect()
+    }
+    assert again == expect

@@ -304,3 +304,74 @@ def running_totals_tws(events: DataFrame, key: str = "user_id") -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def scd2_stream_foreach_batch(
+    changes: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    keys: Sequence[str],
+    tracked: Sequence[str],
+    order_by: Sequence[str],
+    valid_from_col: str,
+):
+    """Streaming SCD2 dimension maintenance: each micro-batch of change
+    rows stitches into the persisted history via the incremental
+    operator (operators/merge.scd2_apply_changes) — the streaming form
+    of nightly dimension maintenance, contracted to equal a full
+    rebuild over everything ingested so far (the dim_scd2_apply_changes
+    oracle, here re-checked across MICRO-BATCH boundaries in
+    tests/test_streaming.py).
+
+    Per batch: read history parquet -> compress + stitch the batch ->
+    atomically replace the history (write to a versioned tmp dir, one
+    rename — a crash between write and rename leaves the old history
+    intact, and the checkpoint replays the batch).  Replay safety: the
+    stitch is NOT blindly idempotent (re-applying an already-stitched
+    batch could re-close rows), so the committed history records the
+    last applied batch_id and replays of committed batches SKIP — the
+    transactional-sink pattern (A17) keyed on batch_id.
+
+    Cost per batch is proportional to the batch + touched keys' current
+    rows, not accumulated history length.  Returns the started query.
+    """
+    import json
+    import os
+    import shutil
+
+    from ub_etl_spark.operators.merge import scd2_apply_changes, scd2_history
+
+    meta_path = os.path.join(state_dir, "_scd2_meta.json")
+    data_path = os.path.join(state_dir, "history")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                last = json.load(fh)["last_batch_id"]
+            if batch_id <= last:
+                return  # committed replay: skip (exactly-once)
+            history = spark.read.parquet(data_path)
+            updated = scd2_apply_changes(
+                history, batch_df, keys, tracked, order_by, valid_from_col
+            )
+        else:
+            updated = scd2_history(batch_df, keys, tracked, order_by, valid_from_col)
+        tmp = data_path + f".tmp.{batch_id}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        updated.write.mode("overwrite").parquet(tmp)
+        old = data_path + f".old.{batch_id}"
+        if os.path.exists(data_path):
+            os.rename(data_path, old)
+        os.rename(tmp, data_path)
+        shutil.rmtree(old, ignore_errors=True)
+        os.makedirs(state_dir, exist_ok=True)
+        with open(meta_path, "w") as fh:
+            json.dump({"last_batch_id": batch_id}, fh)
+
+    return (
+        changes.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
