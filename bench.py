@@ -213,6 +213,9 @@ HEADLINE = [
     "multimodal_dedup_exact",
     "text_keyphrase_topk",
     "graph_jaccard_link_prediction",
+    "agg_ks_test_bucketed",
+    "agg_winsorized_mean",
+    "events_funnel_any_order",
 ]
 
 

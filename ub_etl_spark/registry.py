@@ -183,6 +183,8 @@ DRIVER_PRIORITY = [
 #   multimodal.py (+1): multimodal_dedup_exact
 #   text.py (+1): text_keyphrase_topk
 #   graph.py (+1): graph_jaccard_link_prediction
+#   advanced.py (+2): agg_ks_test_bucketed agg_winsorized_mean
+#   behavior.py (+1): events_funnel_any_order
 
 
 def load_all() -> dict[str, QuerySpec]:
