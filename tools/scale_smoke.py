@@ -99,7 +99,37 @@ def queries(spark, d: str):
         "equidepth_ntile_global": _equidepth(o),
         "equidepth_sketch_approx": _equidepth_approx(o),
         "gini_rank_global": _gini(o),
+        "active_episodes": _episodes(li, o),
     }
+
+
+def _episodes(li, o):
+    from pyspark.sql import functions as F
+
+    iv = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("iv_end"))
+        .select("o_custkey", "o_orderkey", F.col("o_orderdate").alias("iv_start"), "iv_end")
+    )
+    w_prev = (
+        W.partitionBy("o_custkey")
+        .orderBy("iv_start", "iv_end", "o_orderkey")
+        .rowsBetween(-(1 << 31), -1)
+    )
+    prev_max = F.max("iv_end").over(w_prev)
+    flagged = iv.select(
+        "o_custkey", "iv_start", "iv_end",
+        F.when(prev_max.isNull() | (F.col("iv_start") > prev_max), 1).otherwise(0).alias("new_ep"),
+    )
+    w_cum = (
+        W.partitionBy("o_custkey").orderBy("iv_start", "iv_end").rowsBetween(-(1 << 31), 0)
+    )
+    return (
+        flagged.select("o_custkey", "iv_start", "iv_end", F.sum("new_ep").over(w_cum).alias("ep"))
+        .groupBy("o_custkey", "ep")
+        .agg(F.min("iv_start").alias("s"), F.max("iv_end").alias("e"), F.count(F.lit(1)).alias("n"))
+    )
 
 
 def _basket_pairs(li):
@@ -158,6 +188,37 @@ def _gini(o):
             / (d(F.col("n")) * F.col("sr")).cast("double")
         ).alias("gini")
     )
+
+
+def amplify_graph(spark, src: str, out: str, k: int) -> None:
+    """K copies of lineitem with BOTH orderkey and partkey offset: the
+    co-purchase graph becomes K disjoint copies (nodes and edges scale
+    by K, density constant) — the fair scaling fixture for graph
+    algorithms.  Reusing amplify()'s orderkey-only shift would pour K
+    times the orders over ONE part vocabulary, densifying the graph and
+    flagging any triangle counter as super-linear by construction."""
+    li = spark.read.parquet(f"{src}/lineitem.parquet")
+    max_part = li.agg(F.max("l_partkey")).first()[0] + 1
+    max_ok = li.agg(F.max("l_orderkey")).first()[0] + 1
+    parts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * max_ok))
+        .withColumn("l_partkey", F.col("l_partkey") + F.lit(i * max_part))
+        for i in range(k)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.write.mode("overwrite").parquet(f"{out}/lineitem_graph.parquet")
+
+
+def graph_queries(spark, d: str, table: str):
+    from ub_etl_spark.operators.graph import canonical_edges, count_triangles
+    from ub_etl_spark.operators.selection import basket_pairs
+
+    li = spark.read.parquet(f"{d}/{table}")
+    pairs = basket_pairs(li, "l_orderkey", "l_partkey")
+    edges = canonical_edges(pairs, "part_a", "part_b")
+    return {"triangle_count": count_triangles(edges)}
 
 
 def amplify_corpus(spark, src: str, out: str, k: int) -> None:
@@ -258,12 +319,38 @@ def corpus_queries(spark, d: str):
         # partial_min_by; centroid shuffles |labels| x dim rows regardless
         # of corpus size (both expect ~linear map cost, flat shuffle)
         "survivorship": _survivorship(docs),
+        "phash_hamming": _phash_pairs(docs),
+        "pq_encode": _pq_encode(spark, d, emb),
         "centroid_per_label": emb.select(
             "label", F.posexplode("embedding").alias("pos", "val")
         )
         .groupBy("label", "pos")
         .agg(_cavg(F.col("val").cast("double"), "c", scale=6)),
     }
+
+
+def _phash_pairs(docs):
+    from ub_etl_spark.operators.dedup import hamming_pairs
+    from ub_etl_spark.operators.multimodal import phash_media, with_binary_payload
+
+    h = phash_media(with_binary_payload(docs, "doc_id", "text"), fake=True)
+    return hamming_pairs(h, id_col="doc_id", hash_col="phash", max_hamming=7, n_chunks=8)
+
+
+_PQ_BOOKS_CACHE: dict[str, list] = {}
+
+
+def _pq_encode(spark, d, emb):
+    # train once on the BASE corpus (the train-once/encode-many shape);
+    # the smoke measures ENCODING cost, which is the per-volume part
+    from ub_etl_spark.operators.vectors import pq_codebooks, pq_encode
+
+    base = "/root/testdata/sf0.1"
+    if base not in _PQ_BOOKS_CACHE:
+        _PQ_BOOKS_CACHE[base] = pq_codebooks(
+            spark.read.parquet(f"{base}/embeddings.parquet"), dim=64, m=8, ksub=16
+        )
+    return pq_encode(emb, _PQ_BOOKS_CACHE[base]).select("vec_id", "pq_codes")
 
 
 def _survivorship(docs):
@@ -311,6 +398,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=100, help="relational amplification")
     ap.add_argument("--corpus-k", type=int, default=10, help="documents/embeddings amplification")
+    ap.add_argument("--graph-k", type=int, default=10, help="co-purchase graph amplification (disjoint copies)")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     args = ap.parse_args()
     spark = get_spark("scale_smoke")
@@ -319,6 +407,7 @@ def main() -> None:
     os.makedirs(big_dir)
     amplify(spark, args.sf, big_dir, args.k)
     amplify_corpus(spark, args.sf, big_dir, args.corpus_k)
+    amplify_graph(spark, args.sf, big_dir, args.graph_k)
 
     lines = [
         "# SCALING — measured cost vs data volume (tools/scale_smoke.py)\n",
@@ -339,6 +428,23 @@ def main() -> None:
         ratio = tk / t1 if t1 > 0 else float("inf")
         lines.append(f"| {name} | {t1:.3f} | {tk:.3f} | {ratio:.1f}x |")
         print(f"{name:16s} 1x={t1:.3f}s {args.k}x={tk:.3f}s ratio={ratio:.1f}x")
+        spark.catalog.clearCache()  # episodes/persisted frames: fresh per cell
+    lines += [
+        f"\n## Graph ({args.graph_k}x disjoint copies)\n",
+        f"| query | 1x sec | {args.graph_k}x sec | ratio |",
+        "|---|---|---|---|",
+    ]
+    # 1x graph = the raw base lineitem; Kx = disjoint-copy amplification
+    g1s = graph_queries(spark, args.sf, "lineitem.parquet")
+    gks = graph_queries(spark, big_dir, "lineitem_graph.parquet")
+    for name in g1s:
+        t1 = min(run(g1s[name]) for _ in range(2))
+        spark.catalog.clearCache()
+        tk = min(run(gks[name]) for _ in range(2))
+        spark.catalog.clearCache()
+        ratio = tk / t1 if t1 > 0 else float("inf")
+        lines.append(f"| {name} | {t1:.3f} | {tk:.3f} | {ratio:.1f}x |")
+        print(f"{name:16s} 1x={t1:.3f}s {args.graph_k}x={tk:.3f}s ratio={ratio:.1f}x")
     lines += [
         f"\n## Corpus / embeddings ({args.corpus_k}x)\n",
         f"| query | 1x sec | {args.corpus_k}x sec | ratio |",

@@ -796,3 +796,124 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
     )
     return agg.select("l_returnflag", "n", covar.alias("covar_pop"), corr.alias("corr"))
+
+
+# ---------------------------------------------------------------------------
+# As-of join with tolerance (pd.merge_asof tolerance=...)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_asof_tolerance",
+    tier="B",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+    ), signups AS (
+      SELECT user_id, ts AS signup_ts, max(event_id) AS signup_event_id
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+    ), matched AS (
+      SELECT p.user_id, p.ts, p.event_id, p.value, s.signup_ts, s.signup_event_id
+      FROM purchases p
+      ASOF LEFT JOIN signups s
+        ON p.user_id = s.user_id AND s.signup_ts <= p.ts
+    )
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN ts - signup_ts <= INTERVAL 2 DAY THEN signup_ts END
+             AS signup_ts,
+           CASE WHEN ts - signup_ts <= INTERVAL 2 DAY THEN signup_event_id END
+             AS signup_event_id
+    FROM matched
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a TOLERANCE bound (pd.merge_asof's
+    tolerance=2d): a match older than the bound is nulled out rather
+    than carried — the staleness guard every feature-lookup as-of wants
+    (a price quote from last month should not enrich today's trade).
+    Shape: the tolerance rides as a post-join conditional on the SAME
+    single window pass as join_asof — no extra shuffle, no re-join;
+    NULLing (not filtering) keeps every left row, preserving the LEFT
+    as-of contract.  Completes the as-of family: backward / forward /
+    nearest / tolerance."""
+    e = T(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_event_id"))
+        .select(
+            "user_id",
+            F.col("ts").alias("signup_ts0"),
+            F.col("ts").alias("signup_ts"),
+            "signup_event_id",
+        )
+    )
+    joined = asof_join(
+        purchases,
+        signups,
+        key=["user_id"],
+        left_ts="ts",
+        right_ts="signup_ts0",
+        value_cols=["signup_ts", "signup_event_id"],
+    )
+    fresh = F.col("ts") - F.col("signup_ts") <= F.expr("INTERVAL 2 DAY")
+    return joined.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(fresh, F.col("signup_ts")).alias("signup_ts"),
+        F.when(fresh, F.col("signup_event_id")).alias("signup_event_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Running distinct count (expanding window)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_running_distinct",
+    tier="B",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, ts, event_id,
+           SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS distinct_types_so_far
+    FROM firsts
+    """,
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per user (how many distinct event types
+    each user has touched as of each event) — the expanding-distinct
+    shape no window frame can express directly (COUNT(DISTINCT) OVER is
+    unsupported in every engine): mark each (user, type)'s FIRST
+    occurrence with one ranking window, then a cumulative SUM of the
+    first-seen flags — the standard two-window rewrite.  Two keyed
+    exchanges ((user, type) ranking, then user cumulation) — the
+    irreducible cost of distinct-over-history; both partition on fact
+    keys, nothing global.  Exact integers throughout."""
+    e = T(spark, sf_dir, "events")
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_cum = W.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.row_number().over(w_first) == 1).cast("int").alias("is_first"),
+    )
+    return firsts.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("is_first").over(w_cum).alias("distinct_types_so_far"),
+    )

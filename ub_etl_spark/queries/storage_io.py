@@ -590,3 +590,90 @@ def storage_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.col("o_year").cast("bigint").alias("o_year"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Malformed-CSV quarantine ingest
+# ---------------------------------------------------------------------------
+
+# fixed malformed lines appended to the generated CSV — deterministic, so
+# the oracle states the expected quarantine outcome literally (the
+# pipeline_course_normalize VALUES-oracle pattern)
+_BAD_CSV_LINES = [
+    "notanumber,F,12.50",        # type error in a bigint column
+    "999999,TRUNCATED",          # too few columns
+    '888888,"O",55.5,extra,c',   # too many columns
+]
+
+
+@register(
+    "io_csv_malformed_quarantine",
+    tier="A",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS total_c,
+           FALSE AS quarantined
+    FROM orders WHERE o_orderkey % 100 = 0
+    UNION ALL
+    SELECT * FROM (VALUES
+      (CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), TRUE),
+      (NULL, NULL, NULL, TRUE),
+      (NULL, NULL, NULL, TRUE)
+    ) t(o_orderkey, o_orderstatus, total_c, quarantined)
+    """,
+)
+def io_csv_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift-tolerant CSV ingest — the csv twin of
+    json_schema_drift and the file-feed form of the reference's
+    tolerated-missing-field contract (SURVEY §1.3): read a feed with an
+    EXPLICIT schema in PERMISSIVE mode, capture malformed lines (type
+    errors, too-few and too-many columns) in columnNameOfCorruptRecord,
+    and QUARANTINE rather than fail the scan or silently drop.  The
+    fixture is generated: a valid extract plus three fixed malformed
+    lines, so the oracle can state the expected classification as
+    literals.  Quarantined rows surface with NULL typed columns and the
+    flag (production would route them to a dead-letter sink with the
+    raw line).  Scale: the scan is a plain parallel CSV read; the
+    corrupt column only materializes for bad rows."""
+    import glob as _glob
+
+    o = T(spark, sf_dir, "orders")
+    root = os.path.join(tempfile.gettempdir(), "ub_etl_csv_quarantine")
+    shutil.rmtree(root, ignore_errors=True)
+    (
+        o.filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("total_c"),
+        )
+        .coalesce(1)
+        .write.option("header", "false")
+        .csv(root)
+    )
+    part = _glob.glob(os.path.join(root, "part-*.csv"))[0]
+    with open(part, "a") as fh:
+        for line in _BAD_CSV_LINES:
+            fh.write(line + "\n")
+    # the append invalidates the Hadoop ChecksumFileSystem sidecar the
+    # writer left next to the part file; drop it or the read fails CRC
+    for crc in _glob.glob(os.path.join(root, ".*.crc")):
+        os.remove(crc)
+    schema = (
+        "o_orderkey bigint, o_orderstatus string, total_c bigint, _corrupt string"
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(root)
+    )
+    q = F.col("_corrupt").isNotNull()
+    return raw.select(
+        F.when(~q, F.col("o_orderkey")).alias("o_orderkey"),
+        F.when(~q, F.col("o_orderstatus")).alias("o_orderstatus"),
+        F.when(~q, F.col("total_c")).alias("total_c"),
+        q.alias("quarantined"),
+    )
