@@ -216,6 +216,9 @@ HEADLINE = [
     "agg_ks_test_bucketed",
     "agg_winsorized_mean",
     "events_funnel_any_order",
+    "io_csv_malformed_quarantine",
+    "join_asof_tolerance",
+    "window_running_distinct",
 ]
 
 

@@ -185,6 +185,8 @@ DRIVER_PRIORITY = [
 #   graph.py (+1): graph_jaccard_link_prediction
 #   advanced.py (+2): agg_ks_test_bucketed agg_winsorized_mean
 #   behavior.py (+1): events_funnel_any_order
+#   storage_io.py (+1): io_csv_malformed_quarantine (VALUES oracle)
+#   extras.py (+2): join_asof_tolerance window_running_distinct
 
 
 def load_all() -> dict[str, QuerySpec]:
