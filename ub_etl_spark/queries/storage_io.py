@@ -677,3 +677,50 @@ def io_csv_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(~q, F.col("total_c")).alias("total_c"),
         q.alias("quarantined"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Transaction-log time travel
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "storage_time_travel",
+    tier="B",
+    oracle="""
+    SELECT 1 AS version, o_orderkey, o_totalprice FROM orders
+    WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 2, o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <= 1
+    UNION ALL
+    SELECT 3, o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 2
+    """,
+)
+def storage_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over a log-structured table (operators/txlog.py — the
+    Delta/Iceberg concept self-contained on plain parquet): v1 loads a
+    base extract, v2 APPENDS, v3 OVERWRITES (logical delete: old files
+    leave the snapshot but stay on disk), and every historical version
+    stays readable — the reproducibility primitive a training pipeline
+    needs ("which exact table did run 47 read?").  Readers list the
+    LOG, not the directory, so uncommitted files are invisible
+    (snapshot isolation) and commits are atomic put-if-absent log
+    entries (optimistic concurrency — conflict semantics pinned in
+    tests/test_txlog.py).  The output reads all three snapshots back,
+    value-checked against the per-version expected contents."""
+    from ub_etl_spark.operators.txlog import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    root = os.path.join(tempfile.gettempdir(), "ub_etl_txlog_query")
+    shutil.rmtree(root, ignore_errors=True)
+    t = VersionedTable(root)
+    t.write_commit(o.filter(F.col("o_orderkey") % 3 == 0), mode="append")
+    t.write_commit(o.filter(F.col("o_orderkey") % 3 == 1), mode="append")
+    t.write_commit(o.filter(F.col("o_orderkey") % 3 == 2), mode="overwrite")
+    out = None
+    for v in (1, 2, 3):
+        part = t.read(spark, version=v).select(
+            F.lit(v).alias("version"), "o_orderkey", "o_totalprice"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
