@@ -219,6 +219,7 @@ HEADLINE = [
     "io_csv_malformed_quarantine",
     "join_asof_tolerance",
     "window_running_distinct",
+    "storage_time_travel",
 ]
 
 

@@ -187,6 +187,7 @@ DRIVER_PRIORITY = [
 #   behavior.py (+1): events_funnel_any_order
 #   storage_io.py (+1): io_csv_malformed_quarantine (VALUES oracle)
 #   extras.py (+2): join_asof_tolerance window_running_distinct
+#   storage_io.py (+1): storage_time_travel (operators/txlog.py)
 
 
 def load_all() -> dict[str, QuerySpec]:
