@@ -71,3 +71,40 @@ def test_commit_log_is_dense_and_replayable(spark, table_dir):
     os.remove(os.path.join(table_dir, "_txlog", "00000003.json"))
     with pytest.raises(ValueError):
         t.snapshot_files(5)
+
+
+def test_stats_table_skips_files_and_loses_nothing(spark, table_dir):
+    """Manifest min/max pruning: the probe opens strictly fewer files
+    than live, and pruned-read + exact filter equals the full-scan
+    filter exactly (superset guarantee)."""
+    from pyspark.sql import functions as F
+
+    from ub_etl_spark.operators.txlog import StatsTable
+
+    t = StatsTable(table_dir, stats_cols=["v"])
+    df = spark.range(0, 10000).select(
+        F.col("id"), (F.col("id") % 1000).cast("double").alias("v")
+    )
+    t.write_commit(df.repartitionByRange(10, "v"), mode="append")
+    kept, total = t.pruned_files("v", 100.0, 199.0)
+    assert total == 10
+    assert 0 < len(kept) <= 3  # range clustering -> ~1-2 of 10 files
+    got = sorted(
+        r.id
+        for r in t.read_pruned(spark, "v", 100.0, 199.0)
+        .filter(F.col("v").between(100.0, 199.0))
+        .collect()
+    )
+    expect = sorted(i for i in range(10000) if 100 <= i % 1000 <= 199)
+    assert got == expect
+
+
+def test_stats_table_keeps_files_without_stats(spark, table_dir):
+    """A file with no recorded stats for the probe column is
+    conservatively kept (pruning must never drop a candidate file)."""
+    from ub_etl_spark.operators.txlog import StatsTable
+
+    t = StatsTable(table_dir, stats_cols=["nonexistent_col"])
+    t.write_commit(spark.range(0, 10), mode="append")
+    kept, total = t.pruned_files("nonexistent_col", 0, 1)
+    assert kept and len(kept) == total

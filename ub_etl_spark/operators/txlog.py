@@ -135,3 +135,106 @@ class VersionedTable:
         if not files:
             raise ValueError("empty table snapshot")
         return spark.read.parquet(*files)
+
+
+# ---------------------------------------------------------------------------
+# Manifest statistics + file skipping
+# ---------------------------------------------------------------------------
+
+
+def _file_stats(path: str, cols: list[str]) -> dict:
+    """Per-column [min, max] from the parquet footer (no data read)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out = {}
+    for c in cols:
+        if c not in idx:
+            continue
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[c]).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            out[c] = [lo, hi]
+    return out
+
+
+class StatsTable(VersionedTable):
+    """VersionedTable whose commits carry per-file min/max MANIFEST
+    STATISTICS (read from parquet footers at commit time — metadata
+    only), enabling file skipping at read: a predicate range that
+    misses a file's [min, max] never opens the file.  This is the
+    Iceberg manifest / Delta stats mechanism; combined with a
+    range-clustered write (repartitionByRange, cf. storage_zorder) the
+    skip rate approaches the predicate's selectivity."""
+
+    def __init__(self, path: str, stats_cols: list[str]):
+        super().__init__(path)
+        self.stats_cols = stats_cols
+
+    def write_commit(self, df, mode="append", expected_version=None) -> int:
+        assert mode in ("append", "overwrite")
+        base = self.latest_version() if expected_version is None else expected_version
+        part_dir = os.path.join(self.path, f"part-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(part_dir)
+        added = sorted(
+            os.path.join(part_dir, f)
+            for f in os.listdir(part_dir)
+            if f.endswith(".parquet")
+        )
+        removed = self.snapshot_files(base) if mode == "overwrite" else []
+        staged = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
+        entry = {
+            "version": base + 1,
+            "added": added,
+            "removed": removed,
+            "stats": {f: _file_stats(f, self.stats_cols) for f in added},
+        }
+        with open(staged, "w") as fh:
+            json.dump(entry, fh, default=str)
+        try:
+            os.link(staged, self._entry_path(base + 1))
+        except FileExistsError:
+            shutil.rmtree(part_dir, ignore_errors=True)
+            raise VersionConflict(
+                f"version {base + 1} already committed by another writer"
+            ) from None
+        finally:
+            os.remove(staged)
+        return base + 1
+
+    def stats(self, version: int | None = None) -> dict:
+        head = self.latest_version() if version is None else version
+        out: dict = {}
+        for v in range(1, head + 1):
+            with open(self._entry_path(v)) as fh:
+                entry = json.load(fh)
+            out.update(entry.get("stats", {}))
+        return out
+
+    def pruned_files(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """Files whose [min, max] for ``col`` overlaps [lo, hi], plus the
+        total live-file count (for skip-rate accounting).  A file with
+        no recorded stats for the column is conservatively KEPT."""
+        live = self.snapshot_files(version)
+        st = self.stats(version)
+        kept = []
+        for f in live:
+            rng = st.get(f, {}).get(col)
+            if rng is None or not (hi < type(hi)(rng[0]) or lo > type(lo)(rng[1])):
+                kept.append(f)
+        return kept, len(live)
+
+    def read_pruned(self, spark, col: str, lo, hi, version: int | None = None):
+        files, _ = self.pruned_files(col, lo, hi, version)
+        if not files:
+            raise ValueError("no files overlap the predicate range")
+        return spark.read.parquet(*files)

@@ -724,3 +724,39 @@ def storage_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Manifest-stats file skipping
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "storage_stats_pruned_read",
+    tier="B",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice BETWEEN 50000.0 AND 100000.0
+    """,
+)
+def storage_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-statistics file skipping (operators/txlog.StatsTable):
+    commits record per-file [min, max] from the parquet FOOTERS
+    (metadata only), and a range predicate consults the manifest to
+    open only overlapping files — the Iceberg-manifest / Delta-stats
+    data-skipping mechanism, self-contained.  The write range-clusters
+    on the predicate column (repartitionByRange), so the 50k-100k probe
+    opens ~2 of 8 files (skip rate pinned in tests/test_txlog.py); the
+    exact filter still applies after pruning (stats prune is a superset
+    guarantee, never a substitute).  At 100 TB this is the difference
+    between a full scan and reading the predicate's selectivity."""
+    from ub_etl_spark.operators.txlog import StatsTable
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    root = os.path.join(tempfile.gettempdir(), "ub_etl_statstable_query")
+    shutil.rmtree(root, ignore_errors=True)
+    t = StatsTable(root, stats_cols=["o_totalprice"])
+    t.write_commit(o.repartitionByRange(8, "o_totalprice"), mode="append")
+    return t.read_pruned(spark, "o_totalprice", 50000.0, 100000.0).filter(
+        F.col("o_totalprice").between(50000.0, 100000.0)
+    ).select("o_orderkey", "o_totalprice")
