@@ -162,3 +162,54 @@ def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("content_md5")
         .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
     )
+
+
+# End-to-end media preparation composite — the multimodal capstone in the
+# pipeline_training_manifest mold: binary ingest -> exact content dedup
+# (md5 keeper) -> decode features -> resize geometry, one manifest row
+# per surviving asset.  Every stage is the registered operator's own
+# expression tree; the perceptual near-dup stage (multimodal_phash_dedup)
+# slots in after the exact pass in production but stays out of this
+# composite so the WHOLE chain remains value-checked (the pHash has no
+# SQL twin).  The binary column is dropped at the feature step — nothing
+# wide ever carries payload bytes.
+@register(
+    "pipeline_media_prepare",
+    tier="B",
+    oracle="""
+    WITH kept AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    )
+    SELECT d.doc_id,
+           CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+           CAST(GREATEST(octet_length(encode(d.text)) % 640, 1) AS BIGINT)
+             AS width,
+           CAST(GREATEST(octet_length(encode(d.text)) % 480, 1) AS BIGINT)
+             AS height,
+           CAST(LEAST(octet_length(encode(d.text)), 784) AS BIGINT)
+             AS resized_bytes,
+           224.0 / GREATEST(octet_length(encode(d.text)) % 640, 1) AS scale_x
+    FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+    """,
+)
+def pipeline_media_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ub_etl_spark.operators.multimodal import resize_media
+
+    d = T(spark, sf_dir, "documents")
+    media = with_binary_payload(d, "doc_id", "text")
+    keepers = (
+        media.select("doc_id", F.col("meta.content_md5").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv = media.join(keepers, "doc_id", "left_semi")
+    feats = decode_features(surv, fake=True).select(
+        "doc_id", "n_bytes", "width", "height"
+    )
+    resized = resize_media(surv, 224, 224, fake=True).select(
+        "doc_id",
+        F.octet_length("payload").cast("bigint").alias("resized_bytes"),
+        "scale_x",
+    )
+    return feats.join(resized, "doc_id")
