@@ -220,6 +220,8 @@ HEADLINE = [
     "join_asof_tolerance",
     "window_running_distinct",
     "storage_time_travel",
+    "storage_stats_pruned_read",
+    "pipeline_media_prepare",
 ]
 
 

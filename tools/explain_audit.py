@@ -284,6 +284,25 @@ EXPECT = {
     # Theil: aggregate-only inequality — NO sort, NO window (Gini needs ranks)
     "agg_theil_inequality": ["HashAggregate", "!Window", "!Sort "],
     "dim_scd2_apply_changes": ["Window", "Exchange hashpartitioning(o_custkey"],
+    # batch 10-13 additions
+    "agg_mutual_information": ["HashAggregate", "BroadcastHashJoin"],
+    "feature_woe_iv": ["HashAggregate", "BroadcastHashJoin"],
+    "market_basket_lift": ["TakeOrderedAndProject", "HashAggregate", "Generate"],
+    "multimodal_dedup_exact": ["HashAggregate", "codegen id :"],
+    "text_keyphrase_topk": ["Window", "HashAggregate", "Generate"],
+    # link prediction: wedge agg + anti-join of existing edges
+    "graph_jaccard_link_prediction": ["LeftAnti", "TakeOrderedAndProject"],
+    # KS: cumulative window over the constant bucket spine, no global data sort
+    "agg_ks_test_bucketed": ["Window", "HashAggregate", "BroadcastHashJoin"],
+    "agg_winsorized_mean": ["HashAggregate", "BroadcastNestedLoopJoin"],
+    "events_funnel_any_order": ["HashAggregate", "Exchange hashpartitioning(user_id"],
+    "io_csv_malformed_quarantine": ["codegen id :"],
+    "join_asof_tolerance": ["Window"],
+    # running distinct: two keyed windows, nothing global
+    "window_running_distinct": ["Window", "Exchange hashpartitioning(user_id"],
+    "storage_time_travel": ["Union", "codegen id :"],
+    "storage_stats_pruned_read": ["PushedFilters: [IsNotNull(o_totalprice)", "codegen id :"],
+    "pipeline_media_prepare": ["MapInPandas", "LeftSemi"],
 }
 
 # Kept by hand; prepended to the generated PLANS.md on every regeneration.

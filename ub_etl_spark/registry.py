@@ -188,6 +188,8 @@ DRIVER_PRIORITY = [
 #   storage_io.py (+1): io_csv_malformed_quarantine (VALUES oracle)
 #   extras.py (+2): join_asof_tolerance window_running_distinct
 #   storage_io.py (+1): storage_time_travel (operators/txlog.py)
+#   storage_io.py (+1): storage_stats_pruned_read (manifest skipping)
+#   multimodal.py (+1): pipeline_media_prepare (capstone composite)
 
 
 def load_all() -> dict[str, QuerySpec]:
