@@ -278,11 +278,22 @@ def main() -> None:
     # consecutive jobs) can't inflate both samples of the same query —
     # back-to-back reps can.  First pass additionally absorbs each plan's
     # one-time codegen/javac cost (see module docstring).
+    #
+    # Wall-clock budget: the headline list has grown past 160 queries; if
+    # a driver-side timeout killed the process mid-run there would be NO
+    # artifact at all.  When the budget runs out, later queries keep
+    # whatever samples they already have (pass 1) and queries with none
+    # are listed in budget_truncated — a partial artifact beats none.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "3000"))
+    t_start = time.perf_counter()
+    over_budget = lambda: time.perf_counter() - t_start > budget_s  # noqa: E731
     samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
     oracle_s: dict[str, float] = {}
     ratio: dict[str, float | None] = {}
     for _pass in range(2):
         for name in HEADLINE:
+            if over_budget():
+                break
             samples[name].append(run_once(spark, registry[name], sf_dir))
             sql = registry[name].oracle
             if sql is not None:
@@ -297,16 +308,24 @@ def main() -> None:
     # evidence (a quiet run and a run hit by a VM noise window), so only
     # those queries get re-measured — a sustained window spanning both
     # passes of the whole list would otherwise survive the per-query min.
-    noisy = [n for n in HEADLINE if max(samples[n]) > 1.5 * min(samples[n]) + 0.05]
+    noisy = [
+        n
+        for n in HEADLINE
+        if samples[n] and max(samples[n]) > 1.5 * min(samples[n]) + 0.05
+    ]
     for name in noisy:
+        if over_budget():
+            break
         samples[name].append(run_once(spark, registry[name], sf_dir))
     spark.catalog.clearCache()
-    timings = {n: round(min(s), 4) for n, s in samples.items()}
-    for name in HEADLINE:
+    truncated = sorted(n for n in HEADLINE if not samples[n])
+    timings = {n: round(min(s), 4) for n, s in samples.items() if s}
+    for name in timings:
         if name in oracle_s:
             ratio[name] = round(timings[name] / max(oracle_s[name], 1e-9), 2)
         else:
             ratio[name] = None
+    oracle_s = {n: v for n, v in oracle_s.items() if n in timings}
     total = round(sum(timings.values()), 4)
     oracle_total = round(sum(oracle_s.values()), 4)
     spark_with_oracle = round(sum(timings[n] for n in oracle_s), 4)
@@ -351,6 +370,9 @@ def main() -> None:
                 "aggregate_ratio_excl_subfloor": agg_ratio_excl,
                 "sf": sf,
                 "n_queries": len(timings),
+                # queries unmeasured because the wall-clock budget ran out
+                # (empty on a normal run)
+                "budget_truncated": truncated,
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
             }
         )

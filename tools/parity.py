@@ -75,6 +75,15 @@ def main() -> int:
 
     registry = load_all()
     names = args.queries or sorted(registry)
+    unknown = [n for n in names if n not in registry]
+    if unknown:
+        import difflib
+
+        for n in unknown:
+            close = difflib.get_close_matches(n, registry, n=3)
+            hint = f" (did you mean: {', '.join(close)}?)" if close else ""
+            print(f"unknown query: {n}{hint}", file=sys.stderr)
+        return 2
     spark = get_spark("parity")
     con = duck_con(args.sf)
     failures = 0
