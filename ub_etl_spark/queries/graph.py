@@ -157,10 +157,13 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), deg AS (
       SELECT u AS node, COUNT(*) AS d FROM sym GROUP BY u
     ), cand AS (
-      -- distance-2 pairs with common-neighbor counts, existing edges out
+      -- distance-2 neighbors of the PROBE nodes, existing edges out
       SELECT s1.v AS x, s2.v AS y, COUNT(*) AS cn
-      FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
-      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = s1.v AND e.v = s2.v)
+      FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v <> s2.v
+      WHERE s1.v % 100 = 0
+        AND NOT EXISTS (
+          SELECT 1 FROM e
+          WHERE e.u = LEAST(s1.v, s2.v) AND e.v = GREATEST(s1.v, s2.v))
       GROUP BY s1.v, s2.v
     )
     SELECT x, y, cn,
@@ -172,20 +175,19 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Link prediction by neighbor-set Jaccard: score every distance-2
-    NON-edge pair by |N(x) ∩ N(y)| / |N(x) ∪ N(y)| and surface the
-    top-50 predicted links — the 'customers who bought these also
-    bought' edge-completion primitive, and the graph twin of the
-    similarity tier's candidate-then-verify discipline.  Common-
-    neighbor counts come from a wedge aggregate over the SYMMETRIC
-    adjacency (each shared neighbor contributes once), existing edges
-    anti-join out, degrees attach broadcast, and the union size in the
-    Jaccard denominator is inclusion-exclusion (dx + dy − cn) — no
-    second intersection pass.  Scale: wedge generation is the
-    O(Σ deg²) candidate bound every common-neighbor method pays;
-    degree-capping hubs (drop nodes above a degree ceiling, standard
-    in production link prediction) is the documented lever when the
-    degree distribution is heavy-tailed."""
+    """Link prediction by neighbor-set Jaccard for a BOUNDED probe set
+    (parts with key % 100 == 0): rank each probe's distance-2
+    non-neighbors by |N(x) ∩ N(y)| / |N(x) ∪ N(y)| — the 'customers who
+    bought this also bought' edge-completion primitive, shaped like
+    retrieval actually runs it (per-entity recommendation queries, the
+    knn bounded-query convention).  Common-neighbor counts come from a
+    wedge aggregate seeded AT the probes (cost O(|probes| x deg²), not
+    the all-pairs Σ deg² — the unrestricted form measured 250 s on the
+    dense sf0.1 co-purchase graph and is exactly what production never
+    runs); existing edges anti-join out on the canonical orientation;
+    degrees attach broadcast; the Jaccard denominator is inclusion-
+    exclusion (dx + dy − cn), no second intersection pass.  Batch-mode
+    all-pairs variants degree-cap hubs first — the documented lever."""
     li = T(spark, sf_dir, "lineitem")
     pairs = basket_pairs(li, "l_orderkey", "l_partkey")
     edges = canonical_edges(pairs, "part_a", "part_b").persist()
@@ -195,16 +197,21 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d")).select(
         F.col("u").alias("node"), "d"
     )
-    s1 = sym.select(F.col("u").alias("c"), F.col("v").alias("x"))
+    s1 = sym.select(F.col("u").alias("c"), F.col("v").alias("x")).filter(
+        F.col("x") % 100 == 0
+    )
     s2 = sym.select(F.col("u").alias("c"), F.col("v").alias("y"))
     cand = (
         s1.join(s2, "c")
-        .filter(F.col("x") < F.col("y"))
+        .filter(F.col("x") != F.col("y"))
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("cn"))
         .join(
-            edges.select(F.col("u").alias("x"), F.col("v").alias("y")),
-            ["x", "y"],
+            edges.select(
+                F.col("u").alias("eu"), F.col("v").alias("ev")
+            ),
+            (F.least(F.col("x"), F.col("y")) == F.col("eu"))
+            & (F.greatest(F.col("x"), F.col("y")) == F.col("ev")),
             "left_anti",
         )
     )

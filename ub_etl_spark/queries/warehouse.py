@@ -540,3 +540,124 @@ def lineitem_otif_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration index
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "supplier_concentration_hhi",
+    tier="B",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey, SUM({sql_cents("l_extendedprice")}) AS r
+      FROM lineitem GROUP BY l_suppkey
+    ), tot AS (SELECT SUM(r) AS t, COUNT(*) AS n FROM rev),
+    shares AS (
+      SELECT CAST(FLOOR(CAST(r AS DOUBLE) * 1000000 / t) AS BIGINT) AS s_u, n
+      FROM rev, tot
+    )
+    SELECT SUM(s_u * s_u) / 1000000000000.0 AS hhi,
+           ANY_VALUE(n) AS n_suppliers,
+           1.0 / ANY_VALUE(n) AS hhi_floor
+    FROM shares
+    """,
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue — the
+    market-concentration / vendor-risk metric (HHI 1/n = perfectly
+    even, 1.0 = monopoly; procurement teams alarm above ~0.25).  Each
+    share QUANTIZES to integer millionths via one shared-order double
+    division before squaring, so the sum of squares is exact long
+    arithmetic (a double share² sum would be order-dependent); the
+    only divisions are the share quantization and the final 1e-12
+    rescale.  One |suppliers| aggregate + a 1-row total broadcast.
+    Scale: concentration state is |suppliers| rows; same HHI shape
+    serves source-mix balance in a training-data pipeline
+    (mix_weighted_sources' diagnostic twin)."""
+    li = T(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(F.sum(cents("l_extendedprice")).alias("r"))
+    tot = rev.agg(F.sum("r").alias("t"), F.count(F.lit(1)).alias("n"))
+    s_u = F.floor(F.col("r").cast("double") * 1e6 / F.col("t")).cast("bigint")
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .select(s_u.alias("s_u"), "n")
+        .agg(
+            (F.sum(F.col("s_u") * F.col("s_u")) / 1e12).alias("hhi"),
+            F.any_value("n").alias("n_suppliers"),
+            (F.lit(1.0) / F.any_value("n")).alias("hhi_floor"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase cohort rate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_repeat_purchase_rate",
+    tier="B",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey, MIN(o_orderdate) AS first_dt
+      FROM orders GROUP BY o_custkey
+    ), flags AS (
+      SELECT f.o_custkey,
+             CAST(date_trunc('month', f.first_dt) AS DATE) AS cohort_month,
+             MAX(CASE WHEN o.o_orderdate > f.first_dt
+                       AND o.o_orderdate <= f.first_dt + INTERVAL 90 DAY
+                      THEN 1 ELSE 0 END) AS repeated
+      FROM firsts f JOIN orders o ON o.o_custkey = f.o_custkey
+      GROUP BY f.o_custkey, date_trunc('month', f.first_dt)
+    )
+    SELECT cohort_month, COUNT(*) AS n_customers,
+           CAST(SUM(repeated) AS BIGINT) AS n_repeated,
+           CAST(SUM(repeated) AS DOUBLE) / COUNT(*) AS repeat_rate
+    FROM flags GROUP BY cohort_month
+    ORDER BY cohort_month
+    """,
+)
+def orders_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90-day repeat-purchase rate by acquisition-month cohort — the
+    commerce loyalty metric (the orders-side sibling of the events
+    retention matrix: did the customer come BACK within the window).
+    Per-customer first order via one MIN agg; the orders scan re-joins
+    keyed on o_custkey with the window condition riding the join and
+    collapses to one repeat flag per customer; monthly rollup is tiny.
+    Both shuffles co-key on o_custkey (AQE broadcasts the firsts side
+    while it fits).  Exact flags, one division."""
+    o = T(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt")).select(
+        F.col("o_custkey").alias("f_cust"), "first_dt"
+    )
+    flags = (
+        o.join(firsts, o.o_custkey == F.col("f_cust"))
+        .groupBy(
+            "f_cust",
+            F.date_trunc("month", F.col("first_dt")).cast("date").alias("cohort_month"),
+        )
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("o_orderdate") > F.col("first_dt"))
+                    & (
+                        F.col("o_orderdate")
+                        <= F.col("first_dt") + F.expr("INTERVAL 90 DAY")
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("repeated")
+        )
+    )
+    return (
+        flags.groupBy("cohort_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("repeated").cast("bigint").alias("n_repeated"),
+            (F.sum("repeated").cast("double") / F.count(F.lit(1))).alias("repeat_rate"),
+        )
+        .orderBy("cohort_month")
+    )
