@@ -222,6 +222,8 @@ HEADLINE = [
     "storage_time_travel",
     "storage_stats_pruned_read",
     "pipeline_media_prepare",
+    "supplier_concentration_hhi",
+    "orders_repeat_purchase_rate",
 ]
 
 

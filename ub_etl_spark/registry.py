@@ -190,6 +190,7 @@ DRIVER_PRIORITY = [
 #   storage_io.py (+1): storage_time_travel (operators/txlog.py)
 #   storage_io.py (+1): storage_stats_pruned_read (manifest skipping)
 #   multimodal.py (+1): pipeline_media_prepare (capstone composite)
+#   warehouse.py (+2): supplier_concentration_hhi orders_repeat_purchase_rate
 
 
 def load_all() -> dict[str, QuerySpec]:
