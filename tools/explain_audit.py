@@ -303,6 +303,8 @@ EXPECT = {
     "storage_time_travel": ["Union", "codegen id :"],
     "storage_stats_pruned_read": ["PushedFilters: [IsNotNull(o_totalprice)", "codegen id :"],
     "pipeline_media_prepare": ["MapInPandas", "LeftSemi"],
+    "supplier_concentration_hhi": ["HashAggregate", "BroadcastNestedLoopJoin"],
+    "orders_repeat_purchase_rate": ["HashAggregate"],
 }
 
 # Kept by hand; prepended to the generated PLANS.md on every regeneration.
