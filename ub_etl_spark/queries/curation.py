@@ -259,3 +259,102 @@ def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(mix_bucket(F.col("doc_id"), salt, n_buckets=1000000) < F.col("keep_thr"))
         .select("doc_id", "source", "keep_thr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source corpus health report
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_corpus_health",
+    tier="B",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, source, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                 ' +', ' ', 'g')) AS norm_text
+      FROM documents
+    ), keepers AS (
+      SELECT source, COUNT(DISTINCT norm_text) AS n_unique FROM norm
+      GROUP BY source
+    ), langs AS (
+      SELECT source, lang, COUNT(*) AS nl FROM norm GROUP BY source, lang
+    ), lang_ent AS (
+      SELECT source,
+             -SUM(CAST(FLOOR((CAST(nl AS DOUBLE) / SUM(nl) OVER (PARTITION BY source))
+                             * ln(CAST(nl AS DOUBLE) / SUM(nl) OVER (PARTITION BY source))
+                             * 1000000) AS BIGINT)) / 1000000.0 AS h_u
+      FROM langs GROUP BY source
+    ), base AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens,
+             CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS mean_tokens
+      FROM norm GROUP BY source
+    )
+    SELECT b.source, b.n_docs, b.total_tokens, b.mean_tokens,
+           k.n_unique,
+           CAST(b.n_docs - k.n_unique AS BIGINT) AS n_exact_dupes,
+           e.h_u AS lang_entropy
+    FROM base b JOIN keepers k ON b.source = k.source
+    JOIN lang_ent e ON b.source = e.source
+    ORDER BY b.source
+    """,
+)
+def pipeline_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report — the data-ops dashboard a corpus
+    owner reads before every training run: volume (docs, tokens), exact-
+    duplicate rate on normalized text (the dedup_normalized_exact
+    folding), and language-mix entropy (0 = monolingual source; the
+    events_user_entropy quantization rule, −p·ln p per cell floored to
+    micro-units BEFORE the per-source sum).  One scan feeds every
+    branch; aggregates key on source (and (source, lang) for the mix);
+    the normalized-distinct is the only wide-ish shuffle and reuses the
+    cheap-dedup pass's exact shape.  Scale: report state is
+    |sources| x |langs| rows."""
+    d = T(spark, sf_dir, "documents")
+    norm_text = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    norm = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        norm_text.alias("norm_text"),
+    )
+    base = norm.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("mean_tokens"),
+    )
+    keepers = norm.groupBy("source").agg(
+        F.countDistinct("norm_text").alias("n_unique")
+    )
+    langs = norm.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("nl"))
+    from pyspark.sql import Window as W
+
+    tot = F.sum("nl").over(W.partitionBy("source"))
+    p = F.col("nl").cast("double") / tot
+    h_cell = F.floor(p * F.log(p) * 1e6).cast("bigint")
+    lang_ent = (
+        langs.select("source", h_cell.alias("h_cell"))
+        .groupBy("source")
+        .agg((-F.sum("h_cell") / 1e6).alias("lang_entropy"))
+    )
+    return (
+        base.join(keepers, "source")
+        .join(lang_ent, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "mean_tokens",
+            "n_unique",
+            (F.col("n_docs") - F.col("n_unique")).cast("bigint").alias("n_exact_dupes"),
+            "lang_entropy",
+        )
+        .orderBy("source")
+    )

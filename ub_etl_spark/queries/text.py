@@ -698,3 +698,72 @@ def text_keyphrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tfidf", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model log-probability
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_unigram_logprob",
+    tier="B",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), cf AS (
+      SELECT term, COUNT(*) AS cf FROM tok GROUP BY term
+    ), g AS (
+      SELECT COUNT(*) AS n_tokens, COUNT(DISTINCT term) AS vocab FROM tok
+    ), scored AS (
+      SELECT doc_id, tf,
+             CAST(FLOOR(ln((CAST(cf AS DOUBLE) + 1.0) / (n_tokens + vocab))
+                        * 1000000) AS BIGINT) AS lp_u
+      FROM tf JOIN cf USING (term) CROSS JOIN g
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           -(SUM(tf * lp_u) / 1000000.0) / SUM(tf) AS avg_neg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-probability under the corpus's
+    own add-one-smoothed unigram LM — the model-free fluency/typicality
+    score an LLM-data pipeline uses before it has a trained model (high
+    = rare-token-heavy: OCR noise, boilerplate IDs, wrong-language
+    text; the quality-gate sibling of text_quality_gopher with a
+    probabilistic footing).  Perplexity = exp(this) is left to the
+    consumer: exp's last ulp differs across libm implementations, while
+    this output ends at exact integer arithmetic — each term's ln
+    QUANTIZES to micro-units, the doc sum weights quantized longs by
+    exact tf, and one division closes it.  Corpus stats (token count,
+    vocab) are a 1-row broadcast; the per-term frequency join is the
+    tf-idf shape.  Scale: identical to text_tfidf."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    g = tok.agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.countDistinct("term").alias("vocab")
+    )
+    lp_u = F.floor(
+        F.log(
+            (F.col("cf").cast("double") + 1.0) / (F.col("n_tokens") + F.col("vocab"))
+        )
+        * 1e6
+    ).cast("bigint")
+    return (
+        tf.join(cf, "term")
+        .crossJoin(F.broadcast(g))
+        .select("doc_id", "tf", lp_u.alias("lp_u"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            (-(F.sum(F.col("tf") * F.col("lp_u")) / 1e6) / F.sum("tf")).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )
