@@ -224,6 +224,8 @@ HEADLINE = [
     "pipeline_media_prepare",
     "supplier_concentration_hhi",
     "orders_repeat_purchase_rate",
+    "text_unigram_logprob",
+    "pipeline_corpus_health",
 ]
 
 

@@ -281,12 +281,15 @@ def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY source
     ), langs AS (
       SELECT source, lang, COUNT(*) AS nl FROM norm GROUP BY source, lang
-    ), lang_ent AS (
+    ), lang_cells AS (
       SELECT source,
-             -SUM(CAST(FLOOR((CAST(nl AS DOUBLE) / SUM(nl) OVER (PARTITION BY source))
-                             * ln(CAST(nl AS DOUBLE) / SUM(nl) OVER (PARTITION BY source))
-                             * 1000000) AS BIGINT)) / 1000000.0 AS h_u
-      FROM langs GROUP BY source
+             CAST(FLOOR((CAST(nl AS DOUBLE) / tot) * ln(CAST(nl AS DOUBLE) / tot)
+                        * 1000000) AS BIGINT) AS h_cell
+      FROM (SELECT source, nl,
+                   SUM(nl) OVER (PARTITION BY source) AS tot FROM langs) t
+    ), lang_ent AS (
+      SELECT source, -SUM(h_cell) / 1000000.0 AS h_u FROM lang_cells
+      GROUP BY source
     ), base AS (
       SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens,
              CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS mean_tokens

@@ -191,6 +191,8 @@ DRIVER_PRIORITY = [
 #   storage_io.py (+1): storage_stats_pruned_read (manifest skipping)
 #   multimodal.py (+1): pipeline_media_prepare (capstone composite)
 #   warehouse.py (+2): supplier_concentration_hhi orders_repeat_purchase_rate
+#   text.py (+1): text_unigram_logprob
+#   curation.py (+1): pipeline_corpus_health
 
 
 def load_all() -> dict[str, QuerySpec]:
