@@ -705,3 +705,56 @@ def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("l_linestatus", ["O", "F"])
         .agg(F.sum(cents("l_quantity")) / 100.0)
     )
+
+
+# ---------------------------------------------------------------------------
+# df.stat surface: crosstab
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stat_crosstab_segments",
+    tier="Q",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           SUM(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+           SUM(CASE WHEN o.o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS n_high,
+           SUM(CASE WHEN o.o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS n_medium,
+           SUM(CASE WHEN o.o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS n_notspec,
+           SUM(CASE WHEN o.o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS n_low
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+)
+def stat_crosstab_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataFrameStatFunctions surface: df.stat.crosstab builds the
+    segment × priority contingency table in one pass (the same grid
+    agg_mutual_information scores; crosstab is its API-front-door
+    sibling and the two-variable EDA primitive).  Column names are
+    re-aliased to fixed identifiers — crosstab emits the raw category
+    values as column names ('1-URGENT'), which no cross-engine
+    comparison should depend on.  Exact counts; Spark plans the same
+    Expand-free conditional aggregate the oracle states.  Scale: output
+    is |X| rows × |Y| columns — crosstab is only for dim×dim pairs
+    (the long-form (x, y, n) grid is the high-cardinality shape)."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderpriority"
+    )
+    ct = joined.stat.crosstab("c_mktsegment", "o_orderpriority")
+    # crosstab's first column is "c_mktsegment_o_orderpriority"
+    first = ct.columns[0]
+    renames = {
+        "1-URGENT": "n_urgent",
+        "2-HIGH": "n_high",
+        "3-MEDIUM": "n_medium",
+        "4-NOT SPECIFIED": "n_notspec",
+        "5-LOW": "n_low",
+    }
+    out = ct.select(
+        F.col(f"`{first}`").alias("segment"),
+        *[F.col(f"`{src}`").cast("bigint").alias(dst) for src, dst in renames.items()],
+    )
+    return out.orderBy("segment")

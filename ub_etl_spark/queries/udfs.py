@@ -137,3 +137,75 @@ def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg((median_cents("tc") / 100.0).alias("med_totalprice"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Co-grouped map (cogroup().applyInPandas)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udf_cogrouped_map",
+    tier="B",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase'
+    ), signups AS (
+      SELECT user_id, ts AS signup_ts, max(event_id) AS signup_event_id
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+    )
+    SELECT p.user_id, p.event_id, p.value, s.signup_event_id
+    FROM purchases p
+    ASOF LEFT JOIN signups s
+      ON p.user_id = s.user_id AND s.signup_ts <= p.ts
+    """,
+)
+def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CO-GROUPED pandas surface (cogroup().applyInPandas — the last
+    member of the Pandas-UDF family beside scalar/grouped-map/grouped-
+    agg/mapInPandas/UDTF): both sides hash-partition on the key and
+    each key's two pandas frames arrive together in one Arrow batch —
+    here running pd.merge_asof per user, value-checked against DuckDB's
+    native ASOF JOIN (and against the repo's own window-based asof_join
+    via the shared oracle).  The sanctioned use is per-key logic that
+    needs BOTH sides as materialized frames (model scoring against a
+    per-key reference curve, custom reconciliation); for plain as-of
+    semantics the codegen window formulation (operators/asof.py)
+    remains the fast path — this entry exists to prove the API surface
+    under the same correctness gate.  One co-partitioned shuffle per
+    side, group state bounded by per-user history."""
+    import pandas as pd
+
+    e = T(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_event_id"))
+        .select("user_id", F.col("ts").alias("signup_ts"), "signup_event_id")
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values(["ts", "event_id"])
+        if right.empty:
+            out = left[["user_id", "event_id", "value"]].copy()
+            out["signup_event_id"] = pd.array([None] * len(out), dtype="Int64")
+            return out
+        right = right.sort_values("signup_ts")
+        m = pd.merge_asof(
+            left,
+            right[["signup_ts", "signup_event_id"]],
+            left_on="ts",
+            right_on="signup_ts",
+            direction="backward",
+        )
+        m["signup_event_id"] = m["signup_event_id"].astype("Int64")
+        return m[["user_id", "event_id", "value", "signup_event_id"]]
+
+    return purchases.groupBy("user_id").cogroup(signups.groupBy("user_id")).applyInPandas(
+        merge,
+        schema="user_id long, event_id long, value double, signup_event_id long",
+    )
