@@ -226,6 +226,8 @@ HEADLINE = [
     "orders_repeat_purchase_rate",
     "text_unigram_logprob",
     "pipeline_corpus_health",
+    "udf_cogrouped_map",
+    "stat_crosstab_segments",
 ]
 
 

@@ -193,6 +193,8 @@ DRIVER_PRIORITY = [
 #   warehouse.py (+2): supplier_concentration_hhi orders_repeat_purchase_rate
 #   text.py (+1): text_unigram_logprob
 #   curation.py (+1): pipeline_corpus_health
+#   udfs.py (+1): udf_cogrouped_map (cogroup applyInPandas surface)
+#   relational.py (+1): stat_crosstab_segments (df.stat surface)
 
 
 def load_all() -> dict[str, QuerySpec]:
