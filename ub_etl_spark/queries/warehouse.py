@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ub_etl_spark.functions.exact import cents, sql_cents
+from ub_etl_spark.functions.exact import cents, csum, sql_cents, sql_csum
 from ub_etl_spark.registry import register
 from ub_etl_spark.sources.tables import load_table as T
 
@@ -660,4 +660,143 @@ def orders_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("repeated").cast("double") / F.count(F.lit(1))).alias("repeat_rate"),
         )
         .orderBy("cohort_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe churn training set
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_churn_training_set",
+    tier="B",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MAX(o_orderdate) - INTERVAL 365 DAY AS cutoff FROM orders
+    ), feat AS (
+      SELECT o.o_custkey,
+             COUNT(*) AS n_orders_hist,
+             SUM({sql_cents("o.o_totalprice")}) AS spend_hist_c,
+             MAX(o.o_orderdate) AS last_order_dt,
+             CAST(date_diff('day', MAX(o.o_orderdate), b.cutoff) AS BIGINT)
+               AS recency_days
+      FROM orders o, bounds b
+      WHERE o.o_orderdate <= b.cutoff
+      GROUP BY o.o_custkey, b.cutoff
+    ), label AS (
+      SELECT DISTINCT o.o_custkey, 0 AS churned
+      FROM orders o, bounds b WHERE o.o_orderdate > b.cutoff
+    )
+    SELECT f.o_custkey, f.n_orders_hist,
+           CAST(f.spend_hist_c AS DOUBLE) / 100.0 AS spend_hist,
+           f.recency_days,
+           COALESCE(l.churned, 1) AS churned
+    FROM feat f LEFT JOIN label l ON f.o_custkey = l.o_custkey
+    ORDER BY f.o_custkey
+    """,
+)
+def pipeline_churn_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe churn training-set builder: features computed ONLY
+    from orders at-or-before the cutoff (history window), the label
+    ONLY from orders after it (observation window) — the temporal
+    split every churn/LTV model needs and the classic silent bug when
+    skipped (features that peek past the cutoff make offline metrics
+    fiction).  Cutoff = corpus max date − 365d (a 1-row broadcast);
+    features are one history-side aggregate (counts, exact-cents
+    spend, recency vs cutoff in integer days); the label is an
+    anti-join-shaped LEFT join against the distinct post-cutoff
+    customer set (absent ⇒ churned=1).  Customers first seen AFTER
+    the cutoff are correctly absent from the training set (no history
+    ⇒ no feature row).  Scale: two keyed aggregates + one keyed
+    join, nothing global."""
+    o = T(spark, sf_dir, "orders")
+    bounds = o.agg(
+        (F.max("o_orderdate") - F.expr("INTERVAL 365 DAY")).alias("cutoff")
+    )
+    w = o.crossJoin(F.broadcast(bounds))
+    feat = (
+        w.filter(F.col("o_orderdate") <= F.col("cutoff"))
+        .groupBy("o_custkey", "cutoff")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders_hist"),
+            F.sum(cents("o_totalprice")).alias("spend_hist_c"),
+            F.max("o_orderdate").alias("last_order_dt"),
+        )
+        .select(
+            "o_custkey",
+            "n_orders_hist",
+            "spend_hist_c",
+            F.datediff(F.col("cutoff"), F.col("last_order_dt"))
+            .cast("bigint")
+            .alias("recency_days"),
+        )
+    )
+    active = (
+        w.filter(F.col("o_orderdate") > F.col("cutoff"))
+        .select("o_custkey")
+        .distinct()
+        .withColumn("churned", F.lit(0))
+    )
+    return (
+        feat.join(active, "o_custkey", "left")
+        .select(
+            "o_custkey",
+            "n_orders_hist",
+            (F.col("spend_hist_c").cast("double") / 100.0).alias("spend_hist"),
+            "recency_days",
+            F.coalesce(F.col("churned"), F.lit(1)).alias("churned"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Backlog aging snapshot
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_backlog_aging",
+    tier="B",
+    oracle=f"""
+    WITH ref AS (SELECT MAX(o_orderdate) AS ref_dt FROM orders),
+    open_orders AS (
+      SELECT o.o_orderkey, o.o_totalprice,
+             CAST(date_diff('day', o.o_orderdate, r.ref_dt) AS BIGINT) AS age_d
+      FROM orders o, ref r WHERE o.o_orderstatus = 'O'
+    )
+    SELECT LEAST(CAST(age_d // 90 AS BIGINT), 8) AS age_bucket_90d,
+           COUNT(*) AS n_orders,
+           {sql_csum("o_totalprice", "open_value")}
+    FROM open_orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging at a snapshot date (90-day buckets,
+    capped at 2 years) — the AR-style aging report every operations
+    review reads, and the point-in-time companion to the sweep-line
+    daily backlog (orders_open_backlog_daily answers 'how did backlog
+    evolve'; this answers 'how OLD is what's open right now').  Age in
+    exact integer days against a 1-row broadcast reference; bucket by
+    integer DIV; one map-side-combined aggregate with exact-cents
+    value.  Scale: |buckets| rows move."""
+    o = T(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("ref_dt"))
+    open_o = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_totalprice",
+            F.datediff(F.col("ref_dt"), F.col("o_orderdate"))
+            .cast("bigint")
+            .alias("age_d"),
+        )
+    )
+    bucket = F.least(F.expr("age_d DIV 90"), F.lit(8).cast("bigint"))
+    return (
+        open_o.groupBy(bucket.alias("age_bucket_90d"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), csum("o_totalprice", "open_value"))
+        .orderBy("age_bucket_90d")
     )
