@@ -228,6 +228,8 @@ HEADLINE = [
     "pipeline_corpus_health",
     "udf_cogrouped_map",
     "stat_crosstab_segments",
+    "pipeline_churn_training_set",
+    "orders_backlog_aging",
 ]
 
 

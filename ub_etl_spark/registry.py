@@ -195,6 +195,7 @@ DRIVER_PRIORITY = [
 #   curation.py (+1): pipeline_corpus_health
 #   udfs.py (+1): udf_cogrouped_map (cogroup applyInPandas surface)
 #   relational.py (+1): stat_crosstab_segments (df.stat surface)
+#   warehouse.py (+2): pipeline_churn_training_set orders_backlog_aging
 
 
 def load_all() -> dict[str, QuerySpec]:
