@@ -305,6 +305,14 @@ EXPECT = {
     "pipeline_media_prepare": ["MapInPandas", "LeftSemi"],
     "supplier_concentration_hhi": ["HashAggregate", "BroadcastNestedLoopJoin"],
     "orders_repeat_purchase_rate": ["HashAggregate"],
+    "text_unigram_logprob": ["HashAggregate", "Generate"],
+    "pipeline_corpus_health": ["HashAggregate", "Window"],
+    # cogrouped pandas surface: the dedicated physical node
+    "udf_cogrouped_map": ["FlatMapCoGroupsInPandas"],
+    "stat_crosstab_segments": ["HashAggregate", "BroadcastHashJoin"],
+    # churn set: features/label both keyed on o_custkey, label via LEFT join
+    "pipeline_churn_training_set": ["HashAggregate", "Exchange hashpartitioning(o_custkey"],
+    "orders_backlog_aging": ["HashAggregate", "codegen id :"],
 }
 
 # Kept by hand; prepended to the generated PLANS.md on every regeneration.
