@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ub_etl_spark.functions.exact import cents, sql_cents
+from ub_etl_spark.functions.exact import cents, csum, sql_cents, sql_csum
 from ub_etl_spark.registry import register
 from ub_etl_spark.sources.tables import load_table as T
 
@@ -950,4 +950,129 @@ def events_funnel_any_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("s") * F.col("v")).cast("bigint").alias("did_signup_view"),
         F.sum(svp).cast("bigint").alias("did_all_three"),
         (F.sum(svp).cast("double") / F.count(F.lit(1))).alias("completion_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_impact_diff_in_diff",
+    tier="B",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT CASE WHEN ((user_id * 2654435761) % 4294967296) % 100 < 50
+                  THEN 1 ELSE 0 END AS treated,
+             CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END
+               AS post,
+             {sql_cents("value")} AS v
+      FROM events WHERE event_type = 'purchase'
+    ), cells AS (
+      SELECT treated, post, COUNT(*) AS n, SUM(v) AS s FROM tagged
+      GROUP BY treated, post
+    ), m AS (
+      SELECT
+        MAX(CASE WHEN treated = 1 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS t_post,
+        MAX(CASE WHEN treated = 1 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS t_pre,
+        MAX(CASE WHEN treated = 0 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS c_post,
+        MAX(CASE WHEN treated = 0 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS c_pre,
+        CAST(SUM(n) AS BIGINT) AS n_purchases
+      FROM cells
+    )
+    SELECT t_pre / 100.0 AS t_pre, t_post / 100.0 AS t_post,
+           c_pre / 100.0 AS c_pre, c_post / 100.0 AS c_post,
+           ((t_post - t_pre) - (c_post - c_pre)) / 100.0 AS did_estimate,
+           n_purchases
+    FROM m
+    """,
+)
+def events_impact_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences impact estimate on purchase value:
+    deterministic 50/50 hash assignment (the events_ab_test_zscore
+    machinery) × pre/post period split — DiD subtracts the control
+    group's secular trend from the treated group's change, the
+    work-horse causal estimator when randomization happens at rollout
+    time.  Four cell means from ONE conditional aggregate over exact
+    cents (each mean is a shared-order double division); the estimate
+    is pure arithmetic on the four already-identical doubles.  No
+    joins, no windows; scale state is 4 cells."""
+    e = T(spark, sf_dir, "events")
+    treated = (
+        F.pmod((F.col("user_id") * F.lit(2654435761)) % F.lit(2**32), F.lit(100)) < 50
+    ).cast("int")
+    post = (F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp")).cast("int")
+    cells = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(treated.alias("treated"), post.alias("post"), cents("value").alias("v"))
+        .groupBy("treated", "post")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    )
+    cell = lambda t, p: F.max(  # noqa: E731
+        F.when(
+            (F.col("treated") == t) & (F.col("post") == p),
+            F.col("s").cast("double") / F.col("n"),
+        )
+    )
+    m = cells.agg(
+        cell(1, 1).alias("t_post"),
+        cell(1, 0).alias("t_pre"),
+        cell(0, 1).alias("c_post"),
+        cell(0, 0).alias("c_pre"),
+        F.sum("n").cast("bigint").alias("n_purchases"),
+    )
+    return m.select(
+        (F.col("t_pre") / 100.0).alias("t_pre"),
+        (F.col("t_post") / 100.0).alias("t_post"),
+        (F.col("c_pre") / 100.0).alias("c_pre"),
+        (F.col("c_post") / 100.0).alias("c_post"),
+        (
+            (
+                (F.col("t_post") - F.col("t_pre"))
+                - (F.col("c_post") - F.col("c_pre"))
+            )
+            / 100.0
+        ).alias("did_estimate"),
+        "n_purchases",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week x hour activity heatmap
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_dow_hour_heatmap",
+    tier="B",
+    oracle=f"""
+    SELECT CAST(dayofweek(ts) AS BIGINT) AS dow_sunday0,
+           CAST(hour(ts) AS BIGINT) AS hr,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {sql_csum("value", "total_value")}
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap (events, distinct users,
+    exact value) — the ops-dashboard grid behind staffing, batch-window
+    placement, and anomaly eyeballing.  DOW extraction pinned to the
+    Sunday=1 convention on BOTH engines explicitly (dayofweek agrees;
+    ISO dow would differ — the events_retention_cohort Monday-alignment
+    lesson applied at the API level).  One aggregate; the grid is a
+    constant 7×24 regardless of volume."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.dayofweek("ts") - 1).cast("bigint").alias("dow_sunday0"),
+            F.hour("ts").cast("bigint").alias("hr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            csum("value", "total_value"),
+        )
+        .orderBy("dow_sunday0", "hr")
     )

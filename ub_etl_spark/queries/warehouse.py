@@ -800,3 +800,81 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"), csum("o_totalprice", "open_value"))
         .orderBy("age_bucket_90d")
     )
+
+
+# ---------------------------------------------------------------------------
+# Nation trade balance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_trade_balance",
+    tier="B",
+    oracle=f"""
+    WITH flows AS (
+      SELECT s.s_nationkey AS exporter, c.c_nationkey AS importer,
+             SUM({sql_cents("l.l_extendedprice")}) AS v
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY s.s_nationkey, c.c_nationkey
+    ), exp AS (
+      SELECT exporter AS nk, SUM(v) AS ex FROM flows GROUP BY exporter
+    ), imp AS (
+      SELECT importer AS nk, SUM(v) AS im FROM flows GROUP BY importer
+    )
+    SELECT n.n_nationkey, n.n_name,
+           COALESCE(e.ex, 0) / 100.0 AS exports,
+           COALESCE(i.im, 0) / 100.0 AS imports,
+           (COALESCE(e.ex, 0) - COALESCE(i.im, 0)) / 100.0 AS balance
+    FROM nation n
+    LEFT JOIN exp e ON n.n_nationkey = e.nk
+    LEFT JOIN imp i ON n.n_nationkey = i.nk
+    ORDER BY n.n_nationkey
+    """,
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation trade balance over the cross-border flow matrix
+    (supplier nation exports to customer nation) — the directional
+    rollup of the PageRank/BFS trade graph and the q7 nation-pair
+    volume generalized to every nation at once.  One fact pass builds
+    the |nations|² flow matrix in exact cents; exports/imports
+    re-aggregate the MATRIX (25² rows), never the fact; LEFT joins off
+    the nation dim keep zero-trade nations visible at 0 (the
+    dim_date_generate gapless-coverage rule).  Division by 100 once
+    per output column."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    flows = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("exporter"),
+            F.col("c_nationkey").alias("importer"),
+        )
+        .agg(F.sum(cents("l_extendedprice")).alias("v"))
+    )
+    exp = flows.groupBy(F.col("exporter").alias("nk")).agg(F.sum("v").alias("ex"))
+    imp = flows.groupBy(F.col("importer").alias("nk")).agg(F.sum("v").alias("im"))
+    return (
+        n.join(exp, n.n_nationkey == exp.nk, "left")
+        .join(imp, n.n_nationkey == imp.nk, "left")
+        .select(
+            "n_nationkey",
+            "n_name",
+            (F.coalesce(F.col("ex"), F.lit(0)) / 100.0).alias("exports"),
+            (F.coalesce(F.col("im"), F.lit(0)) / 100.0).alias("imports"),
+            (
+                (F.coalesce(F.col("ex"), F.lit(0)) - F.coalesce(F.col("im"), F.lit(0)))
+                / 100.0
+            ).alias("balance"),
+        )
+        .orderBy("n_nationkey")
+    )
