@@ -230,6 +230,9 @@ HEADLINE = [
     "stat_crosstab_segments",
     "pipeline_churn_training_set",
     "orders_backlog_aging",
+    "events_impact_diff_in_diff",
+    "events_dow_hour_heatmap",
+    "nation_trade_balance",
 ]
 
 

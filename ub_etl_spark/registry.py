@@ -196,6 +196,8 @@ DRIVER_PRIORITY = [
 #   udfs.py (+1): udf_cogrouped_map (cogroup applyInPandas surface)
 #   relational.py (+1): stat_crosstab_segments (df.stat surface)
 #   warehouse.py (+2): pipeline_churn_training_set orders_backlog_aging
+#   behavior.py (+2): events_impact_diff_in_diff events_dow_hour_heatmap
+#   warehouse.py (+1): nation_trade_balance
 
 
 def load_all() -> dict[str, QuerySpec]:
