@@ -811,7 +811,11 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation_trade_balance",
     tier="B",
     oracle=f"""
-    WITH flows AS (
+    -- MATERIALIZED: the flow CTE feeds two marginals; DuckDB's default
+    -- inlining re-evaluates the 4-way join per reference (measured 37 s
+    -- vs 0.1 s at sf0.1) — pin the sane plan so the oracle time is a
+    -- fair single-node reference
+    WITH flows AS MATERIALIZED (
       SELECT s.s_nationkey AS exporter, c.c_nationkey AS importer,
              SUM({sql_cents("l.l_extendedprice")}) AS v
       FROM lineitem l
