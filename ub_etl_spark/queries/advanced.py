@@ -670,3 +670,83 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hi") / 100.0).alias("p95"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 2D grid-bucketed spatial join
+# ---------------------------------------------------------------------------
+
+_GRID_R = 4.0  # distance threshold == cell width (one-ring adjacency covers)
+
+
+@register(
+    "join_spatial_grid",
+    tier="B",
+    oracle=f"""
+    WITH pts AS (
+      SELECT p_partkey AS id, CAST(p_size AS DOUBLE) AS x,
+             p_retailprice / 250.0 AS y
+      FROM part
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           floor(sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+                 * 1000000) / 1000000 AS dist
+    FROM pts a JOIN pts b
+      ON a.id < b.id
+     AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+         <= {_GRID_R} * {_GRID_R}
+    """,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D grid-bucketed distance join: all point pairs within distance r
+    in the (size, scaled-price) plane — the geospatial-join shape
+    (points-within-radius, store-catchment overlap, sensor
+    co-location) with no native Spark operator.  Cell width == r, so a
+    qualifying pair sits in the same or one-ring-adjacent cells: side A
+    keys on its own cell, side B EXPLODES to its 3x3 neighborhood
+    (bounded 9x duplication of the smaller conceptual side), the join
+    is plain EQUI hash on cell id, and the exact distance predicate
+    filters after — O(n x local density), never the oracle's O(n²)
+    cross product; the 1D theta-band bucketing (B98) lifted to 2D.
+    Pair dedup: candidates can co-occur in at most one (cellA,
+    neighbor-offset) combination because A is keyed on its OWN cell —
+    no dropDuplicates needed.  Distances floor to 6dp (sqrt ulp rule).
+    Scale: skewed hot cells split by AQE like any hash join; at
+    planetary scale swap the uniform grid for a geohash at the same
+    cell-width-=r discipline."""
+    p = T(spark, sf_dir, "part")
+    r = _GRID_R
+    pts = p.select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_size").cast("double").alias("x"),
+        (F.col("p_retailprice") / 250.0).alias("y"),
+    )
+    cx = F.floor(F.col("x") / r).cast("long")
+    cy = F.floor(F.col("y") / r).cast("long")
+    a = pts.select("id", "x", "y", cx.alias("cx"), cy.alias("cy"))
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    b = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (cx + F.lit(dx)).alias("cx"), (cy + F.lit(dy)).alias("cy")
+                    )
+                    for dx, dy in offsets
+                ]
+            )
+        ).alias("cell"),
+    ).select("id_b", "xb", "yb", F.col("cell.cx").alias("cx"), F.col("cell.cy").alias("cy"))
+    d2 = (F.col("x") - F.col("xb")) ** 2 + (F.col("y") - F.col("yb")) ** 2
+    return (
+        a.join(b, ["cx", "cy"])
+        .filter((F.col("id") < F.col("id_b")) & (d2 <= F.lit(r * r)))
+        .select(
+            F.col("id").alias("id_a"),
+            "id_b",
+            (F.floor(F.sqrt(d2) * 1e6) / 1e6).alias("dist"),
+        )
+    )
