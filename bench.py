@@ -233,6 +233,7 @@ HEADLINE = [
     "events_impact_diff_in_diff",
     "events_dow_hour_heatmap",
     "nation_trade_balance",
+    "join_spatial_grid",
 ]
 
 

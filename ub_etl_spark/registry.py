@@ -198,6 +198,7 @@ DRIVER_PRIORITY = [
 #   warehouse.py (+2): pipeline_churn_training_set orders_backlog_aging
 #   behavior.py (+2): events_impact_diff_in_diff events_dow_hour_heatmap
 #   warehouse.py (+1): nation_trade_balance
+#   advanced.py (+1): join_spatial_grid
 
 
 def load_all() -> dict[str, QuerySpec]:
