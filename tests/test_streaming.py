@@ -452,3 +452,42 @@ def test_scd2_stream_equals_full_rebuild_across_batches(spark, tmpdir):
         for r in spark.read.parquet(f"{state}/history").collect()
     }
     assert again == expect
+
+
+def test_enrich_stream_matches_batch_twin_and_handles_unknown(spark, tmpdir):
+    """Stream-static enrichment replayed through readStream equals the
+    batch-twin aggregate, including the unknown-tier fallback for users
+    absent from the dim."""
+    from ub_etl_spark.streaming.pipelines import enrich_stream
+
+    src = f"{tmpdir}/src"
+    rows = [
+        (1, T0, 10, "view", 1.5),
+        (2, T0, 10, "view", 2.5),
+        (3, T0, 20, "click", 4.0),
+        (4, T0, 30, "view", 8.0),  # user 30: not in dim -> unknown
+    ]
+    write_batch(spark, src, rows)
+    dim = spark.createDataFrame(
+        [(10, "gold"), (20, "silver")], "user_id long, tier string"
+    )
+    stream_out = enrich_stream(read_stream(spark, src), dim)
+    q = (
+        stream_out.writeStream.format("memory")
+        .queryName("enrich_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.tier, r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM enrich_t").collect()
+    }
+    batch = {
+        (r.tier, r.n_events, r.total_value)
+        for r in enrich_stream(spark.createDataFrame(rows, SCHEMA), dim).collect()
+    }
+    assert got == batch
+    assert ("gold", 2, 4.0) in got
+    assert ("unknown", 1, 8.0) in got

@@ -290,3 +290,59 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["purchase_value"],
         how="left_outer",
     )
+
+
+# Stream-static enrichment: the batch twin runs the SAME frame-level
+# logic (streaming/pipelines.enrich_stream) over the batch events table;
+# the readStream twin with per-batch dim resolution is replayed in
+# tests/test_streaming.py.  Dim = deterministic hash-derived user tiers
+# (no tier table in the fixtures; the derivation is engine-shared
+# integer arithmetic, so the whole enrichment is value-checked).
+@register(
+    "stream_static_enrich",
+    tier="B",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT user_id,
+             CASE ((user_id * 2654435761) % 4294967296) % 3
+               WHEN 0 THEN 'gold' WHEN 1 THEN 'silver' ELSE 'bronze' END AS tier
+      FROM events WHERE user_id % 5 <> 0
+    )
+    SELECT COALESCE(d.tier, 'unknown') AS tier,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e LEFT JOIN dim d ON e.user_id = d.user_id
+    GROUP BY COALESCE(d.tier, 'unknown')
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join, batch twin: events LEFT-join a
+    static user-tier dimension (broadcast — the A9 bridge join in
+    streaming form) with unknown-tier fallback for users absent from
+    the dim (every 5th user here: the left join + coalesce keeps them,
+    an inner join would silently drop their traffic — the
+    pipeline_customer_features lesson at streaming speed), then a
+    per-tier aggregate.  The streaming twin (enrich_stream) runs the
+    identical frame logic per micro-batch with the dim re-resolved
+    between batches; replayed in tests/test_streaming.py."""
+    from ub_etl_spark.streaming.pipelines import enrich_stream
+
+    e = T(spark, sf_dir, "events")
+    tier = (
+        F.when(
+            F.pmod((F.col("user_id") * F.lit(2654435761)) % F.lit(2**32), F.lit(3)) == 0,
+            "gold",
+        )
+        .when(
+            F.pmod((F.col("user_id") * F.lit(2654435761)) % F.lit(2**32), F.lit(3)) == 1,
+            "silver",
+        )
+        .otherwise("bronze")
+    )
+    dim = (
+        e.filter(F.col("user_id") % 5 != 0)
+        .select("user_id")
+        .distinct()
+        .withColumn("tier", tier)
+    )
+    return enrich_stream(e, dim)

@@ -375,3 +375,25 @@ def scd2_stream_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join — the most common streaming pattern:
+    each micro-batch of the stream joins a STATIC dimension (no
+    watermark, no state store; the dim is re-resolvable per batch, so a
+    catalog-backed dim picks up slowly-changing updates between
+    batches).  The planner broadcasts the dim while it fits — the
+    streaming twin of the A9 bridge join — and the aggregate after it
+    is a plain stateful streaming agg keyed on the enriched column.
+
+    `events`: streaming frame with user_id/value; `dim`: static
+    (user_id, tier).  Returns per-tier running totals (complete-mode
+    shape; the caller picks the sink/outputMode).
+    """
+    enriched = events.join(F.broadcast(dim), "user_id", "left_outer").withColumn(
+        "tier", F.coalesce(F.col("tier"), F.lit("unknown"))
+    )
+    return enriched.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
