@@ -1076,3 +1076,81 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow_sunday0", "hr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessionized bounce rate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_bounce_rate",
+    tier="B",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                       OR ts - LAG(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), sess AS (
+      SELECT user_id, event_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid,
+             ts
+      FROM marked
+    ), sized AS (
+      SELECT user_id, sid, COUNT(*) AS n_events,
+             CAST(MIN(ts) AS DATE) AS d
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT d, COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS bounce_rate
+    FROM sized GROUP BY d ORDER BY d
+    """,
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate over 30-minute-gap sessions (single-event
+    sessions / all sessions) — the canonical engagement-quality KPI on
+    top of the sessionization machinery (stream_session_window computes
+    the windows; this consumes them into the metric product teams
+    actually chart).  Gap sessionization is the lag+cumsum pair sharing
+    one user_id exchange; session sizes aggregate on (user, sid); the
+    daily rollup keys sessions by their START day (a session spanning
+    midnight counts once, where a per-event day grouping would split
+    it).  Exact counts, one division."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("timestamp").cast("long") - F.lag(
+        F.col("ts").cast("timestamp").cast("long")
+    ).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = e.select("user_id", "ts", "event_id", new_s.alias("new_s")).select(
+        "user_id", "ts", F.sum("new_s").over(w_cum).alias("sid")
+    )
+    sized = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").cast("date").alias("d"),
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (
+        sized.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            bounce.cast("bigint").alias("n_bounces"),
+            (bounce.cast("double") / F.count(F.lit(1))).alias("bounce_rate"),
+        )
+        .orderBy("d")
+    )

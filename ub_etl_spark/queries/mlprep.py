@@ -929,3 +929,66 @@ def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cat")
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema contract check
+# ---------------------------------------------------------------------------
+
+# the expected contract for the events feed — the consumer-side data
+# contract the producer must not break.  One entry is DELIBERATELY
+# drifted (value expected as float, actual double) so the report's
+# drift-detection arm is exercised, not just the all-ok path; a contract
+# column absent from the actual schema exercises the missing arm.
+_EVENTS_CONTRACT = [
+    ("event_id", "bigint"),
+    ("ts", "timestamp_ntz"),
+    ("user_id", "bigint"),
+    ("event_type", "string"),
+    ("value", "float"),       # drifted: actual is double
+    ("session_ref", "string"),  # missing from the actual schema
+]
+
+
+@register(
+    "dq_schema_contract",
+    tier="B",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('event_id',   'bigint',        'bigint',        'ok'),
+      ('ts',         'timestamp_ntz', 'timestamp_ntz', 'ok'),
+      ('user_id',    'bigint',        'bigint',        'ok'),
+      ('event_type', 'string',        'string',        'ok'),
+      ('value',      'float',         'double',        'type_drift'),
+      ('session_ref','string',        CAST(NULL AS VARCHAR), 'missing'),
+      ('props',      CAST(NULL AS VARCHAR), 'string',  'undeclared')
+    ) t(col_name, expected_type, actual_type, status)
+    ORDER BY col_name
+    """,
+)
+def dq_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-contract validation — the consumer-side data contract
+    (names + types) checked against the feed's ACTUAL schema, reporting
+    ok / type_drift / missing / undeclared per column: the interface
+    test that catches producer changes before they corrupt a pipeline
+    (the reference tolerates drift silently via .get() — SURVEY §1.3;
+    this makes the tolerance an explicit, auditable report).  Pure
+    METADATA: the table's schema comes from the catalog/footers, no
+    data is read; the report frame is built driver-side at |columns|
+    scale and value-checked against the literal expectation.  The
+    fixture contract deliberately plants one drift and one missing
+    column so all four arms execute."""
+    actual = {f.name: f.dataType.simpleString() for f in T(spark, sf_dir, "events").schema.fields}
+    rows = []
+    declared = set()
+    for name, want in _EVENTS_CONTRACT:
+        declared.add(name)
+        have = actual.get(name)
+        status = "ok" if have == want else ("missing" if have is None else "type_drift")
+        rows.append((name, want, have, status))
+    for name, have in actual.items():
+        if name not in declared:
+            rows.append((name, None, have, "undeclared"))
+    return spark.createDataFrame(
+        rows, "col_name string, expected_type string, actual_type string, status string"
+    ).orderBy("col_name")
