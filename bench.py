@@ -234,6 +234,9 @@ HEADLINE = [
     "events_dow_hour_heatmap",
     "nation_trade_balance",
     "join_spatial_grid",
+    "stream_static_enrich",
+    "dq_schema_contract",
+    "events_bounce_rate",
 ]
 
 

@@ -199,6 +199,9 @@ DRIVER_PRIORITY = [
 #   behavior.py (+2): events_impact_diff_in_diff events_dow_hour_heatmap
 #   warehouse.py (+1): nation_trade_balance
 #   advanced.py (+1): join_spatial_grid
+#   streaming_batch.py (+1): stream_static_enrich (readStream twin tested)
+#   mlprep.py (+1): dq_schema_contract (VALUES oracle)
+#   behavior.py (+1): events_bounce_rate
 
 
 def load_all() -> dict[str, QuerySpec]:
