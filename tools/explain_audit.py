@@ -313,6 +313,14 @@ EXPECT = {
     # churn set: features/label both keyed on o_custkey, label via LEFT join
     "pipeline_churn_training_set": ["HashAggregate", "Exchange hashpartitioning(o_custkey"],
     "orders_backlog_aging": ["HashAggregate", "codegen id :"],
+    "events_impact_diff_in_diff": ["HashAggregate", "codegen id :"],
+    "events_dow_hour_heatmap": ["HashAggregate"],
+    "nation_trade_balance": ["BroadcastHashJoin", "HashAggregate"],
+    # spatial grid: equi hash join on cell ids, the 3x3 explode stays a
+    # Generate, never a nested loop
+    "join_spatial_grid": ["Generate", "!BroadcastNestedLoopJoin", "codegen id :"],
+    "stream_static_enrich": ["BroadcastHashJoin", "HashAggregate"],
+    "events_bounce_rate": ["Window", "Exchange hashpartitioning(user_id"],
 }
 
 # Kept by hand; prepended to the generated PLANS.md on every regeneration.
