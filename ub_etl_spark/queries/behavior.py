@@ -1154,3 +1154,62 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting: new vs returning users per day
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_new_vs_returning",
+    tier="B",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS first_d FROM events
+      GROUP BY user_id
+    ), daily AS (
+      SELECT DISTINCT CAST(e.ts AS DATE) AS d, e.user_id, f.first_d
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT d,
+           CAST(SUM(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(SUM(CASE WHEN d > first_d THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returning,
+           COUNT(*) AS n_active
+    FROM daily GROUP BY d ORDER BY d
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: active users split into NEW (first ever
+    seen that day) vs RETURNING — the decomposition every growth chart
+    starts from (DAU alone hides whether growth is acquisition or
+    retention; events_retention_cohort gives the matrix, this gives the
+    daily headline).  First-seen dates from one per-user MIN; the
+    day-grain distinct joins back keyed on user_id; the daily rollup
+    compares each active day to the user's first day in exact date
+    arithmetic.  Both shuffles co-key on user_id (AQE broadcasts the
+    firsts side while it fits); counts exact."""
+    e = T(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("first_d")
+    ).select(F.col("user_id").alias("f_user"), "first_d")
+    daily = (
+        e.join(firsts, e.user_id == F.col("f_user"))
+        .select(F.col("ts").cast("date").alias("d"), "user_id", "first_d")
+        .distinct()
+    )
+    return (
+        daily.groupBy("d")
+        .agg(
+            F.sum(F.when(F.col("d") == F.col("first_d"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(F.when(F.col("d") > F.col("first_d"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_returning"),
+            F.count(F.lit(1)).alias("n_active"),
+        )
+        .orderBy("d")
+    )

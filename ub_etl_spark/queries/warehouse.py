@@ -882,3 +882,49 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Basket-size distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_lines_per_order_hist",
+    tier="B",
+    oracle=f"""
+    WITH sizes AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines,
+             SUM({sql_cents("l_extendedprice")}) AS v
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT n_lines, COUNT(*) AS n_orders,
+           SUM(v) / 100.0 AS total_value,
+           CAST(SUM(v) AS DOUBLE) / 100.0 / COUNT(*) AS avg_order_value
+    FROM sizes GROUP BY n_lines ORDER BY n_lines
+    """,
+)
+def orders_lines_per_order_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution (lines per order, with order value per
+    size class) — the merchandising histogram behind bundle pricing and
+    the sanity input for every basket-bounded scale argument in this
+    repo (market_basket_pairs' 'pair explosion is linear because
+    baskets are bounded' claim gets its measured distribution here).
+    Two map-side-combined aggregates: per-order sizes on the fact's own
+    key, then the tiny size-class rollup in exact cents."""
+    li = T(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(cents("l_extendedprice")).alias("v"),
+    )
+    return (
+        sizes.groupBy("n_lines")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("v") / 100.0).alias("total_value"),
+            (F.sum("v").cast("double") / 100.0 / F.count(F.lit(1))).alias(
+                "avg_order_value"
+            ),
+        )
+        .orderBy("n_lines")
+    )
