@@ -237,6 +237,8 @@ HEADLINE = [
     "stream_static_enrich",
     "dq_schema_contract",
     "events_bounce_rate",
+    "events_new_vs_returning",
+    "orders_lines_per_order_hist",
 ]
 
 

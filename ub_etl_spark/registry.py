@@ -202,6 +202,8 @@ DRIVER_PRIORITY = [
 #   streaming_batch.py (+1): stream_static_enrich (readStream twin tested)
 #   mlprep.py (+1): dq_schema_contract (VALUES oracle)
 #   behavior.py (+1): events_bounce_rate
+#   behavior.py (+1): events_new_vs_returning
+#   warehouse.py (+1): orders_lines_per_order_hist
 
 
 def load_all() -> dict[str, QuerySpec]:
