@@ -559,8 +559,8 @@ _KS_WIDTH_C = 60000  # $600 per bucket in cents: covers o_totalprice's range
     )
     SELECT MAX(ABS(CAST(c1 * t2 - c2 * t1 AS DOUBLE))) / (SELECT t1 * CAST(t2 AS DOUBLE) FROM tot)
              AS ks_distance,
-           (SELECT t1 FROM tot) AS n_building,
-           (SELECT t2 FROM tot) AS n_machinery
+           (SELECT CAST(t1 AS BIGINT) FROM tot) AS n_building,
+           (SELECT CAST(t2 AS BIGINT) FROM tot) AS n_machinery
     FROM cdf
     """,
 )

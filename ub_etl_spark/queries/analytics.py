@@ -310,8 +310,8 @@ def events_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.event_type, MIN(d.med) AS med, MIN(s.mad) AS mad,
            COUNT(*) AS n_events,
-           SUM(CASE WHEN d.dev > 3 * 1.4826 * s.mad THEN 1 ELSE 0 END)
-             AS n_anomalies
+           CAST(SUM(CASE WHEN d.dev > 3 * 1.4826 * s.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_anomalies
     FROM d JOIN s USING (event_type)
     GROUP BY d.event_type
     """,
@@ -483,7 +483,9 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS p
       FROM stages
     )
-    SELECT SUM(s) AS n_signup, SUM(v) AS n_view_after, SUM(p) AS n_purchase_after,
+    SELECT CAST(SUM(s) AS BIGINT) AS n_signup,
+           CAST(SUM(v) AS BIGINT) AS n_view_after,
+           CAST(SUM(p) AS BIGINT) AS n_purchase_after,
            CAST(SUM(v) AS DOUBLE) / NULLIF(SUM(s), 0) AS view_rate,
            CAST(SUM(p) AS DOUBLE) / NULLIF(SUM(s), 0) AS purchase_rate
     FROM flags
@@ -551,7 +553,7 @@ def events_funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM wagg
     )
     SELECT l_returnflag, MIN(pc) / 100.0 AS weighted_median,
-           MAX(tw) AS total_weight
+           CAST(MAX(tw) AS BIGINT) AS total_weight
     FROM c WHERE 2 * cw >= tw GROUP BY l_returnflag
     """,
 )

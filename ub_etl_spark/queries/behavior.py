@@ -120,10 +120,10 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT event_type,
-           SUM(CASE WHEN ts < wm_high - INTERVAL 1 HOUR THEN 1 ELSE 0 END)
-             AS n_late,
-           SUM(CASE WHEN ts >= wm_high - INTERVAL 1 HOUR OR wm_high IS NULL
-                    THEN 1 ELSE 0 END) AS n_ontime
+           CAST(SUM(CASE WHEN ts < wm_high - INTERVAL 1 HOUR THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late,
+           CAST(SUM(CASE WHEN ts >= wm_high - INTERVAL 1 HOUR OR wm_high IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_ontime
     FROM arr GROUP BY event_type
     """,
 )
@@ -252,10 +252,10 @@ def text_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id
     )
     SELECT COUNT(*) AS n_users,
-           SUM(CASE WHEN regexp_matches(path, 'signup.*view.*purchase')
-                    THEN 1 ELSE 0 END) AS n_matched,
-           SUM(CASE WHEN regexp_matches(path, 'purchase.*signup')
-                    THEN 1 ELSE 0 END) AS n_inverted
+           CAST(SUM(CASE WHEN regexp_matches(path, 'signup.*view.*purchase')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN regexp_matches(path, 'purchase.*signup')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_inverted
     FROM paths
     """,
 )
@@ -353,7 +353,7 @@ def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     )
     SELECT o_custkey, COUNT(*) AS n_gaps,
-           SUM(gap_days) AS total_days,
+           CAST(SUM(gap_days) AS BIGINT) AS total_days,
            CAST(SUM(gap_days) AS DOUBLE) / COUNT(*) AS avg_gap_days,
            MIN(gap_days) AS min_gap, MAX(gap_days) AS max_gap
     FROM gaps WHERE gap_days IS NOT NULL
@@ -396,9 +396,9 @@ def orders_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id
     ), s AS (
       SELECT SUM(CASE WHEN grp = 0 THEN converted ELSE 0 END) AS x_a,
-             SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n_a,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
              SUM(CASE WHEN grp = 1 THEN converted ELSE 0 END) AS x_b,
-             SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n_b
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
       FROM assign
     )
     SELECT n_a, n_b,
@@ -564,8 +564,8 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id, DATE_TRUNC('week', ts)
     )
     SELECT flags, COUNT(*) AS n_users,
-           SUM(CASE WHEN common_bits <> 0 THEN 1 ELSE 0 END)
-             AS n_single_type
+           CAST(SUM(CASE WHEN common_bits <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_single_type
     FROM flagged GROUP BY flags
     """,
 )

@@ -291,7 +291,8 @@ def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, -SUM(h_cell) / 1000000.0 AS h_u FROM lang_cells
       GROUP BY source
     ), base AS (
-      SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens,
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
              CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS mean_tokens
       FROM norm GROUP BY source
     )

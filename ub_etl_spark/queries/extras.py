@@ -886,9 +886,9 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id, ts, event_id,
-           SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
-             OVER (PARTITION BY user_id ORDER BY ts, event_id)
-             AS distinct_types_so_far
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS BIGINT) AS distinct_types_so_far
     FROM firsts
     """,
 )

@@ -123,15 +123,17 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier="B",
     oracle="""
     SELECT 'totalprice_positive' AS rule,
-           SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS n_violations
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations
     FROM orders
     UNION ALL
     SELECT 'orderdate_not_null',
-           SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
     FROM orders
     UNION ALL
     SELECT 'status_in_domain',
-           SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END)
+                AS BIGINT)
     FROM orders
     UNION ALL
     SELECT 'custkey_fk_resolves', COUNT(*)
@@ -807,7 +809,7 @@ def feature_trailing_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN g
     )
     SELECT SUM(t_u) / 1000000.0 / ANY_VALUE(n) AS mutual_information,
-           ANY_VALUE(n) AS n_rows
+           CAST(ANY_VALUE(n) AS BIGINT) AS n_rows
     FROM terms
     """,
 )

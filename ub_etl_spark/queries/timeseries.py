@@ -459,7 +459,8 @@ def timeseries_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), wau AS (
       SELECT wk, COUNT(DISTINCT user_id) AS wau FROM du GROUP BY wk
     )
-    SELECT dau.wk, SUM(dau.dau) AS user_days, COUNT(*) AS n_days,
+    SELECT dau.wk, CAST(SUM(dau.dau) AS BIGINT) AS user_days,
+           COUNT(*) AS n_days,
            ANY_VALUE(wau.wau) AS wau,
            CAST(SUM(dau.dau) AS DOUBLE) / COUNT(*) / ANY_VALUE(wau.wau)
              AS stickiness

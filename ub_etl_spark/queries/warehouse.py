@@ -311,9 +311,9 @@ def pipeline_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), per_day AS (
       SELECT d, SUM(delta) AS net FROM deltas GROUP BY d
     )
-    SELECT d, SUM(net) OVER (ORDER BY d
+    SELECT d, CAST(SUM(net) OVER (ORDER BY d
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS open_orders
+               AS BIGINT) AS open_orders
     FROM per_day
     """,
 )
@@ -404,10 +404,10 @@ def lineitem_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM iv
     ), numbered AS (
       SELECT o_custkey, iv_start, iv_end,
-             SUM(new_ep) OVER (PARTITION BY o_custkey
+             CAST(SUM(new_ep) OVER (PARTITION BY o_custkey
                                ORDER BY iv_start, iv_end
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS episode
+               AS BIGINT) AS episode
       FROM flagged
     )
     SELECT o_custkey, episode,
