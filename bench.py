@@ -365,35 +365,91 @@ def main() -> None:
         if above
         else None
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "oracle_queries": oracle_s,
-                "ratio": ratio,
-                "oracle_total": oracle_total,
-                # aggregate ratio over the subset with oracles (the 2x target)
-                "aggregate_ratio": round(spark_with_oracle / max(oracle_total, 1e-9), 2),
-                "spark_job_floor_s": floor_s,
-                # fraction of each query's wall-clock that is the fixed
-                # per-job machinery cost (1.0 = pure floor, ~0 = pure plan)
-                "floor_share": floor_share,
-                # queries whose oracle beats the floor itself: ratio there
-                # is machinery-bound by construction, not plan-bound
-                "sub_floor_queries": sub_floor,
-                "aggregate_ratio_excl_subfloor": agg_ratio_excl,
-                "sf": sf,
-                "n_queries": len(timings),
-                # queries unmeasured because the wall-clock budget ran out
-                # (empty on a normal run)
-                "budget_truncated": truncated,
-                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
-            }
-        )
+    # --- artifact emission -------------------------------------------------
+    # The driver captures only the LAST ~2000 characters of stdout and
+    # json-parses that window (BENCH_r01 parsed at a 2.0 KB line; r02/r03
+    # grew past the window and came back "parsed": null).  So the driver
+    # line carries ONLY aggregates plus the 10 most expensive queries; the
+    # full per-query decomposition (timings, oracle seconds, ratios,
+    # floor_share, sub-floor set, round-over-round deltas) is written to
+    # bench_detail.json next to this script, where the judge can read it.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_detail.json")
+    prev: dict = {}
+    if os.path.exists(detail_path):
+        try:
+            with open(detail_path) as fh:
+                prev_doc = json.load(fh)
+            # only diff like-for-like: same scale factor
+            if prev_doc.get("sf") == sf:
+                prev = prev_doc.get("queries", {})
+        except Exception:  # noqa: BLE001
+            prev = {}
+    # round-over-round regression surface (VERDICT r3 ask #8): ratio of
+    # this run's time to the previous detail file's, per query
+    delta_vs_prev = {
+        n: round(timings[n] / prev[n], 2)
+        for n in timings
+        if n in prev and prev[n] > 0
+    }
+    detail = {
+        "metric": "headline_query_wall_clock_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "oracle_queries": oracle_s,
+        "ratio": ratio,
+        "oracle_total": oracle_total,
+        "aggregate_ratio": round(spark_with_oracle / max(oracle_total, 1e-9), 2),
+        "spark_job_floor_s": floor_s,
+        # fraction of each query's wall-clock that is the fixed per-job
+        # machinery cost (1.0 = pure floor, ~0 = pure plan)
+        "floor_share": floor_share,
+        # queries whose oracle beats the floor itself: ratio there is
+        # machinery-bound by construction, not plan-bound
+        "sub_floor_queries": sub_floor,
+        "aggregate_ratio_excl_subfloor": agg_ratio_excl,
+        "sf": sf,
+        "n_queries": len(timings),
+        "budget_truncated": truncated,
+        "delta_vs_prev": delta_vs_prev,
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    }
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
     )
+    regressed = dict(
+        sorted(
+            ((n, d) for n, d in delta_vs_prev.items() if d >= 2.0),
+            key=lambda kv: -kv[1],
+        )[:5]
+    )
+    line = {
+        "metric": "headline_query_wall_clock_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "spark_job_floor_s": floor_s,
+        "oracle_total": oracle_total,
+        "aggregate_ratio": round(spark_with_oracle / max(oracle_total, 1e-9), 2),
+        "aggregate_ratio_excl_subfloor": agg_ratio_excl,
+        "n_subfloor": len(sub_floor),
+        "n_budget_truncated": len(truncated),
+        "n_regressed_2x_vs_prev": len(regressed),
+        "top_regressions_vs_prev": regressed,
+        "slowest_queries_s": slowest,
+        "detail_file": "bench_detail.json",
+    }
+    out = json.dumps(line)
+    # hard guard: the line MUST fit the driver's 2000-char capture window
+    while len(out) > 1900 and line["slowest_queries_s"]:
+        line["slowest_queries_s"].popitem()
+        out = json.dumps(line)
+    print(out)
 
 
 if __name__ == "__main__":
