@@ -351,3 +351,32 @@ def test_delete_where_no_matches_is_noop(spark, table_dir):
     before = _part_files(path)
     assert delete_where_partitioned(spark, path, "part", F.lit(False)) == []
     assert _part_files(path) == before
+
+
+def test_delete_where_drains_hive_escaped_partition(spark, tmp_path):
+    """Drained-partition removal must find the REAL on-disk directory even
+    when the partition value needs Hive escaping (spaces/colons become
+    percent-escapes on disk, so naive f"{col}={val}" paths miss it and
+    stale files would silently resurrect deleted rows — r3 ADVICE)."""
+    from ub_etl_spark.operators.storage import delete_where_partitioned
+
+    path = str(tmp_path / "tbl_escaped")
+    rows = [(i, "a b:c" if i % 2 == 0 else "plain") for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, part string")
+    df.write.partitionBy("part").mode("overwrite").parquet(path)
+    # the escaped dir really is percent-encoded on disk
+    dirs = {d for d in os.listdir(path) if "=" in d}
+    assert "part=a b%3Ac" in dirs or "part=a%20b%3Ac" in dirs, dirs
+
+    # drain the escaped partition completely
+    affected = delete_where_partitioned(
+        spark, path, "part", F.col("part") == "a b:c"
+    )
+    assert affected == ["a b:c"]
+    left = spark.read.parquet(path)
+    assert left.filter(F.col("part") == "a b:c").count() == 0
+    assert left.count() == 10
+    # the escaped directory is gone from disk (no stale files), the
+    # untouched partition still present
+    dirs_after = {d for d in os.listdir(path) if "=" in d}
+    assert dirs_after == {"part=plain"}

@@ -491,3 +491,61 @@ def test_enrich_stream_matches_batch_twin_and_handles_unknown(spark, tmpdir):
     assert got == batch
     assert ("gold", 2, 4.0) in got
     assert ("unknown", 1, 8.0) in got
+
+
+def test_scd2_stream_crash_between_write_and_commit_recovers(spark, tmpdir):
+    """The r3-ADVICE crash window: a batch's versioned history directory
+    is fully written but the process dies BEFORE the symlink commit.  On
+    restart the checkpoint replays the batch; the stale uncommitted
+    version directory must be ignored/overwritten and the final history
+    must equal the full rebuild — no lost history dir, no double-stitch."""
+    import os
+
+    from ub_etl_spark.operators.merge import scd2_history
+    from ub_etl_spark.streaming.pipelines import scd2_stream_foreach_batch
+
+    src, state, ckpt = f"{tmpdir}/src", f"{tmpdir}/state", f"{tmpdir}/ckpt"
+    args = dict(
+        keys=["user_id"],
+        tracked=["event_type"],
+        order_by=["ts", "event_id"],
+        valid_from_col="ts",
+    )
+    gen1 = [(1, T0, 10, "enroll", 0.0), (2, T0, 20, "enroll", 0.0)]
+    write_batch(spark, src, gen1)
+    q = scd2_stream_foreach_batch(
+        read_stream(spark, src), state_dir=state, checkpoint_dir=ckpt, **args
+    )
+    q.awaitTermination(120)
+    committed = os.readlink(f"{state}/history")
+
+    # simulate the crash: batch 1's version dir exists (with GARBAGE
+    # content, to prove it is not trusted) but the link never flipped
+    gen2 = [(3, T0 + timedelta(hours=1), 10, "progress", 0.0)]
+    write_batch(spark, src, gen2)
+    stale = f"{state}/history.v1"
+    spark.createDataFrame(
+        [(99, T0, 99, "bogus", 0.0)], SCHEMA
+    ).write.mode("overwrite").parquet(stale)
+    assert os.readlink(f"{state}/history") == committed  # link untouched
+
+    # restart: checkpoint has NOT committed batch 1 (the link is the
+    # cursor), so the file source replays gen2 and the stale dir is
+    # overwritten, then committed atomically
+    q2 = scd2_stream_foreach_batch(
+        read_stream(spark, src), state_dir=state, checkpoint_dir=ckpt, **args
+    )
+    q2.awaitTermination(120)
+    got = {
+        (r.user_id, r.event_type, r.valid_from, r.valid_to, r.is_current)
+        for r in spark.read.parquet(f"{state}/history").collect()
+    }
+    full = spark.createDataFrame(gen1 + gen2, SCHEMA)
+    expect = {
+        (r.user_id, r.event_type, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_history(full, **args).collect()
+    }
+    assert got == expect
+    # exactly one live version dir remains and the link names it
+    vdirs = [e for e in os.listdir(state) if e.startswith("history.v")]
+    assert vdirs == [os.path.basename(os.readlink(f"{state}/history"))]

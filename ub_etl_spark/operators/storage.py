@@ -330,15 +330,42 @@ def delete_where_partitioned(
     import shutil as _sh
 
     base = spark.read.parquet(path)
-    # partition-pruned discovery scan: which partitions hold target rows
-    affected = [r[part_col] for r in base.filter(predicate).select(part_col).distinct().collect()]
+    # partition-pruned discovery scan: which partitions hold target rows,
+    # and which FILES those rows live in.  The file basenames (globally
+    # unique part-<uuid> names) identify drained directories afterward
+    # without ever formatting a partition value into a path — Hive
+    # percent-escapes special characters, formats dates, and spells NULL
+    # __HIVE_DEFAULT_PARTITION__, so naive f"{col}={val}" misses the real
+    # directory and stale files would silently survive (r3 ADVICE).
+    from urllib.parse import unquote
+
+    hit = (
+        base.filter(predicate)
+        .select(F.col(part_col).alias("__v"), F.input_file_name().alias("__f"))
+        .distinct()
+        .collect()
+    )
+    affected = list({r["__v"] for r in hit})
     if not affected:
         return []
+
+    # resolve each hit file's on-disk path NOW, while it still exists —
+    # input_file_name returns a URI whose percent-encoding may or may not
+    # cover Hive's own escaping, so the existence test picks the reading
+    # that is actually on disk rather than guessing the encoding
+    def _local(uri: str) -> str:
+        p = uri
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+            while p.startswith("//"):
+                p = p[1:]
+        if os.path.exists(p):
+            return p
+        dec = unquote(p)
+        return dec if os.path.exists(dec) else p
+
+    hit_paths = [_local(r["__f"]) for r in hit]
     survivors = base.filter(F.col(part_col).isin(affected) & ~predicate)
-    # surviving-partition set collects BEFORE the overwrite: afterward
-    # `base`'s file listing is stale (pre-rewrite files gone) and any
-    # plan over it would FAILED_READ_FILE
-    alive = {r[part_col] for r in survivors.select(part_col).distinct().collect()}
     mode_key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(mode_key, "static")
     spark.conf.set(mode_key, "dynamic")
@@ -346,6 +373,13 @@ def delete_where_partitioned(
         survivors.write.partitionBy(part_col).mode("overwrite").parquet(path)
     finally:
         spark.conf.set(mode_key, prev)
-    for val in set(affected) - alive:
-        _sh.rmtree(os.path.join(path, f"{part_col}={val}"), ignore_errors=True)
+    # dynamic overwrite REPLACED every partition with surviving rows (their
+    # old files are gone); a partition drained to zero rows was not
+    # rewritten, so its old files — which contained deleted rows — are
+    # still on disk.  Remove exactly the directories of hit files that
+    # survived the overwrite; paths come from the listing resolved above,
+    # never from formatting a partition value (Hive escaping, r3 ADVICE).
+    for p in hit_paths:
+        if os.path.exists(p):
+            _sh.rmtree(os.path.dirname(p), ignore_errors=True)
     return affected

@@ -160,7 +160,14 @@ def _file_stats(path: str, cols: list[str]) -> dict:
                 break
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
-        if lo is not None:
+        # only record stats whose values survive a JSON round-trip with
+        # their type intact (int/float/str/bool): bytes / timestamps go
+        # through json.dump(default=str) as repr-strings that a later
+        # pruned_files() would compare as junk — wrongly pruning a LIVE
+        # file.  Unrecorded stats mean "keep conservatively" on read.
+        if lo is not None and all(
+            isinstance(v, (int, float, str, bool)) for v in (lo, hi)
+        ):
             out[c] = [lo, hi]
     return out
 
@@ -229,7 +236,17 @@ class StatsTable(VersionedTable):
         kept = []
         for f in live:
             rng = st.get(f, {}).get(col)
-            if rng is None or not (hi < type(hi)(rng[0]) or lo > type(lo)(rng[1])):
+            prune = False
+            if rng is not None:
+                # skip-only-on-proof: if the JSON-round-tripped stats
+                # cannot be coerced/compared against the probe bounds,
+                # KEEP the file — a wrong prune is silent data loss, a
+                # wrong keep is one extra footer read
+                try:
+                    prune = hi < type(hi)(rng[0]) or lo > type(lo)(rng[1])
+                except (TypeError, ValueError):
+                    prune = False
+            if not prune:
                 kept.append(f)
         return kept, len(live)
 

@@ -219,7 +219,10 @@ def ivf_centroids(
     seeds = (
         embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         .withColumn("__h", F.xxhash64(F.col("id")))
-        .orderBy("__h")
+        # tie-break on the unique id: a hash collision would otherwise
+        # make the seed set (hence the trained codebooks) partition-order
+        # dependent, breaking the determinism contract (r3 ADVICE)
+        .orderBy("__h", "id")
         .limit(nlist)
         .select("vec")
         .collect()
@@ -470,7 +473,9 @@ def pq_codebooks(
     seeds = (
         embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         .withColumn("__h", F.xxhash64(F.col("id")))
-        .orderBy("__h")
+        # tie-break on the unique id (r3 ADVICE): hash collisions must not
+        # make the codebook seeds partition-order dependent
+        .orderBy("__h", "id")
         .limit(ksub)
         .select("vec")
         .collect()

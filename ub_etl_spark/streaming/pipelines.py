@@ -324,31 +324,43 @@ def scd2_stream_foreach_batch(
     tests/test_streaming.py).
 
     Per batch: read history parquet -> compress + stitch the batch ->
-    atomically replace the history (write to a versioned tmp dir, one
-    rename — a crash between write and rename leaves the old history
-    intact, and the checkpoint replays the batch).  Replay safety: the
-    stitch is NOT blindly idempotent (re-applying an already-stitched
-    batch could re-close rows), so the committed history records the
-    last applied batch_id and replays of committed batches SKIP — the
-    transactional-sink pattern (A17) keyed on batch_id.
+    commit.  The commit is ONE atomic filesystem operation: each batch's
+    history is written to a versioned directory ``history.v<batch_id>``
+    and ``history`` is a symlink to the current version, replaced with a
+    single os.replace.  The version number IS the last-applied batch id,
+    so data and replay cursor can never disagree: a crash before the
+    link flip leaves the old link (checkpoint replays the batch against
+    the old history); a crash after it leaves only a stale version
+    directory, swept on the next commit.  Replay safety: the stitch is
+    NOT blindly idempotent (re-applying an already-stitched batch could
+    re-close rows), so replays of batch ids at or below the committed
+    version SKIP — the transactional-sink pattern (A17) keyed on
+    batch_id.
 
     Cost per batch is proportional to the batch + touched keys' current
     rows, not accumulated history length.  Returns the started query.
+    (POSIX symlink semantics assumed — the local/dbfs-fuse layout; on an
+    object store use a manifest-file pointer with the same one-commit
+    rule.)
     """
-    import json
     import os
     import shutil
 
     from ub_etl_spark.operators.merge import scd2_apply_changes, scd2_history
 
-    meta_path = os.path.join(state_dir, "_scd2_meta.json")
     data_path = os.path.join(state_dir, "history")
+
+    def committed_batch_id() -> int | None:
+        """The batch id encoded in the current history symlink target."""
+        if not os.path.islink(data_path):
+            return None
+        target = os.path.basename(os.readlink(data_path))
+        return int(target.rsplit(".v", 1)[-1])
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if os.path.exists(meta_path):
-            with open(meta_path) as fh:
-                last = json.load(fh)["last_batch_id"]
+        last = committed_batch_id()
+        if last is not None:
             if batch_id <= last:
                 return  # committed replay: skip (exactly-once)
             history = spark.read.parquet(data_path)
@@ -357,17 +369,22 @@ def scd2_stream_foreach_batch(
             )
         else:
             updated = scd2_history(batch_df, keys, tracked, order_by, valid_from_col)
-        tmp = data_path + f".tmp.{batch_id}"
-        shutil.rmtree(tmp, ignore_errors=True)
-        updated.write.mode("overwrite").parquet(tmp)
-        old = data_path + f".old.{batch_id}"
-        if os.path.exists(data_path):
-            os.rename(data_path, old)
-        os.rename(tmp, data_path)
-        shutil.rmtree(old, ignore_errors=True)
         os.makedirs(state_dir, exist_ok=True)
-        with open(meta_path, "w") as fh:
-            json.dump({"last_batch_id": batch_id}, fh)
+        vname = f"history.v{batch_id}"
+        vdir = os.path.join(state_dir, vname)
+        shutil.rmtree(vdir, ignore_errors=True)  # uncommitted crash leftover
+        updated.write.mode("overwrite").parquet(vdir)
+        # single-operation commit: flip the symlink to the new version
+        tmp_link = os.path.join(state_dir, f".history.lnk.{batch_id}")
+        if os.path.lexists(tmp_link):
+            os.unlink(tmp_link)
+        os.symlink(vname, tmp_link)
+        os.replace(tmp_link, data_path)
+        # best-effort sweep of superseded versions (correctness does not
+        # depend on it — the link names the only live version)
+        for entry in os.listdir(state_dir):
+            if entry.startswith("history.v") and entry != vname:
+                shutil.rmtree(os.path.join(state_dir, entry), ignore_errors=True)
 
     return (
         changes.writeStream.foreachBatch(apply_batch)
