@@ -239,6 +239,72 @@ HEADLINE = [
     "events_bounce_rate",
     "events_new_vs_returning",
     "orders_lines_per_order_hist",
+    # round-4: the 62 remaining registered queries (r3 verdict task 7) —
+    # mostly cheap single-shape plans, but every query now carries its own
+    # bench row instead of a proxy.  tests/test_bench_coverage.py pins
+    # HEADLINE == registry.
+    "mix_weighted_sources",
+    "dedup_exact",
+    "bridge_join",
+    "dedup_simhash",
+    "dedup_cluster_cc",
+    "join_asof",
+    "join_range_bucket",
+    "unpivot_stack",
+    "agg_percentile",
+    "join_full_outer",
+    "agg_cube_grouping",
+    "window_range_frame",
+    "window_ntile_dist",
+    "agg_stats_exact",
+    "join_skew_salted",
+    "agg_skew_salted",
+    "json_schema_drift",
+    "join_interval_overlap",
+    "dim_scd2_history",
+    "table_diff_reconcile",
+    "agg_incremental_refresh",
+    "multimodal_columns",
+    "multimodal_frame_sample",
+    "project_struct_access",
+    "explode_array_scalar",
+    "explode_map",
+    "filter_null_guard",
+    "pipeline_course_normalize",
+    "pipeline_user_activity",
+    "join_left_outer",
+    "join_semi_anti",
+    "agg_count_distinct",
+    "agg_approx_distinct",
+    "set_union_distinct",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_math_case",
+    "scalar_json_funcs",
+    "array_map_funcs",
+    "count_running_total",
+    "cast_types",
+    "cast_timestamp",
+    "storage_bucketed_merge",
+    "rest_source_scan",
+    "storage_partitioned_write",
+    "io_multiformat_roundtrip",
+    "io_binary_files",
+    "storage_compact_small_files",
+    "io_schema_evolution",
+    "stream_sliding_agg",
+    "stream_dedup_upsert",
+    "stream_session_native",
+    "stream_interval_join",
+    "text_lang_id",
+    "text_quality_score",
+    "timeseries_gapfill",
+    "dedup_apply_canonical",
+    "pipeline_corpus_prepare",
+    "sample_stratified_exact",
+    "udf_grouped_map",
+    "udf_map_in_pandas",
+    "udtf_tokenize",
 ]
 
 

@@ -321,6 +321,114 @@ EXPECT = {
     "join_spatial_grid": ["Generate", "!BroadcastNestedLoopJoin", "codegen id :"],
     "stream_static_enrich": ["BroadcastHashJoin", "HashAggregate"],
     "events_bounce_rate": ["Window", "Exchange hashpartitioning(user_id"],
+    # --- round-4: full-coverage entries (the 78 queries the r3 verdict
+    # found unasserted).  Same contract as above: substrings that MUST
+    # appear in the formatted physical plan ("!" prefix = must NOT).
+    # round-3/4 analytics leftovers
+    "events_funnel_rates": ["HashAggregate", "Exchange hashpartitioning(user_id"],
+    # two-phase selection: coarse bucket agg + broadcast med-bucket
+    # semi-filter; the fine window sees one bucket, never the fact
+    "agg_weighted_median": ["BroadcastHashJoin", "Window", "HashAggregate"],
+    "events_new_vs_returning": ["HashAggregate", "BroadcastHashJoin"],
+    # temperature mixing: per-source weights broadcast back, one fact pass
+    "mix_temperature_sampling": ["BroadcastHashJoin", "HashAggregate", "codegen id :"],
+    "dedup_exact": ["HashAggregate", "codegen id :"],
+    # CC seed pass is a map-only projection (iteration drives the rest)
+    "dedup_cluster_cc": ["codegen id :"],
+    "dedup_cluster_cc_star": ["HashAggregate", "Union", "!CartesianProduct"],
+    # as-of family: union-tag + keyed window — NO join node of any kind
+    "join_asof": ["Window", "Union", "!SortMergeJoin", "!BroadcastNestedLoopJoin"],
+    "join_asof_forward": ["Window", "Union", "!SortMergeJoin", "!BroadcastNestedLoopJoin"],
+    "join_asof_nearest": ["Window", "Union", "!SortMergeJoin", "!BroadcastNestedLoopJoin"],
+    # range-bucket join: bucket explode rides a Generate into an EQUI join
+    "join_range_bucket": ["Generate", "BroadcastHashJoin", "!BroadcastNestedLoopJoin", "!CartesianProduct"],
+    "unpivot_stack": ["Expand", "HashAggregate"],
+    "agg_percentile": ["ObjectHashAggregate"],
+    "agg_approx_percentile": ["ObjectHashAggregate"],
+    "array_advanced_funcs": ["codegen id :", "!Exchange"],
+    "map_advanced_funcs": ["codegen id :", "!Exchange"],
+    # mode: rank-limited window (partial top-1 per group), no full sort
+    "agg_mode_per_group": ["WindowGroupLimit", "HashAggregate"],
+    # bounded candidate pairs against a broadcast frame (pinned: broadcast,
+    # not a shuffled cartesian)
+    "string_fuzzy_levenshtein": ["BroadcastNestedLoopJoin", "!CartesianProduct", "levenshtein"],
+    "agg_corr_exact": ["HashAggregate", "codegen id :"],
+    # CDC: per-key latest via rank-limited window, deletes anti-joined
+    "cdc_apply_changes": ["WindowGroupLimit", "LeftAnti", "Union"],
+    "dq_schema_contract": ["codegen id :"],
+    # multimodal: metadata ops stay codegen; decode paths are Arrow batches
+    "multimodal_columns": ["codegen id :", "!Exchange"],
+    "multimodal_decode": ["MapInPandas"],
+    "multimodal_frame_sample": ["MapInPandas"],
+    "multimodal_resize": ["MapInPandas"],
+    # pHash near-dup: banded candidates through an equi join; the decoded
+    # frame is persisted so band build + verify share one Arrow pass
+    "multimodal_phash_dedup": ["MapInPandas", "InMemoryTableScan", "BroadcastHashJoin", "!CartesianProduct"],
+    # nested access/explode surface (A3-A7)
+    "project_struct_access": ["codegen id :", "!Exchange"],
+    "explode_array_struct": ["Generate", "HashAggregate"],
+    "explode_array_scalar": ["Generate", "HashAggregate"],
+    "explode_map": ["Generate", "HashAggregate"],
+    "filter_null_guard": ["codegen id :", "PushedFilters: [I"],
+    # reference-pipeline composites
+    "pipeline_course_normalize": ["Window", "Union", "InMemoryTableScan"],
+    "pipeline_user_activity": ["WindowGroupLimit", "Union"],
+    # relational Q-surface basics
+    "join_left_outer": ["BroadcastHashJoin", "LeftOuter"],
+    "agg_count_distinct": ["HashAggregate"],
+    "agg_approx_distinct": ["HashAggregate"],
+    "agg_rollup_cube": ["Expand", "HashAggregate"],
+    # rank filter plans the per-partition partial top-k
+    "window_rank": ["WindowGroupLimit", "Window"],
+    "window_analytic": ["Window", "Exchange hashpartitioning"],
+    "set_union_distinct": ["Union", "LeftSemi", "LeftAnti", "HashAggregate"],
+    "scalar_string_funcs": ["codegen id :", "!Exchange"],
+    "scalar_date_funcs": ["codegen id :", "!Exchange"],
+    "scalar_math_case": ["codegen id :", "!Exchange"],
+    "scalar_json_funcs": ["codegen id :", "!Exchange"],
+    "array_map_funcs": ["ObjectHashAggregate", "codegen id :"],
+    "count_running_total": ["HashAggregate"],
+    "cast_types": ["codegen id :", "!Exchange"],
+    "cast_timestamp": ["codegen id :", "!Exchange"],
+    "pivot_wide": ["HashAggregate", "codegen id :"],
+    # ANN family: Arrow-batched scoring, per-query rank-limited top-k;
+    # candidates always arrive through an equi bucket/list join
+    "sim_ann_lsh": ["ArrowEvalPython", "WindowGroupLimit", "Generate", "!CartesianProduct"],
+    "sim_ann_ivf": ["ArrowEvalPython", "WindowGroupLimit", "!CartesianProduct"],
+    "sim_ann_pq": ["ArrowEvalPython", "MapInPandas", "WindowGroupLimit"],
+    "dedup_embedding_cosine": ["ArrowEvalPython", "BroadcastHashJoin"],
+    "sim_rerank_mmr": ["FlatMapGroupsInPandas", "WindowGroupLimit"],
+    "hybrid_search_rrf": ["WindowGroupLimit", "!CartesianProduct"],
+    # mergeable sketches: ObjectHashAggregate carries the sketch state;
+    # CMS probe returns a LocalTableScan (the estimates ARE metadata-sized)
+    "agg_hll_mergeable": ["ObjectHashAggregate", "Union"],
+    "agg_cms_term_counts": ["LocalTableScan"],
+    "agg_hll_intersection": ["ObjectHashAggregate"],
+    # storage/io surface
+    "storage_bucketed_merge": ["codegen id :"],
+    "rest_source_scan": ["codegen id :"],
+    "io_multiformat_roundtrip": ["Union"],
+    "io_binary_files": ["codegen id :"],
+    # streaming batch twins
+    "stream_sliding_agg": ["Expand", "HashAggregate"],
+    "stream_session_window": ["Window", "HashAggregate"],
+    "stream_dedup_upsert": ["WindowGroupLimit", "Window"],
+    "stream_session_native": ["HashAggregate"],
+    "stream_interval_join_outer": ["LeftOuter", "BroadcastHashJoin", "!CartesianProduct"],
+    # text tier basics
+    "text_tfidf": ["Generate", "HashAggregate", "BroadcastHashJoin"],
+    "text_lang_id": ["codegen id :", "!Exchange"],
+    "text_quality_score": ["codegen id :", "!Exchange"],
+    "text_bm25_rank": ["Generate", "TakeOrderedAndProject", "HashAggregate"],
+    "dedup_apply_canonical": ["BroadcastHashJoin"],
+    "pipeline_corpus_prepare": ["codegen id :"],
+    # UDF surface: every Python crossing is Arrow-batched (the physical
+    # node names ARE the assertion — no BatchEvalPython row path anywhere)
+    "udf_surface": ["ArrowEvalPython", "!BatchEvalPython"],
+    "udf_grouped_map": ["FlatMapGroupsInPandas", "!BatchEvalPython"],
+    "udf_map_in_pandas": ["MapInPandas", "!BatchEvalPython"],
+    "udtf_tokenize": ["ArrowEvalPythonUDTF", "!BatchEvalPython"],
+    "orders_lines_per_order_hist": ["HashAggregate"],
 }
 
 # Kept by hand; prepended to the generated PLANS.md on every regeneration.

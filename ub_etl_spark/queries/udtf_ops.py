@@ -13,9 +13,14 @@ from ub_etl_spark.registry import register
 from ub_etl_spark.sources.tables import load_table as T
 
 
-@udtf(returnType="pos int, token string, token_len int")
+@udtf(returnType="pos int, token string, token_len int", useArrow=True)
 class TokenizeUDTF:
-    """Emit (position, token, length) per whitespace token of the input."""
+    """Emit (position, token, length) per whitespace token of the input.
+
+    useArrow=True plans ArrowEvalPythonUDTF — input rows cross to the
+    Python worker in Arrow batches instead of pickled one-at-a-time
+    (BatchEvalPythonUDTF), the same batched-crossing rule every other
+    Python touchpoint in this repo follows."""
 
     def eval(self, text: str):  # noqa: A002
         if text is None:
