@@ -51,3 +51,54 @@ def test_oracled_queries_emit_atomic_columns_only(spark, sf_dir):
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 offenders.append((name, f.name, f.dataType.simpleString()))
     assert not offenders, f"complex-typed oracle outputs: {offenders}"
+
+
+def test_no_unquantized_interpolation_in_oracles():
+    """Determinism lint (r03 verdict task 2): interpolated order
+    statistics (quantile_cont / MEDIAN / PERCENTILE_CONT) may reach an
+    oracle-hashed output only through the exact-integer idiom
+    ``CAST(2 * <fn>(<integer column>) AS BIGINT)`` — 2x a median of
+    longs is an exact BIGINT under EVERY interpolation formula, whereas
+    the raw double differs across engine versions in the last ulp
+    ((1-f)*a+f*b vs a+f*(b-a)), and FLOOR()/comparisons on it can flip.
+
+    agg_percentile is grandfathered: its raw quantile_cont doubles are
+    driver-green since r01 on the driver's own box; churning a proven
+    row would cost a verdict, not gain one.
+    """
+    import re
+
+    grandfathered = {"agg_percentile"}
+    pat = re.compile(r"(quantile_cont|median|percentile_cont)\s*\(", re.I)
+    offenders = []
+    for name, spec in load_all().items():
+        if spec.oracle is None or name in grandfathered:
+            continue
+        for m in pat.finditer(spec.oracle):
+            prefix = spec.oracle[max(0, m.start() - 16) : m.start()]
+            if not re.search(r"CAST\(\s*2\s*\*\s*$", prefix):
+                offenders.append((name, m.group(0).strip()))
+    assert not offenders, (
+        "raw interpolated order-statistic in oracle output "
+        f"(wrap in CAST(2 * ... AS BIGINT)): {offenders}"
+    )
+
+
+def test_no_floor_of_interpolated_quantile():
+    """FLOOR/CEIL/ROUND directly on an interpolated quantile is the
+    sharpest form of the hazard: when the true quantile lands exactly on
+    an integer, a one-ulp cross-engine difference flips the output by a
+    whole unit (the pre-r04 agg_winsorized_mean bug).  Select discrete
+    (type-1) quantiles by integer rank rule instead."""
+    import re
+
+    pat = re.compile(
+        r"(floor|ceil|ceiling|round)\s*\(\s*(quantile_cont|median|percentile_cont)",
+        re.I,
+    )
+    offenders = [
+        name
+        for name, spec in load_all().items()
+        if spec.oracle and pat.search(spec.oracle)
+    ]
+    assert not offenders, f"FLOOR(interpolated quantile) in oracle: {offenders}"

@@ -21,7 +21,10 @@ def weighted_median_two_phase(
     the exact per-value cumulative window then runs over that bucket's
     rows only (~1/bucket-count of the data).  Avoids the near-|rows|
     per-group sort the one-window textbook form pays when values are
-    near-unique.  Output: (group_col, weighted_median, total_weight)."""
+    near-unique.  Output: (group_col, weighted_median_cents,
+    total_weight) — both exact longs (the cents value is NOT divided
+    back to currency: a BIGINT/decimal-literal division types
+    differently across DuckDB versions, the r03 red-row hazard)."""
     bucket = value_cents - F.pmod(value_cents, F.lit(bucket_width))
     coarse = df.groupBy(F.col(group_col), bucket.alias("b")).agg(
         F.sum(weight).alias("wb")
@@ -68,7 +71,7 @@ def weighted_median_two_phase(
         .filter(2 * F.col("cw") >= F.col("tw"))
         .groupBy(group_col)
         .agg(
-            (F.min("pc") / 100.0).alias("weighted_median"),
+            F.min("pc").alias("weighted_median_cents"),
             F.max("tw").alias("total_weight"),
         )
     )

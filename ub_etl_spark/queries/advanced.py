@@ -626,14 +626,18 @@ def agg_ks_test_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier="B",
     oracle=f"""
     WITH v AS (SELECT {sql_cents("o_totalprice")} AS c FROM orders),
-    bounds AS (
-      SELECT CAST(FLOOR(quantile_cont(c, 0.05)) AS BIGINT) AS lo,
-             CAST(FLOOR(quantile_cont(c, 0.95)) AS BIGINT) AS hi
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn,
+             COUNT(*) OVER () AS n
       FROM v
+    ), bounds AS (
+      SELECT MIN(CASE WHEN 20 * rn >= n THEN c END) AS lo,
+             MIN(CASE WHEN 20 * rn >= 19 * n THEN c END) AS hi
+      FROM ranked
     )
     SELECT SUM(LEAST(GREATEST(c, lo), hi)) / 100.0 / COUNT(*) AS winsorized_mean,
            SUM(c) / 100.0 / COUNT(*) AS raw_mean,
-           lo / 100.0 AS p05, hi / 100.0 AS p95
+           lo AS p05_cents, hi AS p95_cents
     FROM v, bounds
     GROUP BY lo, hi
     """,
@@ -641,19 +645,28 @@ def agg_ks_test_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized mean of order value (5%/95% clamp) — the outlier-
     robust center feature pipelines prefer over raw means when heavy
-    tails poison models.  The clamp bounds come from EXACT percentiles
-    over integer cents (floored to integers so both engines' midpoint
-    interpolation collapses to the same value), broadcast as a 1-row
-    frame; the clamped sum is pure long arithmetic — exact,
-    order-independent — with two double divisions at output in shared
-    order.  Scale: percentile_approx replaces the exact percentile at
-    extreme cardinality (the B96/B122 lever); the clamp-sum pass is
+    tails poison models.  The clamp bounds are DISCRETE (type-1)
+    quantiles selected by an all-integer rank rule (smallest value whose
+    rank rn satisfies 20*rn >= n, resp. >= 19*n): actual data values,
+    tie-invariant, no interpolation — so no FLOOR(interpolated double)
+    boundary for a cross-engine ulp to flip (the r03 red-row hazard
+    class; interpolated quantiles with fractional f are NOT exact even
+    on integer inputs because 0.05 itself is not representable).  The
+    clamped sum is pure long arithmetic with two double divisions at
+    output in shared operand order (the proven cavg pattern).  Scale:
+    percentile_approx replaces the exact rank pass at extreme
+    cardinality (the B96/B122 lever); the clamp-sum pass is
     map-side-combined either way."""
     o = T(spark, sf_dir, "orders")
     v = o.select(cents("o_totalprice").alias("c"))
-    bounds = v.agg(
-        F.floor(F.expr("percentile(c, 0.05)")).cast("bigint").alias("lo"),
-        F.floor(F.expr("percentile(c, 0.95)")).cast("bigint").alias("hi"),
+    ranked = v.select(
+        "c",
+        F.row_number().over(Window.orderBy("c")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    bounds = ranked.agg(
+        F.min(F.when(20 * F.col("rn") >= F.col("n"), F.col("c"))).alias("lo"),
+        F.min(F.when(20 * F.col("rn") >= 19 * F.col("n"), F.col("c"))).alias("hi"),
     )
     clamped = F.least(F.greatest(F.col("c"), F.col("lo")), F.col("hi"))
     return (
@@ -666,8 +679,8 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "winsorized_mean",
             "raw_mean",
-            (F.col("lo") / 100.0).alias("p05"),
-            (F.col("hi") / 100.0).alias("p95"),
+            F.col("lo").alias("p05_cents"),
+            F.col("hi").alias("p95_cents"),
         )
     )
 

@@ -294,48 +294,74 @@ def events_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is small, so exact sort-based percentile is fine; the 100 TB path for
 # high-cardinality groups is agg_approx_percentile's GK sketch) with the
 # tiny per-type stats broadcast back onto the scan by AQE.
+#
+# Determinism (r03 red row): the whole computation runs in the integer
+# cents domain.  A median of integers is a half-integer, so 2x the
+# median is an exact BIGINT on both engines regardless of which
+# interpolation formula ((1-f)*a+f*b vs a+f*(b-a)) the engine version
+# uses — at f=0.5 on integer operands both are IEEE-exact.  The 3-sigma
+# gate is likewise an all-integer comparison: dev > 3*1.4826*mad becomes
+# 20000*dev2 > 44478*mad2 with dev2 = 2*dev_cents and mad2 = 2*med(dev2)
+# (so mad_currency = mad2/400, dev_currency = dev2/200).  No raw
+# interpolated double ever reaches an output column or a comparison.
 @register(
     "events_anomaly_mad",
     tier="B",
-    oracle="""
-    WITH m AS (
-      SELECT event_type, quantile_cont(value, 0.5) AS med
-      FROM events GROUP BY 1
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, {sql_cents("value")} AS vc FROM events
+    ), m AS (
+      SELECT event_type, CAST(2 * quantile_cont(vc, 0.5) AS BIGINT) AS med2
+      FROM q GROUP BY 1
     ), d AS (
-      SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
-      FROM events e JOIN m USING (event_type)
+      SELECT q.event_type, m.med2, ABS(2 * q.vc - m.med2) AS dev2
+      FROM q JOIN m USING (event_type)
     ), s AS (
-      SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      SELECT event_type, CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad2
       FROM d GROUP BY 1
     )
-    SELECT d.event_type, MIN(d.med) AS med, MIN(s.mad) AS mad,
+    SELECT d.event_type,
+           MIN(d.med2) AS med_x2_cents,
+           MIN(s.mad2) AS mad_x2_cents,
            COUNT(*) AS n_events,
-           CAST(SUM(CASE WHEN d.dev > 3 * 1.4826 * s.mad THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_anomalies
+           CAST(SUM(CASE WHEN 20000 * d.dev2 > 44478 * s.mad2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
     FROM d JOIN s USING (event_type)
     GROUP BY d.event_type
     """,
 )
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type median + MAD, then count events beyond 3 robust sigmas
-    (MAD * 1.4826 ~ sigma under normality).  Both engines compute the
-    identical interpolated medians and double arithmetic, so the
-    boundary comparisons agree bit-for-bit."""
-    e = T(spark, sf_dir, "events")
-    m = e.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
-    d = e.join(m, "event_type").select(
-        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    (MAD * 1.4826 ~ sigma under normality).  All arithmetic — the two
+    medians, the deviations, and the threshold compare — happens on
+    exact longs (cents x2), so the result is bit-identical across
+    engines, engine versions, and partitionings.  med_x2_cents / 200.0
+    recovers the currency-unit median for presentation."""
+    from ub_etl_spark.functions.exact import cents
+
+    e = T(spark, sf_dir, "events").select(
+        "event_type", cents("value").alias("vc")
     )
-    s = d.groupBy("event_type").agg(F.percentile("dev", 0.5).alias("mad"))
+    m = e.groupBy("event_type").agg(
+        (2 * F.percentile("vc", 0.5)).cast("long").alias("med2")
+    )
+    d = e.join(m, "event_type").select(
+        "event_type", "med2", F.abs(2 * F.col("vc") - F.col("med2")).alias("dev2")
+    )
+    s = d.groupBy("event_type").agg(
+        (2 * F.percentile("dev2", 0.5)).cast("long").alias("mad2")
+    )
     return (
         d.join(s, "event_type")
         .groupBy("event_type")
         .agg(
-            F.min("med").alias("med"),
-            F.min("mad").alias("mad"),
+            F.min("med2").alias("med_x2_cents"),
+            F.min("mad2").alias("mad_x2_cents"),
             F.count(F.lit(1)).alias("n_events"),
             F.sum(
-                F.when(F.col("dev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+                F.when(
+                    20000 * F.col("dev2") > 44478 * F.col("mad2"), 1
+                ).otherwise(0)
             ).alias("n_anomalies"),
         )
     )
@@ -462,8 +488,9 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # B74: funnel conversion-rate summary — the stage-count rollup over the
 # per-user funnel (B28 emits per-user rows; this is the executive
 # number).  Stage membership via per-user conditional MINs, then ONE
-# scalar aggregation: three counts + two ratios, computed identically on
-# both engines (double division of exact longs).
+# scalar aggregation: three exact counts + two conversion rates emitted
+# as floor-divided parts-per-million longs (integer DIV on both engines,
+# per the repo determinism rule — no raw division double in the output).
 @register(
     "events_funnel_rates",
     tier="B",
@@ -486,8 +513,10 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(SUM(s) AS BIGINT) AS n_signup,
            CAST(SUM(v) AS BIGINT) AS n_view_after,
            CAST(SUM(p) AS BIGINT) AS n_purchase_after,
-           CAST(SUM(v) AS DOUBLE) / NULLIF(SUM(s), 0) AS view_rate,
-           CAST(SUM(p) AS DOUBLE) / NULLIF(SUM(s), 0) AS purchase_rate
+           CAST((1000000 * SUM(v)) // NULLIF(SUM(s), 0) AS BIGINT)
+             AS view_rate_ppm,
+           CAST((1000000 * SUM(p)) // NULLIF(SUM(s), 0) AS BIGINT)
+             AS purchase_rate_ppm
     FROM flags
     """,
 )
@@ -514,16 +543,28 @@ def events_funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("t_purchase") > F.col("t_view")),
         1,
     ).otherwise(0)
-    return stages.select(
-        s.alias("s"), v.alias("v"), p.alias("p")
-    ).agg(
-        F.sum("s").alias("n_signup"),
-        F.sum("v").alias("n_view_after"),
-        F.sum("p").alias("n_purchase_after"),
-        # try_divide, NULLIF in the oracle: with zero signups ANSI mode
-        # would abort the Spark job where DuckDB returns NULL (ADVICE r2)
-        F.try_divide(F.sum("v").cast("double"), F.sum("s")).alias("view_rate"),
-        F.try_divide(F.sum("p").cast("double"), F.sum("s")).alias("purchase_rate"),
+    return (
+        stages.select(s.alias("s"), v.alias("v"), p.alias("p"))
+        .agg(
+            F.sum("s").alias("n_signup"),
+            F.sum("v").alias("n_view_after"),
+            F.sum("p").alias("n_purchase_after"),
+        )
+        # rates as exact floor-divided parts-per-million longs: integer
+        # DIV on both engines (// in DuckDB), so no raw double crosses
+        # the hash — and NULLIF keeps the zero-signup edge NULL, not an
+        # ANSI abort (r2 ADVICE).  view_rate_ppm / 1e6 presents the ratio.
+        .select(
+            "n_signup",
+            "n_view_after",
+            "n_purchase_after",
+            F.expr(
+                "CAST((1000000 * n_view_after) DIV NULLIF(n_signup, 0) AS BIGINT)"
+            ).alias("view_rate_ppm"),
+            F.expr(
+                "CAST((1000000 * n_purchase_after) DIV NULLIF(n_signup, 0) AS BIGINT)"
+            ).alias("purchase_rate_ppm"),
+        )
     )
 
 
@@ -552,7 +593,7 @@ def events_funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(w) OVER (PARTITION BY l_returnflag) AS tw
       FROM wagg
     )
-    SELECT l_returnflag, MIN(pc) / 100.0 AS weighted_median,
+    SELECT l_returnflag, MIN(pc) AS weighted_median_cents,
            CAST(MAX(tw) AS BIGINT) AS total_weight
     FROM c WHERE 2 * cw >= tw GROUP BY l_returnflag
     """,

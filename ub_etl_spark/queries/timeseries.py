@@ -401,10 +401,10 @@ def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS rev_c
       FROM orders GROUP BY 1, 2
     )
-    SELECT d, CAST(rev_c AS DOUBLE) / 100.0 AS day_rev,
-           MEDIAN(rev_c) OVER (ORDER BY di
+    SELECT d, rev_c AS day_rev_cents,
+           CAST(2 * MEDIAN(rev_c) OVER (ORDER BY di
                                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-             / 100.0 AS med7
+                AS BIGINT) AS med7_x2_cents
     FROM daily
     ORDER BY d
     """,
@@ -421,7 +421,10 @@ def timeseries_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     udaf_grouped_agg precedent).  Scale: the window runs over days, not
     orders; for per-key rolling medians partition the same window by the
     key.  The day aggregation shuffles |days| rows; the spine window is
-    the usual global-order watch item, trivial at spine size."""
+    the usual global-order watch item, trivial at spine size.  Outputs
+    stay in the exact-long domain (day cents; 2x the rolling median,
+    an exact integer) per the repo determinism rule — /100.0 and /200.0
+    recover currency units at presentation time."""
     o = T(spark, sf_dir, "orders")
     daily = o.groupBy(
         F.col("o_orderdate").cast("date").alias("d"),
@@ -436,8 +439,10 @@ def timeseries_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.orderBy("di").rangeBetween(-6, 0)
     return daily.select(
         "d",
-        (F.col("rev_c").cast("double") / 100.0).alias("day_rev"),
-        (F.expr("percentile(rev_c, 0.5)").over(w) / 100.0).alias("med7"),
+        F.col("rev_c").alias("day_rev_cents"),
+        (2 * F.expr("percentile(rev_c, 0.5)").over(w))
+        .cast("long")
+        .alias("med7_x2_cents"),
     ).orderBy("d")
 
 

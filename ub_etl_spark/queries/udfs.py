@@ -105,14 +105,19 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Grouped-aggregate pandas_udf (the full-UDAF surface: Series -> scalar,
 # Arrow-batched per group).  Median of integer cents is deterministic:
 # numpy's even-count interpolation (a+b)/2 and DuckDB's quantile_cont
-# lower+(upper-lower)*0.5 are both exact on half-integers, so the values
-# hash-match despite crossing the Arrow boundary.
+# lower+(upper-lower)*0.5 are both exact on half-integers — and the
+# output is 2x that half-integer as an exact BIGINT (the repo
+# determinism rule: no interpolated double and no BIGINT/decimal-literal
+# division, whose result type varies across DuckDB versions, ever
+# reaches an oracle-hashed column).  med_x2_cents / 200.0 presents the
+# currency-unit median.
 @register(
     "udaf_grouped_agg",
     tier="B",
     oracle=f"""
     SELECT o_orderpriority,
-           MEDIAN({sql_cents("o_totalprice")}) / 100.0 AS med_totalprice
+           CAST(2 * MEDIAN({sql_cents("o_totalprice")}) AS BIGINT)
+             AS med_x2_cents
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -127,15 +132,17 @@ def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     or the two-phase selection shape (agg_weighted_median)."""
     import numpy as np
 
-    @F.pandas_udf("double")
-    def median_cents(v: pd.Series) -> float:
-        return float(np.median(v.to_numpy()))
+    @F.pandas_udf("long")
+    def median2_cents(v: pd.Series) -> int:
+        # 2 * median of longs is an exact integer (median of ints is a
+        # half-integer); round() guards the cast against a stray ulp.
+        return int(round(2.0 * float(np.median(v.to_numpy()))))
 
     o = T(spark, sf_dir, "orders")
     return (
         o.withColumn("tc", cents("o_totalprice"))
         .groupBy("o_orderpriority")
-        .agg((median_cents("tc") / 100.0).alias("med_totalprice"))
+        .agg(median2_cents("tc").alias("med_x2_cents"))
     )
 
 
