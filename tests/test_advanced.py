@@ -202,3 +202,47 @@ def test_interval_coalesce_covers_exact_union(spark):
         # episodes never overlap
         for (s1, e1), (s2, e2) in zip(got, got[1:]):
             assert e1 < s2
+
+
+def test_quantile_disc_two_phase_matches_rank_rule(spark):
+    """The two-phase bucketed selection must pick exactly the value at
+    rank ceil(q*n) in sorted order (type-1 discrete quantile) — checked
+    against a python sort over adversarial inputs: duplicates straddling
+    bucket boundaries, a value exactly on a bucket edge, and n chosen so
+    one target rank lands ON a tie run and one just after it."""
+    from math import ceil
+
+    from ub_etl_spark.operators.selection import quantile_disc_two_phase
+
+    vals = (
+        [100] * 7            # tie run in bucket 0 (width 50: bucket 100)
+        + [149, 150, 151]    # straddle the 150 bucket edge
+        + [150] * 5          # tie run ON the edge value
+        + [298, 299, 300, 9_999]  # sparse tail, huge outlier
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "c long")
+    got = quantile_disc_two_phase(
+        df, "c", [("lo", 1, 20), ("mid", 1, 2), ("hi", 19, 20)], bucket_width=50
+    ).collect()[0]
+    ref = sorted(vals)
+    n = len(ref)
+    assert got.lo == ref[ceil(n * 1 / 20) - 1]
+    assert got.mid == ref[ceil(n * 1 / 2) - 1]
+    assert got.hi == ref[ceil(n * 19 / 20) - 1]
+
+
+def test_quantile_disc_two_phase_bucket_width_invariance(spark):
+    """The result is a data value selected by an integer rank rule, so it
+    must not depend on the bucketing parameter."""
+    from ub_etl_spark.operators.selection import quantile_disc_two_phase
+
+    df = spark.range(1, 1001).select((F.col("id") * 37 % 4001).alias("c"))
+    outs = [
+        tuple(
+            quantile_disc_two_phase(
+                df, "c", [("lo", 1, 20), ("hi", 19, 20)], bucket_width=w
+            ).collect()[0]
+        )
+        for w in (7, 100, 10_000, 1_000_000)
+    ]
+    assert len(set(outs)) == 1, outs

@@ -26,3 +26,17 @@ def test_headline_covers_registry_exactly():
     assert not missing, f"registered queries without a bench row: {missing}"
     assert not stale, f"bench rows for unregistered queries: {stale}"
     assert not dupes, f"duplicate bench rows: {dupes}"
+
+
+def test_documented_exceptions_name_real_queries():
+    """The sanctioned->2x list must reference registered queries only, so
+    a rename can't silently orphan an exception entry."""
+    from ub_etl_spark.registry import load_all
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    stale = sorted(set(mod.DOCUMENTED_EXCEPTIONS) - set(load_all()))
+    assert not stale, f"exception entries for unregistered queries: {stale}"

@@ -294,7 +294,13 @@ EXPECT = {
     "graph_jaccard_link_prediction": ["LeftAnti", "TakeOrderedAndProject"],
     # KS: cumulative window over the constant bucket spine, no global data sort
     "agg_ks_test_bucketed": ["Window", "HashAggregate", "BroadcastHashJoin"],
-    "agg_winsorized_mean": ["HashAggregate", "BroadcastNestedLoopJoin"],
+    # winsorized mean: two-phase discrete-quantile selection — bucket-spine
+    # window + broadcast fine join, never a global row_number sort
+    "agg_winsorized_mean": [
+        "HashAggregate",
+        "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin",
+    ],
     "events_funnel_any_order": ["HashAggregate", "Exchange hashpartitioning(user_id"],
     "io_csv_malformed_quarantine": ["codegen id :"],
     "join_asof_tolerance": ["Window"],

@@ -77,6 +77,93 @@ def weighted_median_two_phase(
     )
 
 
+def quantile_disc_two_phase(
+    df: DataFrame,
+    value_col: str,
+    quantiles: list[tuple[str, int, int]],
+    bucket_width: int = 10000,
+) -> DataFrame:
+    """Exact global discrete (type-1) quantiles by two-phase distributed
+    selection — the all-integer, no-interpolation quantile rule
+    (smallest value whose cumulative count cw satisfies den*cw >= num*n)
+    without the textbook global-order window, which would funnel every
+    row through ONE partition (the scale-killer class).  Phase 1 buckets
+    values (coarse counts, map-side combined) and walks the cumulative
+    over the tiny bucket spine — |value_range / bucket_width| rows, the
+    same bounded-spine argument as weighted_median_two_phase — locating,
+    per requested quantile, the one bucket containing it plus the count
+    before it.  Phase 2 re-scans only those buckets' rows (a broadcast
+    semi-style equi-join on the bucket key), cumulates per distinct
+    value, and picks the smallest qualifying value with exact integer
+    comparisons throughout.
+
+    quantiles: [(name, num, den), ...] — quantile num/den per output
+    column.  Returns a 1-row DataFrame with one BIGINT column per name
+    (actual data values: tie-invariant, engine-exact)."""
+    v = F.col(value_col)
+    bucket = v - F.pmod(v, F.lit(bucket_width))
+    coarse = df.groupBy(bucket.alias("b")).agg(F.count(F.lit(1)).alias("nb"))
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    wtot = Window.partitionBy()
+    c1 = coarse.select(
+        "b",
+        F.sum("nb").over(wcum).alias("cumb"),
+        (F.sum("nb").over(wcum) - F.col("nb")).alias("prior"),
+        F.sum("nb").over(wtot).alias("n"),
+    )
+    # ONE pass over the bucket spine locates every requested quantile's
+    # bucket (min(struct) orders by b first = smallest qualifying bucket).
+    located = c1.agg(
+        *[
+            F.min(
+                F.when(
+                    den * F.col("cumb") >= num * F.col("n"),
+                    F.struct("b", "prior", "n"),
+                )
+            ).alias(name)
+            for name, num, den in quantiles
+        ]
+    )
+    targets = located.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("qname"),
+                        F.lit(num).alias("qnum"),
+                        F.lit(den).alias("qden"),
+                        F.col(f"{name}.b").alias("tb"),
+                        F.col(f"{name}.prior").alias("prior"),
+                        F.col(f"{name}.n").alias("n"),
+                    )
+                    for name, num, den in quantiles
+                ]
+            )
+        ).alias("t")
+    ).select("t.*")
+    fine = (
+        df.join(F.broadcast(targets), bucket == F.col("tb"))
+        .groupBy("qname", "qnum", "qden", "prior", "n", v.alias("pc"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wq = (
+        Window.partitionBy("qname")
+        .orderBy("pc")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    picked = (
+        fine.withColumn("cw", F.col("prior") + F.sum("cnt").over(wq))
+        .filter(F.col("qden") * F.col("cw") >= F.col("qnum") * F.col("n"))
+        .groupBy("qname")
+        .agg(F.min("pc").alias("val"))
+    )
+    return (
+        picked.groupBy()
+        .pivot("qname", [name for name, _, _ in quantiles])
+        .agg(F.first("val"))
+    )
+
+
 def basket_pairs(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
     """Ordered co-occurrence pair instances (part_a < part_b, one row per
     basket containing the pair) without a self-join: collect each basket

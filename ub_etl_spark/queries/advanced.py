@@ -652,22 +652,19 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary for a cross-engine ulp to flip (the r03 red-row hazard
     class; interpolated quantiles with fractional f are NOT exact even
     on integer inputs because 0.05 itself is not representable).  The
-    clamped sum is pure long arithmetic with two double divisions at
-    output in shared operand order (the proven cavg pattern).  Scale:
-    percentile_approx replaces the exact rank pass at extreme
-    cardinality (the B96/B122 lever); the clamp-sum pass is
-    map-side-combined either way."""
+    rank rule runs DISTRIBUTED via two-phase bucket selection
+    (operators/selection.py): a coarse bucket-count pass plus a fine
+    pass over only the two quantiles' buckets — no global-order window
+    funneling every row through one partition.  The clamped sum is pure
+    long arithmetic with two double divisions at output in shared
+    operand order (the proven cavg pattern).  Scale: percentile_approx
+    replaces the exact rank pass at extreme cardinality (the B96/B122
+    lever); the clamp-sum pass is map-side-combined either way."""
+    from ub_etl_spark.operators.selection import quantile_disc_two_phase
+
     o = T(spark, sf_dir, "orders")
     v = o.select(cents("o_totalprice").alias("c"))
-    ranked = v.select(
-        "c",
-        F.row_number().over(Window.orderBy("c")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
-    bounds = ranked.agg(
-        F.min(F.when(20 * F.col("rn") >= F.col("n"), F.col("c"))).alias("lo"),
-        F.min(F.when(20 * F.col("rn") >= 19 * F.col("n"), F.col("c"))).alias("hi"),
-    )
+    bounds = quantile_disc_two_phase(v, "c", [("lo", 1, 20), ("hi", 19, 20)])
     clamped = F.least(F.greatest(F.col("c"), F.col("lo")), F.col("hi"))
     return (
         v.crossJoin(F.broadcast(bounds))
