@@ -96,6 +96,7 @@ def queries(spark, d: str):
         # scale limit" claim carries a number, not just a docstring
         "basket_pairs": _basket_pairs(li),
         "weighted_median_2phase": _weighted_median(li),
+        "quantile_disc_2phase": _quantile_disc(o),
         "equidepth_ntile_global": _equidepth(o),
         "equidepth_sketch_approx": _equidepth_approx(o),
         "gini_rank_global": _gini(o),
@@ -146,6 +147,15 @@ def _weighted_median(li):
     return weighted_median_two_phase(
         li, "l_returnflag", cents("l_extendedprice"), cents("l_quantity", scale=0)
     )
+
+
+def _quantile_disc(o):
+    # exact discrete p05/p95 WITHOUT a global-order window: the two-phase
+    # bucket selection that replaced agg_winsorized_mean's row_number pass
+    from ub_etl_spark.operators.selection import quantile_disc_two_phase
+
+    v = o.select(cents("o_totalprice").alias("c"))
+    return quantile_disc_two_phase(v, "c", [("lo", 1, 20), ("hi", 19, 20)])
 
 
 def _equidepth(o):
@@ -388,6 +398,28 @@ def _inverted(docs):
     )
 
 
+# Interpretation of the cells that are EXPECTED to flag — kept in the
+# generator so a re-run can't silently drop the analysis (it used to be
+# hand-appended to SCALING.md and one regeneration away from loss).
+NOTES = """Notes on the flagged cells:
+- `equidepth_ntile_global` is the DOCUMENTED global-sort watch item; its
+  sketch twin (`equidepth_sketch_approx`, same output contract) stays
+  near-linear — the measured cost of the global sort and the value of
+  its replacement (see quantile_bucket_approx).
+- `quantile_disc_2phase` is the distributed EXACT answer to the same
+  hazard class: discrete p05/p95 by bucketed two-phase selection (no
+  global-order window), the operator behind agg_winsorized_mean.
+- `active_episodes` at 100x is linear (ratio ~ K): the per-customer
+  windows grow with per-key interval counts exactly as designed.
+- `triangle_count`: a controlled re-measurement of both adjacency-attach
+  paths on the 10x disjoint-copy graph (same session, cache cleared per
+  cell): broadcast 9.2s -> 33.8s (3.7x), co-partitioned shuffle 5.7s ->
+  48.5s (8.6x) — both linear-or-better; broadcast stays the faster path
+  while the |V|-row adjacency fits executor memory, and
+  `count_triangles(broadcast_adjacency=False)` is the switch beyond.
+"""
+
+
 def run(df) -> float:
     t0 = time.perf_counter()
     df.write.mode("overwrite").format("noop").save()
@@ -464,6 +496,7 @@ def main() -> None:
         " plan (the failure mode this smoke exists to catch).  knn_exact_10q"
         " holds |Q| fixed, so its ratio tracks corpus growth only.\n"
     )
+    lines.append(NOTES)
     with open("/root/repo/SCALING.md", "w") as f:
         f.write("\n".join(lines))
     print("wrote SCALING.md")
