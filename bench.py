@@ -343,6 +343,38 @@ DOCUMENTED_EXCEPTIONS = {
         "2.5x faster than the join form Spark-vs-Spark; oracle keeps the "
         "join form; boundedness measured by orders_lines_per_order_hist"
     ),
+    "market_basket_lift": (
+        "embeds the same sanctioned HOF pair-expansion core as "
+        "market_basket_pairs (one persisted basket_arrays shuffle feeds "
+        "pairs + supports + basket count)"
+    ),
+    "graph_pagerank_trade": (
+        "5 fixed power iterations = 5 chained Spark jobs over a "
+        "25-node graph: cost is iterations x per-job floor at bench "
+        "scale; the join+agg dataflow per iteration is the "
+        "GraphX/Pregel scale shape and the edge list is persisted"
+    ),
+    "dedup_cluster_cc": (
+        "iterative connected components: O(log n) label-propagation "
+        "rounds, each a Spark job — iteration machinery dominates at "
+        "bench scale; raced on a diameter-120 chain in tests; "
+        "dedup_cluster_cc_star is the 2-round large/small-star twin"
+    ),
+    "storage_gdpr_delete": (
+        "performs a real partition-pruned REWRITE (dynamic partition "
+        "overwrite + drained-partition removal); the oracle only "
+        "computes the surviving rows, writing nothing"
+    ),
+    "storage_time_travel": (
+        "builds a 3-version transaction log (2 commits + overwrite) "
+        "then reads a snapshot; the oracle computes the final state "
+        "from the source table, writing nothing"
+    ),
+    "storage_zorder_cluster": (
+        "performs the clustered REWRITE (z-order interleave + 8-file "
+        "layout) then reads it back; the oracle only computes the "
+        "expected rows, writing nothing"
+    ),
 }
 
 
@@ -469,6 +501,19 @@ def main() -> None:
         if above
         else None
     )
+    # ... and additionally excluding the documented-exception queries
+    # (each entry in DOCUMENTED_EXCEPTIONS states why its ratio is
+    # sanctioned): the residual number is the plan-quality aggregate.
+    plan_set = [n for n in above if n not in DOCUMENTED_EXCEPTIONS]
+    agg_ratio_plan = (
+        round(
+            sum(timings[n] for n in plan_set)
+            / max(sum(oracle_s[n] for n in plan_set), 1e-9),
+            2,
+        )
+        if plan_set
+        else None
+    )
     # --- artifact emission -------------------------------------------------
     # The driver captures only the LAST ~2000 characters of stdout and
     # json-parses that window (BENCH_r01 parsed at a 2.0 KB line; r02/r03
@@ -513,6 +558,7 @@ def main() -> None:
         # machinery-bound by construction, not plan-bound
         "sub_floor_queries": sub_floor,
         "aggregate_ratio_excl_subfloor": agg_ratio_excl,
+        "aggregate_ratio_excl_subfloor_and_exceptions": agg_ratio_plan,
         "sf": sf,
         "n_queries": len(timings),
         "budget_truncated": truncated,
@@ -544,6 +590,7 @@ def main() -> None:
         "oracle_total": oracle_total,
         "aggregate_ratio": round(spark_with_oracle / max(oracle_total, 1e-9), 2),
         "aggregate_ratio_excl_subfloor": agg_ratio_excl,
+        "aggregate_ratio_excl_subfloor_and_exceptions": agg_ratio_plan,
         "n_subfloor": len(sub_floor),
         "n_budget_truncated": len(truncated),
         "n_regressed_2x_vs_prev": len(regressed),

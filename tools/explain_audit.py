@@ -277,7 +277,9 @@ EXPECT = {
     # nothing wedge-shaped shuffles
     "graph_triangle_count": ["BroadcastHashJoin", "array_intersect", "HashAggregate"],
     "graph_bfs_distance": ["InMemoryTableScan", "Union"],
-    "lineitem_otif_rate": ["HashAggregate", "Exchange hashpartitioning(o_orderkey" ],
+    # otif: fact pre-aggregates to per-order MAX before the join — the
+    # exchange carries l_orderkey partials, not raw lines
+    "lineitem_otif_rate": ["HashAggregate", "Exchange hashpartitioning(l_orderkey"],
     "split_group_aware": ["HashAggregate", "Exchange hashpartitioning(split"],
     # trailing windows: conditional sums in ONE aggregate, no Window node
     "feature_trailing_windows": ["HashAggregate", "!Window"],
@@ -287,7 +289,15 @@ EXPECT = {
     # batch 10-13 additions
     "agg_mutual_information": ["HashAggregate", "BroadcastHashJoin"],
     "feature_woe_iv": ["HashAggregate", "BroadcastHashJoin"],
-    "market_basket_lift": ["TakeOrderedAndProject", "HashAggregate", "Generate"],
+    # lift: one persisted basket_arrays shuffle feeds pairs+supports+count;
+    # support joins broadcast
+    "market_basket_lift": [
+        "TakeOrderedAndProject",
+        "HashAggregate",
+        "Generate",
+        "InMemoryTableScan",
+        "BroadcastHashJoin",
+    ],
     "multimodal_dedup_exact": ["HashAggregate", "codegen id :"],
     "text_keyphrase_topk": ["Window", "HashAggregate", "Generate"],
     # link prediction: wedge agg + anti-join of existing edges

@@ -411,6 +411,11 @@ NOTES = """Notes on the flagged cells:
   global-order window), the operator behind agg_winsorized_mean.
 - `active_episodes` at 100x is linear (ratio ~ K): the per-customer
   windows grow with per-key interval counts exactly as designed.
+- Corpus cells whose cost is TEXT-BYTE-bound (`normalized_dedup`,
+  `survivorship` — both dominated by the normalize-regex pass) ride
+  above K by construction: the per-copy `c{i}_` token prefix inflates
+  text bytes ~1.55x (measured on sf0.1), so K=10 copies carry ~15.5x
+  the bytes — a ratio near 15 is byte-linear, not super-linear.
 - `triangle_count`: a controlled re-measurement of both adjacency-attach
   paths on the 10x disjoint-copy graph (same session, cache cleared per
   cell): broadcast 9.2s -> 33.8s (3.7x), co-partitioned shuffle 5.7s ->

@@ -164,16 +164,20 @@ def quantile_disc_two_phase(
     )
 
 
-def basket_pairs(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
-    """Ordered co-occurrence pair instances (part_a < part_b, one row per
-    basket containing the pair) without a self-join: collect each basket
-    once (collect_set dedups, sort_array orders), generate the pairs
-    map-side with array HOFs inside codegen.  Linear in baskets when
-    basket size is bounded.  Consumers aggregate (counts) or dedup
-    (edge sets) as needed — this stage itself adds no extra shuffle."""
-    baskets = df.groupBy(basket_col).agg(
+def basket_arrays(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+    """One row per basket with its sorted de-duplicated item array —
+    the ONE shuffle the whole basket-analysis family pays.  Consumers
+    that need several derived frames (pair counts + item supports +
+    basket count, e.g. lift/confidence) should persist this frame and
+    branch from it instead of re-aggregating the fact per branch."""
+    return df.groupBy(basket_col).agg(
         F.sort_array(F.collect_set(item_col)).alias("parts")
     )
+
+
+def basket_pairs_from_arrays(baskets: DataFrame) -> DataFrame:
+    """Pair expansion over a basket_arrays frame: map-side array HOFs
+    inside codegen, no self-join, no additional shuffle."""
     return baskets.select(
         F.explode(
             F.flatten(
@@ -187,6 +191,16 @@ def basket_pairs(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
             )
         ).alias("pr")
     ).select(F.col("pr.part_a").alias("part_a"), F.col("pr.part_b").alias("part_b"))
+
+
+def basket_pairs(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+    """Ordered co-occurrence pair instances (part_a < part_b, one row per
+    basket containing the pair) without a self-join: collect each basket
+    once (collect_set dedups, sort_array orders), generate the pairs
+    map-side with array HOFs inside codegen.  Linear in baskets when
+    basket size is bounded.  Consumers aggregate (counts) or dedup
+    (edge sets) as needed — this stage itself adds no extra shuffle."""
+    return basket_pairs_from_arrays(basket_arrays(df, basket_col, item_col))
 
 
 def basket_pair_counts(

@@ -191,9 +191,15 @@ def text_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed equi join (the inverted-index probe shape shared with the LSH
     family — never all-pairs); gram sets are DISTINCT per doc before the
     join so duplicate windows can't inflate the overlap; the ratio is
-    one double division of two exact counts.  Scale levers: shingle
-    hashing instead of raw strings for the join key, and banding (as in
-    minhash) when the corpus outgrows the gram join."""
+    one double division of two exact counts.  The gram subplan is
+    deliberately NOT persisted: its three consumers re-run the codegen
+    tokenize+distinct, which measures 1.7x FASTER than caching (the
+    exploded gram strings are ~20x the input bytes — materializing them
+    costs more than recomputing; the persist-and-branch lever only pays
+    when the shared frame is small, e.g. market_basket_lift's basket
+    arrays).  Scale levers: shingle hashing instead of raw strings for
+    the join key, and banding (as in minhash) when the corpus outgrows
+    the gram join."""
     d = T(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.split(F.lower(F.col("text")), " ").alias("t")
@@ -869,26 +875,40 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     are just popular items; lift-ranked partners are genuinely
     associated).  The pair counts come from the map-side basket
     expansion (never a fact self-join — the oracle keeps the textbook
-    join form); item supports re-aggregate the DISTINCT basket rows;
-    support >= 3 prunes noise pairs BEFORE the lift join; every ratio
-    is a shared-order double division of exact longs.  Top-50 by lift
-    is TakeOrderedAndProject.  Scale: |pairs| is linear in baskets
-    (bounded basket size); the item-support joins broadcast at dim
-    scale and co-key otherwise (AQE)."""
-    from ub_etl_spark.operators.selection import basket_pair_counts
+    join form).  The per-order collect_set is the ONE shuffle the whole
+    query pays: pair expansion, item supports (explode of the arrays),
+    and the basket count all branch from the same persisted
+    basket_arrays frame instead of re-aggregating the fact three times.
+    Support >= 3 prunes noise pairs BEFORE the lift join; item supports
+    are |parts|-sized and broadcast; every ratio is a shared-order
+    double division of exact longs.  Top-50 by lift is
+    TakeOrderedAndProject.  Scale: |pairs| is linear in baskets
+    (bounded basket size); at a corpus where |parts| outgrows broadcast
+    the support joins co-key on the pair columns (AQE)."""
+    from ub_etl_spark.operators.selection import (
+        basket_arrays,
+        basket_pairs_from_arrays,
+    )
 
     li = T(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = baskets.agg(F.countDistinct("l_orderkey").alias("n"))
-    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ni"))
-    pairs = basket_pair_counts(li, "l_orderkey", "l_partkey").withColumnRenamed(
-        "n_orders", "nab"
-    ).filter(F.col("nab") >= 3)
+    arrays = basket_arrays(li, "l_orderkey", "l_partkey").persist()
+    n_orders = arrays.agg(F.count(F.lit(1)).alias("n"))
+    item = (
+        arrays.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    pairs = (
+        basket_pairs_from_arrays(arrays)
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("nab"))
+        .filter(F.col("nab") >= 3)
+    )
     ia = item.select(F.col("l_partkey").alias("part_a"), F.col("ni").alias("ni_a"))
     ib = item.select(F.col("l_partkey").alias("part_b"), F.col("ni").alias("ni_b"))
     return (
-        pairs.join(ia, "part_a")
-        .join(ib, "part_b")
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "part_a",

@@ -512,24 +512,30 @@ def lineitem_otif_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """On-time-in-full rate per order priority — the supply-chain
     fulfillment KPI: an order counts only when its LAST line ships
     within 90 days of order date (per-order MAX, not per-line — the
-    'in full' part).  The fact joins on its own key and collapses to
-    one row per order before the tiny priority rollup; otif flags are
-    exact integers, the rate is one double division.  Scale: both
-    aggregates map-side-combine on the l_orderkey exchange."""
+    'in full' part).  The fact PRE-AGGREGATES to its per-order
+    MAX(l_shipdate) before the join — the partial agg combines map-side,
+    so the join exchange moves one 2-column row per order instead of
+    every line (4x fewer shuffled rows here, |lines|/|orders| fewer at
+    100 TB); the otif flag then computes against the joined order row.
+    Flags are exact integers, the rate is one double division.
+    Semantics are join-order-safe because the groupBy key IS the join
+    key and orders are unique per key."""
     o = T(spark, sf_dir, "orders")
     li = T(spark, sf_dir, "lineitem")
-    per_order = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
-        .agg(
-            F.when(
-                F.max("l_shipdate")
-                <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
-                1,
-            )
-            .otherwise(0)
-            .alias("otif")
+    last_ship = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    per_order = last_ship.join(
+        o, last_ship.l_orderkey == o.o_orderkey
+    ).select(
+        "o_orderpriority",
+        F.when(
+            F.col("last_ship")
+            <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+            1,
         )
+        .otherwise(0)
+        .alias("otif"),
     )
     return (
         per_order.groupBy("o_orderpriority")
