@@ -125,3 +125,38 @@ def test_pack_matches_sequential_model_on_size_mix(spark):
         for did in ids:
             assert got[did] == (part, offset // budget, n_tok[did])
             offset += n_tok[did]
+
+
+def test_quantile_disc_two_phase_random_multisets(spark):
+    """Randomized cross-check of the two-phase discrete quantile against
+    the pure-python rank rule (value at rank ceil(q*n) in sorted order)
+    over adversarial multisets: heavy ties, skewed magnitudes, tiny and
+    large n, and bucket widths spanning one-bucket to one-value-per-
+    bucket regimes.  The reference rank is computed with INTEGER ceil
+    division — float ceil(m*q) can land one past the rank when m*q is
+    exactly integral (the same hazard class the operator exists to
+    avoid)."""
+    from ub_etl_spark.operators.selection import quantile_disc_two_phase
+
+    rng = np.random.RandomState(1234)
+    qs = [("p05", 1, 20), ("p25", 1, 4), ("p50", 1, 2), ("p95", 19, 20)]
+    for trial in range(6):
+        n = int(rng.choice([1, 2, 7, 100, 1000]))
+        # mix a skewed heavy-tail with heavy ties
+        vals = np.concatenate(
+            [
+                rng.zipf(1.7, size=n).astype(np.int64) * 37,
+                rng.choice([0, 5, 5, 5, 1000], size=n).astype(np.int64),
+            ]
+        )
+        width = int(rng.choice([1, 13, 1000, 10**9]))
+        df = spark.createDataFrame([(int(v),) for v in vals], "c long")
+        row = quantile_disc_two_phase(df, "c", qs, bucket_width=width).collect()[0]
+        ref = np.sort(vals)
+        m = len(ref)
+        for name, num, den in qs:
+            expect = int(ref[-(-m * num // den) - 1])
+            assert getattr(row, name) == expect, (
+                f"trial {trial} n={m} width={width} {name}: "
+                f"{getattr(row, name)} != {expect}"
+            )
