@@ -9,8 +9,11 @@ Stages:
   2. parity @ sf0.001       (every registered query vs its DuckDB oracle)
   3. pytest                 (unit / property / streaming / storage)
   4. [--full] parity @ sf0.01  (the driver's scale)
-  5. [--full] bounds        (rows-only guarantees measured)
-  6. [--full] bench smoke   (all headline queries execute; sf0.001, budgeted)
+  5. [--full] parity @ sf0.01, 7-way  (partitioning-independence: same
+     hashes under a different shuffle layout — the 1000-executor
+     reproducibility property)
+  6. [--full] bounds        (rows-only guarantees measured)
+  7. [--full] bench smoke   (all headline queries execute; sf0.001, budgeted)
 """
 
 from __future__ import annotations
@@ -62,6 +65,11 @@ def main() -> None:
     run("pytest", [py, "-m", "pytest", "tests/", "-x", "-q"])
     if args.full:
         run("parity sf0.01", [py, "tools/parity.py", "--sf", "/root/testdata/sf0.01"])
+        run(
+            "parity sf0.01 @ 7-way",
+            [py, "tools/parity.py", "--sf", "/root/testdata/sf0.01"],
+            env={"SPARK_GRAFT_CPUS": "7"},
+        )
         run("bounds", [py, "tools/bounds.py", "--sf", "/root/testdata/sf0.01"])
         run(
             "bench smoke",
