@@ -713,15 +713,20 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (points-within-radius, store-catchment overlap, sensor
     co-location) with no native Spark operator.  Cell width == r, so a
     qualifying pair sits in the same or one-ring-adjacent cells: side A
-    keys on its own cell, side B EXPLODES to its 3x3 neighborhood
-    (bounded 9x duplication of the smaller conceptual side), the join
-    is plain EQUI hash on cell id, and the exact distance predicate
-    filters after — O(n x local density), never the oracle's O(n²)
-    cross product; the 1D theta-band bucketing (B98) lifted to 2D.
-    Pair dedup: candidates can co-occur in at most one (cellA,
-    neighbor-offset) combination because A is keyed on its OWN cell —
-    no dropDuplicates needed.  Distances floor to 6dp (sqrt ulp rule).
-    Scale: skewed hot cells split by AQE like any hash join; at
+    keys on its own cell, side B explodes to a DIRECTED half-ring —
+    same cell plus the 4 positive-direction neighbors (0,1),(1,-1),
+    (1,0),(1,1) — so each geometric pair is candidate-tested EXACTLY
+    once: cross-cell pairs meet only through the one directed offset
+    (the offset set contains no inverses), same-cell pairs dedup on
+    id < id_b.  That is 5x B-side duplication instead of the textbook
+    undirected 9x, and HALF the distance evaluations (the undirected
+    form tests every pair from both ends and discards one by the id
+    order).  The join is plain EQUI hash on cell id, the exact distance
+    predicate filters after — O(n x local density), never the oracle's
+    O(n²) cross product; the 1D theta-band bucketing (B98) lifted to
+    2D.  Output ids order as least/greatest (cross-cell candidates
+    arrive in arbitrary id order).  Distances floor to 6dp (sqrt ulp
+    rule).  Scale: skewed hot cells split by AQE like any hash join; at
     planetary scale swap the uniform grid for a geohash at the same
     cell-width-=r discipline."""
     p = T(spark, sf_dir, "part")
@@ -734,7 +739,7 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     cx = F.floor(F.col("x") / r).cast("long")
     cy = F.floor(F.col("y") / r).cast("long")
     a = pts.select("id", "x", "y", cx.alias("cx"), cy.alias("cy"))
-    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    offsets = [(0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
     b = pts.select(
         F.col("id").alias("id_b"),
         F.col("x").alias("xb"),
@@ -743,20 +748,32 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     F.struct(
-                        (cx + F.lit(dx)).alias("cx"), (cy + F.lit(dy)).alias("cy")
+                        (cx + F.lit(dx)).alias("cx"),
+                        (cy + F.lit(dy)).alias("cy"),
+                        F.lit(dx == 0 and dy == 0).alias("same"),
                     )
                     for dx, dy in offsets
                 ]
             )
         ).alias("cell"),
-    ).select("id_b", "xb", "yb", F.col("cell.cx").alias("cx"), F.col("cell.cy").alias("cy"))
+    ).select(
+        "id_b",
+        "xb",
+        "yb",
+        F.col("cell.cx").alias("cx"),
+        F.col("cell.cy").alias("cy"),
+        F.col("cell.same").alias("same"),
+    )
     d2 = (F.col("x") - F.col("xb")) ** 2 + (F.col("y") - F.col("yb")) ** 2
     return (
         a.join(b, ["cx", "cy"])
-        .filter((F.col("id") < F.col("id_b")) & (d2 <= F.lit(r * r)))
+        .filter(
+            (~F.col("same") | (F.col("id") < F.col("id_b")))
+            & (d2 <= F.lit(r * r))
+        )
         .select(
-            F.col("id").alias("id_a"),
-            "id_b",
+            F.least("id", "id_b").alias("id_a"),
+            F.greatest("id", "id_b").alias("id_b"),
             (F.floor(F.sqrt(d2) * 1e6) / 1e6).alias("dist"),
         )
     )
