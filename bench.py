@@ -25,7 +25,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ub_etl_spark.registry import load_all  # noqa: E402
-from ub_etl_spark.session import get_spark  # noqa: E402
+from ub_etl_spark.session import get_spark, release_persisted  # noqa: E402
 
 # Headline set: one per tier/shape so the number tracks engine-wide health
 # without double-counting near-identical plans.
@@ -456,6 +456,7 @@ def main() -> None:
         # cached relations don't accumulate across the 2x37-query session
         # (each pass still exercises its own persist+reuse, which is what
         # a fresh production run would do)
+        release_persisted()
         spark.catalog.clearCache()
     # Targeted third pass: two samples disagreeing by >1.5x is noise
     # evidence (a quiet run and a run hit by a VM noise window), so only
@@ -470,6 +471,7 @@ def main() -> None:
         if over_budget():
             break
         samples[name].append(run_once(spark, registry[name], sf_dir))
+    release_persisted()
     spark.catalog.clearCache()
     truncated = sorted(n for n in HEADLINE if not samples[n])
     timings = {n: round(min(s), 4) for n, s in samples.items() if s}

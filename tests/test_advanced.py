@@ -246,3 +246,26 @@ def test_quantile_disc_two_phase_bucket_width_invariance(spark):
         for w in (7, 100, 10_000, 1_000_000)
     ]
     assert len(set(outs)) == 1, outs
+
+
+def test_quantile_disc_two_phase_generic_contract(spark):
+    """The operator is generic: caller columns that shadow its internal
+    working names must not break the phase-2 join (internals are
+    __q-prefixed), and an empty input must yield exactly ONE all-NULL
+    row so .collect()[0] is stable either way."""
+    from ub_etl_spark.operators.selection import quantile_disc_two_phase
+
+    # caller schema deliberately reuses the old internal names
+    df = spark.range(1, 101).select(
+        F.col("id").alias("c"),
+        F.lit(7).alias("prior"),
+        F.lit(3).alias("n"),
+        F.lit("x").alias("qname"),
+    )
+    row = quantile_disc_two_phase(df, "c", [("mid", 1, 2)]).collect()[0]
+    assert row.mid == 50
+
+    empty = df.filter(F.lit(False))
+    rows = quantile_disc_two_phase(empty, "c", [("lo", 1, 20), ("hi", 19, 20)]).collect()
+    assert len(rows) == 1
+    assert rows[0].lo is None and rows[0].hi is None

@@ -22,7 +22,7 @@ import duckdb
 sys.path.insert(0, "/root/repo")
 
 from ub_etl_spark.registry import load_all  # noqa: E402
-from ub_etl_spark.session import get_spark  # noqa: E402
+from ub_etl_spark.session import get_spark, release_persisted  # noqa: E402
 from ub_etl_spark.sources.tables import TABLES  # noqa: E402
 
 
@@ -101,6 +101,7 @@ def main() -> int:
         # LSH-family queries persist reuse frames (operators/dedup.py
         # _REUSE); drop them so a 95-query session doesn't accumulate
         # cached relations across unrelated queries
+        release_persisted()
         spark.catalog.clearCache()
     print(f"\n{len(names) - failures}/{len(names)} passed")
     return 1 if failures else 0

@@ -98,27 +98,33 @@ def quantile_disc_two_phase(
     comparisons throughout.
 
     quantiles: [(name, num, den), ...] — quantile num/den per output
-    column.  Returns a 1-row DataFrame with one BIGINT column per name
-    (actual data values: tie-invariant, engine-exact)."""
+    column.  Returns EXACTLY one row with one column per name, typed as
+    ``value_col`` (actual data values: tie-invariant, engine-exact); on
+    empty input the row is all-NULL, so ``.collect()[0]`` is stable
+    either way.  Internal working columns are ``__q``-prefixed — the
+    phase-2 join carries every caller column through, so the caller's
+    schema may not contain ``__q*`` names (the generic operator's only
+    reserved namespace); output quantile names are the caller's own and
+    must not collide with ``value_col``."""
     v = F.col(value_col)
     bucket = v - F.pmod(v, F.lit(bucket_width))
-    coarse = df.groupBy(bucket.alias("b")).agg(F.count(F.lit(1)).alias("nb"))
-    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    coarse = df.groupBy(bucket.alias("__qb")).agg(F.count(F.lit(1)).alias("__qnb"))
+    wcum = Window.orderBy("__qb").rowsBetween(Window.unboundedPreceding, 0)
     wtot = Window.partitionBy()
     c1 = coarse.select(
-        "b",
-        F.sum("nb").over(wcum).alias("cumb"),
-        (F.sum("nb").over(wcum) - F.col("nb")).alias("prior"),
-        F.sum("nb").over(wtot).alias("n"),
+        "__qb",
+        F.sum("__qnb").over(wcum).alias("__qcumb"),
+        (F.sum("__qnb").over(wcum) - F.col("__qnb")).alias("__qprior"),
+        F.sum("__qnb").over(wtot).alias("__qn"),
     )
     # ONE pass over the bucket spine locates every requested quantile's
-    # bucket (min(struct) orders by b first = smallest qualifying bucket).
+    # bucket (min(struct) orders by __qb first = smallest qualifying bucket).
     located = c1.agg(
         *[
             F.min(
                 F.when(
-                    den * F.col("cumb") >= num * F.col("n"),
-                    F.struct("b", "prior", "n"),
+                    den * F.col("__qcumb") >= num * F.col("__qn"),
+                    F.struct("__qb", "__qprior", "__qn"),
                 )
             ).alias(name)
             for name, num, den in quantiles
@@ -129,12 +135,12 @@ def quantile_disc_two_phase(
             F.array(
                 *[
                     F.struct(
-                        F.lit(name).alias("qname"),
-                        F.lit(num).alias("qnum"),
-                        F.lit(den).alias("qden"),
-                        F.col(f"{name}.b").alias("tb"),
-                        F.col(f"{name}.prior").alias("prior"),
-                        F.col(f"{name}.n").alias("n"),
+                        F.lit(name).alias("__qname"),
+                        F.lit(num).alias("__qnum"),
+                        F.lit(den).alias("__qden"),
+                        F.col(f"{name}.__qb").alias("__qtb"),
+                        F.col(f"{name}.__qprior").alias("__qprior"),
+                        F.col(f"{name}.__qn").alias("__qn"),
                     )
                     for name, num, den in quantiles
                 ]
@@ -142,25 +148,40 @@ def quantile_disc_two_phase(
         ).alias("t")
     ).select("t.*")
     fine = (
-        df.join(F.broadcast(targets), bucket == F.col("tb"))
-        .groupBy("qname", "qnum", "qden", "prior", "n", v.alias("pc"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        df.join(F.broadcast(targets), bucket == F.col("__qtb"))
+        .groupBy("__qname", "__qnum", "__qden", "__qprior", "__qn", v.alias("__qpc"))
+        .agg(F.count(F.lit(1)).alias("__qcnt"))
     )
     wq = (
-        Window.partitionBy("qname")
-        .orderBy("pc")
+        Window.partitionBy("__qname")
+        .orderBy("__qpc")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     picked = (
-        fine.withColumn("cw", F.col("prior") + F.sum("cnt").over(wq))
-        .filter(F.col("qden") * F.col("cw") >= F.col("qnum") * F.col("n"))
-        .groupBy("qname")
-        .agg(F.min("pc").alias("val"))
+        fine.withColumn("__qcw", F.col("__qprior") + F.sum("__qcnt").over(wq))
+        .filter(F.col("__qden") * F.col("__qcw") >= F.col("__qnum") * F.col("__qn"))
+        .groupBy("__qname")
+        .agg(F.min("__qpc").alias("__qval"))
+    )
+    pivoted = (
+        picked.groupBy()
+        .pivot("__qname", [name for name, _, _ in quantiles])
+        .agg(F.first("__qval"))
+    )
+    # Empty-input contract: the pivot of zero picked rows has zero rows;
+    # union an all-NULL fallback row (typed as value_col) and keep the
+    # computed row when present — two driver-tiny rows, no extra shuffle.
+    vtype = dict(df.dtypes)[value_col]
+    fallback = df.sparkSession.range(1).select(
+        *[F.lit(None).cast(vtype).alias(name) for name, _, _ in quantiles],
+        F.lit(1).alias("__qrank"),
     )
     return (
-        picked.groupBy()
-        .pivot("qname", [name for name, _, _ in quantiles])
-        .agg(F.first("val"))
+        pivoted.withColumn("__qrank", F.lit(0))
+        .unionByName(fallback)
+        .orderBy("__qrank")
+        .limit(1)
+        .drop("__qrank")
     )
 
 

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ub_etl_spark.functions.exact import cents, csum, sql_cents, sql_csum
 from ub_etl_spark.registry import register
+from ub_etl_spark.session import tracked_persist
 from ub_etl_spark.sources.tables import load_table as T
 
 _D38 = "decimal(38,0)"
@@ -402,7 +403,8 @@ def hierarchy_flatten_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("root"),
         F.lit(0).alias("depth"),
         F.col("c_custkey").cast("string").alias("path"),
-    ).persist()
+    )
+    frontier = tracked_persist(frontier)
     levels = [frontier]
     for _ in range(20):  # backstop; real bound = hierarchy depth
         nxt = (
@@ -417,8 +419,8 @@ def hierarchy_flatten_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("path"),
             )
             .withColumnRenamed("child_k", "k")
-            .persist()
         )
+        nxt = tracked_persist(nxt)
         if nxt.isEmpty():
             nxt.unpersist()
             break
@@ -427,10 +429,10 @@ def hierarchy_flatten_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)
-    # leave the per-level caches in place for THIS plan's execution; they
-    # are session-scoped temporaries the next call rebuilds (cheap:
-    # levels are computed once each) — unpersisting here would drop them
-    # before the returned DataFrame executes
+    # leave the per-level caches in place for THIS plan's execution —
+    # unpersisting here would drop them before the returned DataFrame
+    # executes; they are registered via tracked_persist so the harness
+    # (or session.release_persisted) frees them after materialization
     return out
 
 

@@ -342,14 +342,18 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "events").select(
         "event_type", cents("value").alias("vc")
     )
+    # round() before the long cast: the doubled median of integers is
+    # exactly integral, but percentile() computes it in doubles — a
+    # stray-ulp result like 123.99999999999999 would truncate toward
+    # zero while the oracle's CAST(double AS BIGINT) rounds.
     m = e.groupBy("event_type").agg(
-        (2 * F.percentile("vc", 0.5)).cast("long").alias("med2")
+        F.round(2 * F.percentile("vc", 0.5)).cast("long").alias("med2")
     )
     d = e.join(m, "event_type").select(
         "event_type", "med2", F.abs(2 * F.col("vc") - F.col("med2")).alias("dev2")
     )
     s = d.groupBy("event_type").agg(
-        (2 * F.percentile("dev2", 0.5)).cast("long").alias("mad2")
+        F.round(2 * F.percentile("dev2", 0.5)).cast("long").alias("mad2")
     )
     return (
         d.join(s, "event_type")

@@ -889,9 +889,13 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         basket_arrays,
         basket_pairs_from_arrays,
     )
+    from ub_etl_spark.session import tracked_persist
 
     li = T(spark, sf_dir, "lineitem")
-    arrays = basket_arrays(li, "l_orderkey", "l_partkey").persist()
+    # tracked_persist: the cache is registered so release_persisted() (or
+    # the harness's clearCache between queries) frees it — a bare persist
+    # here would pin the basket arrays for the rest of the session.
+    arrays = tracked_persist(basket_arrays(li, "l_orderkey", "l_partkey"))
     n_orders = arrays.agg(F.count(F.lit(1)).alias("n"))
     item = (
         arrays.select(F.explode("parts").alias("l_partkey"))

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ub_etl_spark.operators.graph import bfs_distances, canonical_edges, count_triangles
 from ub_etl_spark.operators.selection import basket_pairs
 from ub_etl_spark.registry import register
+from ub_etl_spark.session import tracked_persist
 from ub_etl_spark.sources.tables import load_table as T
 
 
@@ -190,7 +191,7 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     all-pairs variants degree-cap hubs first — the documented lever."""
     li = T(spark, sf_dir, "lineitem")
     pairs = basket_pairs(li, "l_orderkey", "l_partkey")
-    edges = canonical_edges(pairs, "part_a", "part_b").persist()
+    edges = tracked_persist(canonical_edges(pairs, "part_a", "part_b"))
     sym = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )

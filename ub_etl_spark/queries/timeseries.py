@@ -440,7 +440,10 @@ def timeseries_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "d",
         F.col("rev_c").alias("day_rev_cents"),
-        (2 * F.expr("percentile(rev_c, 0.5)").over(w))
+        # round() guards the stray-ulp truncation hazard (the doubled
+        # median is exactly integral for cent inputs, but percentile
+        # computes in doubles — see events_anomaly_mad)
+        F.round(2 * F.expr("percentile(rev_c, 0.5)").over(w))
         .cast("long")
         .alias("med7_x2_cents"),
     ).orderBy("d")

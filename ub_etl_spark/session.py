@@ -70,3 +70,48 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# ---------------------------------------------------------------------------
+# Query-level cache tracking
+# ---------------------------------------------------------------------------
+# Some query builders persist a shared intermediate (basket arrays, edge
+# lists, BFS frontiers) because several branches of one plan consume it.
+# The builder returns a lazy DataFrame, so it cannot unpersist before the
+# caller materializes the result — bench.py and tools/parity.py call
+# spark.catalog.clearCache() between queries, but a long-lived ad-hoc
+# session would otherwise accumulate cached blocks.  tracked_persist()
+# registers every such cache so release_persisted() frees exactly the
+# query-level ones without nuking caches the caller owns.
+
+_TRACKED_PERSISTED: list = []
+
+
+def tracked_persist(df):
+    """Persist ``df`` and register it for release_persisted().
+
+    Use for intra-query shared frames inside registry builders; deliberate
+    cross-call caches (e.g. the PageRank edge cache, which replacement-
+    unpersists itself) stay out of this list.
+    """
+    df = df.persist()
+    _TRACKED_PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every tracked_persist() frame; returns how many were freed.
+
+    Safe to call at any time (unpersist is idempotent, already-freed and
+    stale-session frames are skipped).  Harness entry points call this next
+    to spark.catalog.clearCache() after materializing each query.
+    """
+    n = 0
+    while _TRACKED_PERSISTED:
+        df = _TRACKED_PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
