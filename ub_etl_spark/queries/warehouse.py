@@ -436,16 +436,16 @@ def orders_active_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers."""
     o = T(spark, sf_dir, "orders")
     li = T(spark, sf_dir, "lineitem")
-    iv = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("o_custkey", "o_orderkey", "o_orderdate")
-        .agg(F.max("l_shipdate").alias("iv_end"))
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            F.col("o_orderdate").alias("iv_start"),
-            "iv_end",
-        )
+    # pre-aggregate the fact to per-order MAX(shipdate) BEFORE joining
+    # orders: the join then moves |orders| rows instead of |lineitem|
+    # rows carrying customer/date columns through the wide shuffle (the
+    # 4x-fact-reduction that matters at 100 TB; same result — max is
+    # per-orderkey either side of the join)
+    last_ship = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.max("l_shipdate").alias("iv_end")
+    )
+    iv = o.select("o_custkey", "o_orderkey", F.col("o_orderdate").alias("iv_start")).join(
+        last_ship, "o_orderkey"
     )
     w_prev = (
         Window.partitionBy("o_custkey")
