@@ -32,15 +32,33 @@ from ub_etl_spark.session import get_spark  # noqa: E402
 
 def amplify(spark, src: str, out: str, k: int) -> None:
     """K shifted copies of lineitem+orders: key spaces offset per copy so
-    distinct counts, join fan-out, and group cardinality all scale by K."""
+    distinct counts, join fan-out, and group cardinality all scale by K.
+
+    part is amplified into DISJOINT y-bands (p_retailprice shifted per
+    copy by more than one grid cell): the spatial plane gets K times the
+    points at CONSTANT local density, so the grid join's candidate count
+    scales by K — overlaying copies at the same coordinates would square
+    the qualifying-pair count by construction and falsely flag the
+    equi-join plan as super-linear (same argument as amplify_graph)."""
     li = spark.read.parquet(f"{src}/lineitem.parquet")
     o = spark.read.parquet(f"{src}/orders.parquet")
+    pt = spark.read.parquet(f"{src}/part.parquet")
     max_ok = o.agg(F.max("o_orderkey")).first()[0] + 1
+    max_pk = pt.agg(F.max("p_partkey")).first()[0] + 1
+    # y = p_retailprice / 250 with cell width 4.0 -> a 2000-price shift
+    # moves each copy 2 cells up: no cross-copy candidate pairs
+    max_rp = pt.agg(F.max("p_retailprice")).first()[0] + 2000.0
     li_parts = [
         li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * max_ok)) for i in range(k)
     ]
     o_parts = [
         o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * max_ok)) for i in range(k)
+    ]
+    pt_parts = [
+        pt.withColumn("p_partkey", F.col("p_partkey") + F.lit(i * max_pk)).withColumn(
+            "p_retailprice", F.col("p_retailprice") + F.lit(i * max_rp)
+        )
+        for i in range(k)
     ]
     big_li = li_parts[0]
     for p in li_parts[1:]:
@@ -48,13 +66,18 @@ def amplify(spark, src: str, out: str, k: int) -> None:
     big_o = o_parts[0]
     for p in o_parts[1:]:
         big_o = big_o.unionByName(p)
+    big_pt = pt_parts[0]
+    for p in pt_parts[1:]:
+        big_pt = big_pt.unionByName(p)
     big_li.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
     big_o.write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    big_pt.write.mode("overwrite").parquet(f"{out}/part.parquet")
 
 
 def queries(spark, d: str):
     li = spark.read.parquet(f"{d}/lineitem.parquet")
     o = spark.read.parquet(f"{d}/orders.parquet")
+    pt = spark.read.parquet(f"{d}/part.parquet")
     return {
         "agg_groupby": li.filter(
             F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
@@ -101,18 +124,25 @@ def queries(spark, d: str):
         "equidepth_sketch_approx": _equidepth_approx(o),
         "gini_rank_global": _gini(o),
         "active_episodes": _episodes(li, o),
+        # round-4/5 shape changes (r4 verdict task 4): the directed
+        # half-ring spatial grid and the shared-basket lift plan, measured
+        # as shipped
+        "spatial_grid": _spatial_grid(pt),
+        "basket_lift": _basket_lift(li),
     }
 
 
 def _episodes(li, o):
     from pyspark.sql import functions as F
 
-    iv = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("o_custkey", "o_orderkey", "o_orderdate")
-        .agg(F.max("l_shipdate").alias("iv_end"))
-        .select("o_custkey", "o_orderkey", F.col("o_orderdate").alias("iv_start"), "iv_end")
+    # r5 shape: fact pre-aggregated to per-order MAX(shipdate) BEFORE the
+    # orders join (mirrors queries/warehouse.orders_active_episodes)
+    last_ship = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.max("l_shipdate").alias("iv_end")
     )
+    iv = o.select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").alias("iv_start")
+    ).join(last_ship, "o_orderkey")
     w_prev = (
         W.partitionBy("o_custkey")
         .orderBy("iv_start", "iv_end", "o_orderkey")
@@ -130,6 +160,90 @@ def _episodes(li, o):
         flagged.select("o_custkey", "iv_start", "iv_end", F.sum("new_ep").over(w_cum).alias("ep"))
         .groupBy("o_custkey", "ep")
         .agg(F.min("iv_start").alias("s"), F.max("iv_end").alias("e"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _spatial_grid(pt):
+    # the shipped directed half-ring plan (queries/advanced.join_spatial_grid):
+    # equi hash join on cell id, 5x B-side explode, exact post-filter
+    r = 4.0
+    pts = pt.select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_size").cast("double").alias("x"),
+        (F.col("p_retailprice") / 250.0).alias("y"),
+    )
+    cx = F.floor(F.col("x") / r).cast("long")
+    cy = F.floor(F.col("y") / r).cast("long")
+    a = pts.select("id", "x", "y", cx.alias("cx"), cy.alias("cy"))
+    offsets = [(0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
+    b = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (cx + F.lit(dx)).alias("cx"),
+                        (cy + F.lit(dy)).alias("cy"),
+                        F.lit(dx == 0 and dy == 0).alias("same"),
+                    )
+                    for dx, dy in offsets
+                ]
+            )
+        ).alias("cell"),
+    ).select(
+        "id_b", "xb", "yb",
+        F.col("cell.cx").alias("cx"),
+        F.col("cell.cy").alias("cy"),
+        F.col("cell.same").alias("same"),
+    )
+    d2 = (F.col("x") - F.col("xb")) ** 2 + (F.col("y") - F.col("yb")) ** 2
+    return (
+        a.join(b, ["cx", "cy"])
+        .filter((~F.col("same") | (F.col("id") < F.col("id_b"))) & (d2 <= F.lit(r * r)))
+        .select(
+            F.least("id", "id_b").alias("id_a"),
+            F.greatest("id", "id_b").alias("id_b"),
+            (F.floor(F.sqrt(d2) * 1e6) / 1e6).alias("dist"),
+        )
+    )
+
+
+def _basket_lift(li):
+    # the shipped shared-basket plan (queries/behavior.market_basket_lift):
+    # ONE collect_set shuffle persisted, pair expansion + item supports +
+    # basket count all branch from it
+    from ub_etl_spark.operators.selection import basket_arrays, basket_pairs_from_arrays
+    from ub_etl_spark.session import tracked_persist
+
+    arrays = tracked_persist(basket_arrays(li, "l_orderkey", "l_partkey"))
+    n_orders = arrays.agg(F.count(F.lit(1)).alias("n"))
+    item = (
+        arrays.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    pairs = (
+        basket_pairs_from_arrays(arrays)
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("nab"))
+        .filter(F.col("nab") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("ni").alias("ni_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("ni").alias("ni_b"))
+    return (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a", "part_b", "nab",
+            ((F.col("nab").cast("double") * F.col("n"))
+             / (F.col("ni_a").cast("double") * F.col("ni_b"))).alias("lift"),
+            (F.col("nab").cast("double") / F.col("ni_a")).alias("confidence_a_to_b"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(50)
     )
 
 
@@ -422,6 +536,20 @@ NOTES = """Notes on the flagged cells:
   48.5s (8.6x) — both linear-or-better; broadcast stays the faster path
   while the |V|-row adjacency fits executor memory, and
   `count_triangles(broadcast_adjacency=False)` is the switch beyond.
+- `spatial_grid` (added r5, measuring the r4 directed-half-ring plan):
+  part amplifies into DISJOINT price bands (constant local density), so
+  a linear ratio certifies the equi-join-on-cell plan; the 5x B-side
+  explode is a constant factor, not a growth term.  Overlaid copies
+  would square the qualifying pairs by construction — a data property,
+  not a plan property.
+- `basket_lift` (added r5, measuring the r4 shared-basket plan): one
+  persisted collect_set shuffle feeds pairs + supports + basket count;
+  orderkey-offset amplification grows baskets by K over a fixed part
+  vocabulary, so pair CARDINALITY is ~flat while counts grow — the
+  expected shape is ~linear in basket rows with a flat broadcast side.
+- `active_episodes` re-measured r5 after the fact pre-aggregation
+  (per-order MAX(shipdate) before the orders join): the join now moves
+  |orders| rows, not |lineitem| rows.
 """
 
 

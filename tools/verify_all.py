@@ -41,10 +41,56 @@ def run(label: str, cmd: list[str], env: dict | None = None) -> None:
     print(f"ok: {label} ({dt:.0f}s)", flush=True)
 
 
+def print_driver_backlog() -> None:
+    """Print the never-driver-checked query set (r4 verdict task 7): the
+    registry names minus every name appearing in any CORRECTNESS_r*.json,
+    split into in-window (DRIVER_PRIORITY) and deferred — so planning the
+    next rotation window is mechanical, not archaeology."""
+    import glob
+    import json
+
+    sys.path.insert(0, REPO)
+    from ub_etl_spark.registry import DRIVER_PRIORITY, load_all
+
+    checked: set[str] = set()
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        try:
+            with open(f) as fh:
+                checked.update(json.load(fh).keys())
+        except Exception:  # noqa: BLE001
+            pass
+    reg = load_all()
+    never = [n for n in reg if n not in checked]
+    in_window = [n for n in DRIVER_PRIORITY if n in never]
+    deferred = [n for n in never if n not in DRIVER_PRIORITY]
+    stale_window = [n for n in DRIVER_PRIORITY if n in checked]
+    print(f"registry: {len(reg)}  driver-checked ever: {len(checked & set(reg))}")
+    print(f"never-checked: {len(never)}")
+    print(f"  in current window ({len(in_window)}):")
+    for n in in_window:
+        print(f"    {n}")
+    print(f"  deferred ({len(deferred)}):")
+    for n in deferred:
+        print(f"    {n}")
+    if stale_window:
+        print(
+            f"  NOTE: {len(stale_window)} window slots repeat already-checked "
+            f"queries: {', '.join(stale_window)}"
+        )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true")
+    ap.add_argument(
+        "--driver-backlog",
+        action="store_true",
+        help="print the never-driver-checked query set and exit",
+    )
     args = ap.parse_args()
+    if args.driver_backlog:
+        print_driver_backlog()
+        return
     py = sys.executable
     run(
         "driver contract",
