@@ -523,8 +523,10 @@ NOTES = """Notes on the flagged cells:
 - `quantile_disc_2phase` is the distributed EXACT answer to the same
   hazard class: discrete p05/p95 by bucketed two-phase selection (no
   global-order window), the operator behind agg_winsorized_mean.
-- `active_episodes` at 100x is linear (ratio ~ K): the per-customer
-  windows grow with per-key interval counts exactly as designed.
+- `active_episodes` at 100x rides at ~1.1K (r5: 114.3x) — the keyed
+  window sort's log factor on 100x the per-customer intervals; the r5
+  fact pre-aggregation cut the 1x cost, which also raises the measured
+  ratio (smaller fixed-overhead share at 1x).
 - Corpus cells whose cost is TEXT-BYTE-bound (`normalized_dedup`,
   `survivorship` — both dominated by the normalize-regex pass) ride
   above K by construction: the per-copy `c{i}_` token prefix inflates
@@ -536,6 +538,8 @@ NOTES = """Notes on the flagged cells:
   48.5s (8.6x) — both linear-or-better; broadcast stays the faster path
   while the |V|-row adjacency fits executor memory, and
   `count_triangles(broadcast_adjacency=False)` is the switch beyond.
+  Full-table r5 re-run lands at 11.9x@10x (min-of-2 on a shared VM) —
+  inside the K..K log K window for the sort-bearing wedge join.
 - `spatial_grid` (added r5, measuring the r4 directed-half-ring plan):
   part amplifies into DISJOINT price bands (constant local density), so
   a linear ratio certifies the equi-join-on-cell plan; the 5x B-side
