@@ -421,6 +421,81 @@ DOCUMENTED_EXCEPTIONS = {
 }
 
 
+# Absolute-time gate (r5 verdict task 4): any query whose Spark wall-clock
+# exceeds ABS_TIME_GATE_S at sf0.1 must carry either a DOCUMENTED_EXCEPTIONS
+# entry (ratio-sanctioned) or an ABS_TIME_NOTES entry (cost is absolute
+# multi-job / layout / real-work time, not a plan-ratio defect) — even when
+# its oracle is sub-floor and the ratio aggregates would otherwise hide it.
+# The artifact emits over_abs_gate_undocumented; the gate is green when that
+# list is empty.  ABS_TIME_NOTES does NOT exclude a query from the
+# plan-quality aggregate (unlike DOCUMENTED_EXCEPTIONS) — several of these
+# are FASTER than their oracle and excluding them would distort the number.
+ABS_TIME_GATE_S = 1.5
+ABS_TIME_NOTES = {
+    "join_spatial_grid": (
+        "9.7s is real distance-pair work: directed half-ring cell explode "
+        "+ equi hash join + exact post-filter runs 6-7x FASTER than the "
+        "O(n^2) oracle (ratio 0.15x); SCALING.md cell 6.6x@100x"
+    ),
+    "sim_ann_lsh": (
+        "rows-only (no oracle): cost = 8-band signature build + bucket "
+        "self-join + exact re-rank of candidates, 3 bounded shuffles; "
+        "never all-pairs (recall 1.0 pinned in BOUNDS.json); at 100TB the "
+        "bucket join stays candidate-bounded — see queries/similarity.py"
+    ),
+    "dedup_simhash": (
+        "rows-only (no oracle): 64-bit simhash + 4-segment pigeonhole "
+        "block join + hamming verify on candidates only, 2 bounded "
+        "shuffles (precision/recall pinned in BOUNDS.json); cost is the "
+        "signature build, linear in corpus bytes"
+    ),
+    "join_bloom_prefilter": (
+        "3 chained jobs by construction: bloom bitmap build (one bit_or "
+        "agg), broadcast of the bitmap, codegen probe+join — at bench "
+        "scale the two extra job floors dominate; at 100TB the build is "
+        "amortized once against a multi-TB probe-side scan saving.  r6 "
+        "min-of-3: 1.63s steady (the r5 2.30s carried first-run noise)"
+    ),
+    "storage_bucketed_merge": (
+        "pays the one-time bucketed-table LAYOUT WRITE plus the "
+        "shuffle-free merge read; the write is the point of the operator "
+        "(amortized across every later co-located join); oracle computes "
+        "rows only, writing nothing"
+    ),
+    "pipeline_course_normalize": (
+        "materializes 13 normalized dimension/bridge outputs = 13 noop "
+        "sink jobs; per-job floor x 13 is the bench-scale cost; the "
+        "oracle emits one result set.  Plan is one shared scan + "
+        "column-pruned projections per output"
+    ),
+    "dedup_cluster_cc_star": (
+        "large-star/small-star CC: 2 fixed label-propagation rounds, "
+        "each a keyed agg job + convergence check — iteration machinery "
+        "at bench scale; O(log n) rounds independent of diameter at "
+        "100TB (raced on a diameter-120 chain in tests)"
+    ),
+    "dedup_apply_canonical": (
+        "chains cluster build (iterative CC) + canonical pick + "
+        "broadcast remap = multiple jobs by construction; the remap "
+        "itself is one broadcast hash join, sub-second"
+    ),
+    "agg_weighted_median": (
+        "two-phase exact weighted median: per-group cumulative-weight "
+        "window + threshold pick = 2 keyed sorts; cost is the exact-"
+        "answer contract (the sketch twin agg_approx_percentile is "
+        "sub-second); r6 min-of-3 re-measure confirmed ~1.0s steady"
+    ),
+    "text_bm25_rank": (
+        "tf/df build + per-term idf join + per-doc score agg = 3 "
+        "shuffles on a 580KB corpus; per-stage scheduling latency "
+        "dominates (oracle 0.08s); plan is the inverted-index probe "
+        "shape, linear in corpus bytes.  r6 min-of-3: 0.70s steady — the "
+        "r5 1.54s/2.14x delta was first-run codegen noise, not a plan "
+        "change (no code touched it in r5)"
+    ),
+}
+
+
 def run_once(spark, spec, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = spec.fn(spark, sf_dir)
@@ -554,6 +629,28 @@ def main() -> None:
         if above
         else None
     )
+    # Floor-adjusted ratio: plan time net of the fixed per-job machinery
+    # cost over the oracle time.  Single source of truth (r5 ADVICE #3) for
+    # the documented_exceptions detail fields AND the healed counter — a
+    # threshold tweak can't desynchronize them.
+    def floor_adj_ratio(name: str) -> float | None:
+        if name not in timings or name not in oracle_s:
+            return None
+        return max(timings[name] - floor_s, 0.0) / max(oracle_s[name], 1e-9)
+
+    def healed_below_2x(name: str) -> bool:
+        r = floor_adj_ratio(name)
+        return r is not None and r < 2.0
+
+    # Absolute-time gate (r5 verdict task 4): every query over
+    # ABS_TIME_GATE_S must be documented in DOCUMENTED_EXCEPTIONS or
+    # ABS_TIME_NOTES; the undocumented list ships in both artifacts.
+    over_abs_gate = sorted(n for n in timings if timings[n] > ABS_TIME_GATE_S)
+    over_abs_gate_undocumented = [
+        n
+        for n in over_abs_gate
+        if n not in DOCUMENTED_EXCEPTIONS and n not in ABS_TIME_NOTES
+    ]
     # ... and additionally excluding the documented-exception queries
     # (each entry in DOCUMENTED_EXCEPTIONS states why its ratio is
     # sanctioned): the residual number is the plan-quality aggregate.
@@ -627,23 +724,26 @@ def main() -> None:
                 "reason": reason,
                 "ratio": ratio.get(n),
                 "floor_adj_ratio": (
-                    round(
-                        max(timings[n] - floor_s, 0.0)
-                        / max(oracle_s[n], 1e-9),
-                        2,
-                    )
-                    if n in timings and n in oracle_s
+                    round(floor_adj_ratio(n), 2)
+                    if floor_adj_ratio(n) is not None
                     else None
                 ),
-                "healed_below_2x": bool(
-                    n in timings
-                    and n in oracle_s
-                    and max(timings[n] - floor_s, 0.0) / max(oracle_s[n], 1e-9)
-                    < 2.0
-                ),
+                "healed_below_2x": healed_below_2x(n),
             }
             for n, reason in DOCUMENTED_EXCEPTIONS.items()
         },
+        # absolute-time gate (r5 verdict task 4): every >1.5s query with
+        # its seconds + the cost note that sanctions it; the gate is green
+        # when over_abs_gate_undocumented is empty
+        "abs_time_gate_s": ABS_TIME_GATE_S,
+        "over_abs_gate": {
+            n: {
+                "sec": timings[n],
+                "note": DOCUMENTED_EXCEPTIONS.get(n) or ABS_TIME_NOTES.get(n),
+            }
+            for n in over_abs_gate
+        },
+        "over_abs_gate_undocumented": over_abs_gate_undocumented,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }
     with open(detail_path, "w") as fh:
@@ -671,12 +771,9 @@ def main() -> None:
         "aggregate_ratio_excl_subfloor_and_exceptions": agg_ratio_plan,
         "n_subfloor": len(sub_floor),
         "n_exceptions_healed_below_2x": sum(
-            1
-            for n in DOCUMENTED_EXCEPTIONS
-            if n in timings
-            and n in oracle_s
-            and max(timings[n] - floor_s, 0.0) / max(oracle_s[n], 1e-9) < 2.0
+            1 for n in DOCUMENTED_EXCEPTIONS if healed_below_2x(n)
         ),
+        "n_over_abs_gate_undocumented": len(over_abs_gate_undocumented),
         "n_budget_truncated": len(truncated),
         "n_regressed_2x_vs_prev": len(regressed),
         "top_regressions_vs_prev": regressed,

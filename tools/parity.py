@@ -85,6 +85,10 @@ def main() -> int:
             print(f"unknown query: {n}{hint}", file=sys.stderr)
         return 2
     spark = get_spark("parity")
+    # ERROR-only logging: the sanctioned global-order queries emit a
+    # WindowExec "No Partition Defined" warning per run, and hundreds of
+    # those lines bury the PASS/FAIL tail (r5 verdict nit #3)
+    spark.sparkContext.setLogLevel("ERROR")
     con = duck_con(args.sf)
     failures = 0
     for name in names:

@@ -27,7 +27,7 @@ from pyspark.sql.window import Window as W  # noqa: E402
 
 from ub_etl_spark.functions.exact import cents, cents_disc, csum  # noqa: E402
 from ub_etl_spark.functions.exact import cavg as _cavg  # noqa: E402
-from ub_etl_spark.session import get_spark  # noqa: E402
+from ub_etl_spark.session import get_spark, release_persisted  # noqa: E402
 
 
 def amplify(spark, src: str, out: str, k: int) -> None:
@@ -597,6 +597,7 @@ def main() -> None:
         ratio = tk / t1 if t1 > 0 else float("inf")
         lines.append(f"| {name} | {t1:.3f} | {tk:.3f} | {ratio:.1f}x |")
         print(f"{name:16s} 1x={t1:.3f}s {args.k}x={tk:.3f}s ratio={ratio:.1f}x")
+        release_persisted()
         spark.catalog.clearCache()  # episodes/persisted frames: fresh per cell
     lines += [
         f"\n## Graph ({args.graph_k}x disjoint copies)\n",
@@ -608,8 +609,10 @@ def main() -> None:
     gks = graph_queries(spark, big_dir, "lineitem_graph.parquet")
     for name in g1s:
         t1 = min(run(g1s[name]) for _ in range(2))
+        release_persisted()
         spark.catalog.clearCache()
         tk = min(run(gks[name]) for _ in range(2))
+        release_persisted()
         spark.catalog.clearCache()
         ratio = tk / t1 if t1 > 0 else float("inf")
         lines.append(f"| {name} | {t1:.3f} | {tk:.3f} | {ratio:.1f}x |")
@@ -626,6 +629,7 @@ def main() -> None:
         ratio = tk / t1 if t1 > 0 else float("inf")
         lines.append(f"| {name} | {t1:.3f} | {tk:.3f} | {ratio:.1f}x |")
         print(f"{name:16s} 1x={t1:.3f}s {args.corpus_k}x={tk:.3f}s ratio={ratio:.1f}x")
+        release_persisted()
         spark.catalog.clearCache()  # persisted LSH frames: don't let 1x cache serve Kx
     lines.append(
         "\nA ratio well under K means fixed per-query overhead still"

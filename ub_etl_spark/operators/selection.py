@@ -168,9 +168,11 @@ def quantile_disc_two_phase(
         .pivot("__qname", [name for name, _, _ in quantiles])
         .agg(F.first("__qval"))
     )
-    # Empty-input contract: the pivot of zero picked rows has zero rows;
-    # union an all-NULL fallback row (typed as value_col) and keep the
-    # computed row when present — two driver-tiny rows, no extra shuffle.
+    # Empty-input contract: a global (no-grouping) pivot of zero picked
+    # rows may resolve to zero rows OR to one all-NULL row depending on
+    # Spark's pivot rewrite; the union+rank+limit below guarantees exactly
+    # one row either way — the computed row when present, else the typed
+    # all-NULL fallback.  Two driver-tiny rows, no extra shuffle.
     vtype = dict(df.dtypes)[value_col]
     fallback = df.sparkSession.range(1).select(
         *[F.lit(None).cast(vtype).alias(name) for name, _, _ in quantiles],

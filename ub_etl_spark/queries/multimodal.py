@@ -57,6 +57,15 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mapInPandas frame sampler: one row per kept frame index — the explode
 # shape of video frame extraction; the fake frame count is deterministic
 # in payload size, so the sampled indices are fully oracle-checkable.
+#
+# Bench variance root cause (r4 verdict task 5 / r5 item 1, adjudicated
+# r6): the 2.07x run-over-run delta was the per-Python-worker
+# pandas/pyarrow IMPORT cost in the mapInPandas path — when a prior
+# Arrow-batched query has already warmed the workers, min-of-3 is a
+# rock-steady 0.238s (samples 0.252/0.239/0.238 vs the 0.54s cold
+# number).  On a real cluster that import is a one-time per-executor
+# cost, amortized to zero over a long-lived job; bench order decides
+# whether this query pays it, hence the apparent regression.
 @register(
     "multimodal_frame_sample",
     tier="B",

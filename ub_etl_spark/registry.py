@@ -48,84 +48,86 @@ _LOADED = False
 
 # The driver's correctness gate checks the first 50 entries of ``queries()``
 # in registration order, so ordering decides which queries get a driver row
-# each round.  Registry is FROZEN at 257 queries (round-3 verdict task 4)
-# until the verdict backlog clears; rounds now rotate evidence, not growth.
+# each round.  Registry is FROZEN at 257 queries (round-3 verdict task 4);
+# rounds rotate evidence, not growth.
 #
-# ROUND-5 WINDOW (this list): 50 of the 63 queries that have never had a
-# driver verdict (r4 verdict task 1).  All 63 pass tools/parity.py at
-# sf0.001+sf0.01, the cross-engine schema audit, and the round-4 judge's
-# independent oracle re-run (63/63), so rotation is low-risk and no repeat
-# slots are spent — there are zero reds to re-prove.  Hazard-prone outputs
-# (division/ln/sqrt-derived values, float-adjacent casts) lead the window.
-# The 13 deferred to round 6 carry the least driver-row information: the
-# 8 single-row TPC-H scalar aggregates and the 5 rows-only sketch/ANN
-# queries (driver runs only a row-count check on those by construction).
+# ROUND-6 WINDOW (this list): the 13 queries that have never had a driver
+# verdict lead (r5 verdict task 1 — all 13 passed the r5 judge's independent
+# parity run, so this clears the never-checked backlog to ZERO).  The
+# remaining 37 slots refresh the OLDEST evidence (r5 verdict task 2): of the
+# 48 queries whose only driver verdict is from round 1 — four rounds stale
+# against shared-operator code that perf passes have since touched — the 37
+# value-checked ones with the widest operator reach rotate in here.  The 11
+# deferred to round 7 (listed below) are the 3 r1 rows-only sketches plus 8
+# whose underlying modules were least touched since r1.
 DRIVER_PRIORITY = [
-    # never-checked: value-hazard-prone first (ratios, ln, sqrt, doubles)
-    "agg_theil_inequality",
-    "agg_winsorized_mean",
-    "timeseries_autocorrelation",
-    "timeseries_cusum_changepoint",
-    "timeseries_rolling_median",
-    "agg_benford_first_digit",
-    "feature_target_encode",
-    "feature_woe_iv",
-    "feature_trailing_windows",
-    "text_lexical_diversity",
-    "text_zipf_rank_fit",
-    "text_unigram_logprob",
-    "text_keyphrase_topk",
-    "events_survival_curve",
-    "events_cohort_ltv",
-    "events_impact_diff_in_diff",
-    "events_bounce_rate",
-    "supplier_concentration_hhi",
-    "orders_repeat_purchase_rate",
-    "lineitem_otif_rate",
-    "graph_jaccard_link_prediction",
-    "market_basket_lift",
-    # never-checked: multi-stage pipelines and stateful merges
-    "dim_scd2_apply_changes",
-    "pipeline_churn_training_set",
-    "pipeline_media_prepare",
-    "storage_gdpr_delete",
-    "storage_time_travel",
-    "storage_stats_pruned_read",
-    "io_csv_malformed_quarantine",
-    "stream_static_enrich",
-    "udf_cogrouped_map",
-    "split_group_aware",
-    "privacy_l_diversity",
-    "dq_schema_contract",
-    # never-checked: joins / graph / window shapes
-    "join_spatial_grid",
-    "join_asof_tolerance",
-    "graph_triangle_count",
-    "graph_bfs_distance",
-    "skyline_pareto_frontier",
-    "events_attribution_last_touch",
-    "events_funnel_windowed",
-    "events_funnel_any_order",
-    "events_dow_hour_heatmap",
-    "events_new_vs_returning",
-    "orders_backlog_aging",
-    "orders_lines_per_order_hist",
-    "nation_trade_balance",
-    "multimodal_dedup_exact",
-    "dim_date_generate",
-    "tpch_q15_top_supplier",
+    # --- backlog: never driver-checked (5 rows-only sketch/ANN + 8 TPC-H
+    # scalars).  After this round the never-checked set is empty.
+    "quantile_bucket_approx",
+    "multimodal_phash_dedup",
+    "sim_ann_pq",
+    "agg_kmv_distinct",
+    "agg_hll_intersection",
+    "tpch_q4_priority_check",
+    "tpch_q6_forecast_revenue",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_filter",
+    "tpch_q20_promotion_suppliers",
+    # --- refresh: r1-checked relational/agg/window surface (relational.py,
+    # extras.py — both touched by later perf/alias passes)
+    "scan_parquet",
+    "filter_predicate",
+    "join_inner_equi",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi_anti",
+    "join_broadcast",
+    "agg_groupby",
+    "agg_count_distinct",
+    "agg_rollup_cube",
+    "agg_cube_grouping",
+    "agg_stats_exact",
+    "agg_percentile",
+    "window_rank",
+    "window_analytic",
+    "window_range_frame",
+    "window_ntile_dist",
+    "sort_limit_topk",
+    "set_union_distinct",
+    "count_running_total",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_math_case",
+    "scalar_json_funcs",
+    "array_map_funcs",
+    # --- refresh: r1-checked nested family (queries/nested.py)
+    "project_struct_access",
+    "explode_array_struct",
+    "explode_array_scalar",
+    "explode_map",
+    "filter_null_guard",
+    # --- refresh: r1-checked dedup/merge Tier-A (dedup.py, merge.py — both
+    # grew new queries since r1)
+    "dedup_exact",
+    "dedup_fuzzy",
+    "dedup_cluster_cc",
+    "dedup_get_or_insert",
+    "bridge_join",
+    "insert_ignore_antijoin",
+    "upsert_merge",
 ]
 
-# ROUND-6 RESIDUE (the 13 never-checked queries deferred from this window;
-# all parity-green at sf0.001+sf0.01 — single-row TPC-H scalars and
-# rows-only sketches, the weakest driver-row information):
-#   tpch.py scalar tail: tpch_q4_priority_check tpch_q6_forecast_revenue
-#     tpch_q13_customer_distribution tpch_q14_promo_revenue
-#     tpch_q16_supplier_count tpch_q17_small_qty_revenue
-#     tpch_q19_disjunctive_filter tpch_q20_promotion_suppliers
-#   rows-only (driver records row-count only by construction):
-#     quantile_bucket_approx multimodal_phash_dedup sim_ann_pq
-#     agg_kmv_distinct agg_hll_intersection
+# ROUND-7 RESIDUE (the 11 queries whose only driver verdict remains r1;
+# all parity-green continuously since — rotate these in next round):
+#   rows-only by construction (weakest driver-row information):
+#     agg_approx_distinct dedup_minhash_lsh dedup_simhash
+#   value-checked, least-touched modules since r1:
+#     multimodal_columns multimodal_decode multimodal_frame_sample
+#     unpivot_stack join_range_bucket join_asof
+#     agg_skew_salted join_skew_salted
 
 
 def load_all() -> dict[str, QuerySpec]:
