@@ -38,5 +38,37 @@ def test_documented_exceptions_name_real_queries():
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    stale = sorted(set(mod.DOCUMENTED_EXCEPTIONS) - set(load_all()))
+    registry = set(load_all())
+    stale = sorted(set(mod.DOCUMENTED_EXCEPTIONS) - registry)
     assert not stale, f"exception entries for unregistered queries: {stale}"
+    stale_notes = sorted(set(mod.ABS_TIME_NOTES) - registry)
+    assert not stale_notes, f"abs-time notes for unregistered queries: {stale_notes}"
+
+
+def test_abs_time_gate_against_committed_sidecar():
+    """Absolute-time gate (r5 verdict task 4), enforced each round against
+    the committed sf0.1 bench_detail.json: every query over ABS_TIME_GATE_S
+    in the last full bench run must carry a DOCUMENTED_EXCEPTIONS or
+    ABS_TIME_NOTES cost story.  A query newly crossing the gate fails here
+    until someone measures it and writes the note."""
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    detail_path = os.path.join(os.path.dirname(__file__), "..", "bench_detail.json")
+    with open(detail_path) as fh:
+        detail = json.load(fh)
+    if detail.get("sf") != 0.1:  # only the full-scale sidecar is meaningful
+        return
+    documented = set(mod.DOCUMENTED_EXCEPTIONS) | set(mod.ABS_TIME_NOTES)
+    undocumented = sorted(
+        n
+        for n, sec in detail["queries"].items()
+        if sec > mod.ABS_TIME_GATE_S and n not in documented
+    )
+    assert not undocumented, (
+        f"queries over {mod.ABS_TIME_GATE_S}s without a cost note: {undocumented}"
+    )

