@@ -548,12 +548,17 @@ def main() -> None:
 
     floor_s = round(min(floor_once() for _ in range(5)), 4)
 
-    # Two full interleaved passes, per-query min: the second sample of a
-    # query lands minutes after its first, so a transient noise window on
-    # this shared VM (observed: multi-second slowdowns covering several
-    # consecutive jobs) can't inflate both samples of the same query —
+    # Three full interleaved passes, per-query min: consecutive samples of
+    # a query land minutes apart, so a transient noise window on this
+    # shared VM (observed: multi-second slowdowns covering several
+    # consecutive jobs) can't inflate all samples of the same query —
     # back-to-back reps can.  First pass additionally absorbs each plan's
-    # one-time codegen/javac cost (see module docstring).
+    # one-time codegen/javac cost (see module docstring).  Three passes
+    # instead of two (r6): the r5 regression-cluster adjudication showed
+    # two samples can BOTH land in one noise window (text_bm25_rank
+    # recorded 1.54s min-of-2; warmed min-of-3 is a steady 0.70s) — the
+    # per-query min over three spaced samples is the steady-state number
+    # the artifact claims to report.
     #
     # Wall-clock budget: the headline list has grown past 160 queries; if
     # a driver-side timeout killed the process mid-run there would be NO
@@ -566,7 +571,7 @@ def main() -> None:
     samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
     oracle_s: dict[str, float] = {}
     ratio: dict[str, float | None] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
             if over_budget():
                 break

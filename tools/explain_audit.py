@@ -63,7 +63,9 @@ EXPECT = {
     # curation tier: redaction stays one codegen projection; contamination
     # broadcasts the benchmark gram set; packing windows per hash partition
     "text_pii_redact": ["codegen id :"],
-    "text_quality_gopher": ["HashAggregate", "Generate", "codegen id :"],
+    # r6 rewrite: per-doc bigram mode via array_sort + aggregate() fold —
+    # pure map-only projection, NO shuffle and NO explode anywhere
+    "text_quality_gopher": ["codegen id :", "!Exchange", "!Generate"],
     "contamination_ngram_check": ["BroadcastHashJoin", "Generate"],
     "pack_sequences": ["Window", "codegen id :"],
     "mix_weighted_sources": ["codegen id :"],
@@ -331,7 +333,10 @@ EXPECT = {
     "orders_backlog_aging": ["HashAggregate", "codegen id :"],
     "events_impact_diff_in_diff": ["HashAggregate", "codegen id :"],
     "events_dow_hour_heatmap": ["HashAggregate"],
-    "nation_trade_balance": ["BroadcastHashJoin", "HashAggregate"],
+    # r6: exports+imports fused into ONE matrix pass via two-sided explode
+    # (the two-consumer shape duplicated the fact subtree); Generate is the
+    # fusion explode, and the fact is scanned for one flows build only
+    "nation_trade_balance": ["BroadcastHashJoin", "HashAggregate", "Generate"],
     # spatial grid: equi hash join on cell ids, the 3x3 explode stays a
     # Generate, never a nested loop
     "join_spatial_grid": ["Generate", "!BroadcastNestedLoopJoin", "codegen id :"],
@@ -512,12 +517,18 @@ Per-offender notes (worst ratios in BENCH_r02):
   stages = 3x the AQE stage floor; each stage's data is tiny (150 users).
   The plan (audited below) is the right one at scale: per-user aggs
   shuffle once on user_id, stage outputs broadcast.
-- **text_quality_gopher / contamination_ngram_check** (~1.2-1.6 s vs
-  ~0.1-0.15 s): both explode the corpus into bigrams/5-grams (~6-8x row
-  amplification) and re-aggregate; 2-3 AQE stages plus a generate-heavy
-  scan.  Oracle runs the same explosion in-process; the gap is stage
-  machinery, not a missing optimization (plans show single codegen span
-  per stage, broadcast where expected).
+- **text_quality_gopher** (r6: ~0.63 s steady, down from ~0.95 s): the
+  per-doc bigram mode is now a MAP-ONLY array_sort + aggregate() fold —
+  zero shuffles, zero explodes (the audit below requires !Exchange and
+  !Generate).  The prior shape shuffled the whole exploded bigram corpus
+  twice; at 100 TB the new projection is embarrassingly parallel.  The
+  residual vs the 0.09 s oracle is interpreted-HOF eval + task floors on
+  a 5000-row input.
+- **contamination_ngram_check** (~1.2-1.6 s vs ~0.1-0.15 s): explodes the
+  corpus into 5-grams (~6-8x row amplification) and re-aggregates; 2-3
+  AQE stages plus a generate-heavy scan.  Oracle runs the same explosion
+  in-process; the gap is stage machinery, not a missing optimization
+  (plans show single codegen span per stage, broadcast where expected).
 """
 
 

@@ -72,7 +72,18 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df derived FROM tf: tf holds one row per distinct (doc_id, term),
+    # so document frequency is a per-term count of the compressed frame.
+    # Measured r6 plan facts: Catalyst prunes this branch to exactly the
+    # two-phase distinct that groupBy+countDistinct(tok) plans (the tf
+    # count buffer is pruned away), so the physical cost is identical —
+    # the derivation documents intent, it is not a speedup.  Pruning also
+    # defeats ReuseExchange between the branches (the subtrees stop
+    # canonicalizing equal), and persisting tf to force single
+    # computation measured 1.1-1.4x SLOWER at bench scale (tf is the
+    # largest frame in the query — recomputing the pruned branch beats
+    # caching it; same finding as text_containment_dedup's gram frame).
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         tf.join(df, "term")
@@ -672,7 +683,18 @@ def text_keyphrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df derived FROM tf: tf holds one row per distinct (doc_id, term),
+    # so document frequency is a per-term count of the compressed frame.
+    # Measured r6 plan facts: Catalyst prunes this branch to exactly the
+    # two-phase distinct that groupBy+countDistinct(tok) plans (the tf
+    # count buffer is pruned away), so the physical cost is identical —
+    # the derivation documents intent, it is not a speedup.  Pruning also
+    # defeats ReuseExchange between the branches (the subtrees stop
+    # canonicalizing equal), and persisting tf to force single
+    # computation measured 1.1-1.4x SLOWER at bench scale (tf is the
+    # largest frame in the query — recomputing the pruned branch beats
+    # caching it; same finding as text_containment_dedup's gram frame).
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df, "term")

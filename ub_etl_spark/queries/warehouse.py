@@ -871,11 +871,33 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(cents("l_extendedprice")).alias("v"))
     )
-    exp = flows.groupBy(F.col("exporter").alias("nk")).agg(F.sum("v").alias("ex"))
-    imp = flows.groupBy(F.col("importer").alias("nk")).agg(F.sum("v").alias("im"))
+    # ONE pass over the matrix (r6): exploding each flow row into an
+    # exporter-side and an importer-side entry fuses the exports and
+    # imports rollups into a single groupBy — the previous two-consumer
+    # shape duplicated the whole fact subtree in the physical plan
+    # (14 parquet scans, ReuseExchange fired on only one branch; same
+    # double-evaluation trap the oracle's MATERIALIZED hint guards).
+    sides = flows.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("exporter").alias("nk"),
+                    F.col("v").alias("ex"),
+                    F.lit(0).cast("long").alias("im"),
+                ),
+                F.struct(
+                    F.col("importer").alias("nk"),
+                    F.lit(0).cast("long").alias("ex"),
+                    F.col("v").alias("im"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    tot = sides.groupBy("nk").agg(
+        F.sum("ex").alias("ex"), F.sum("im").alias("im")
+    )
     return (
-        n.join(exp, n.n_nationkey == exp.nk, "left")
-        .join(imp, n.n_nationkey == imp.nk, "left")
+        n.join(tot, n.n_nationkey == tot.nk, "left")
         .select(
             "n_nationkey",
             "n_name",
