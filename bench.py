@@ -493,6 +493,14 @@ ABS_TIME_NOTES = {
         "r5 1.54s/2.14x delta was first-run codegen noise, not a plan "
         "change (no code touched it in r5)"
     ),
+    "dedup_minhash_lsh": (
+        "rows-only (no oracle): shingle -> 64-perm minhash signature -> "
+        "banded bucket self-join + candidate-only Jaccard verify, with "
+        "the shingle/signature frames persisted for the two band "
+        "consumers (operators/dedup.py _REUSE); never all-pairs, recall "
+        "1.0 pinned in BOUNDS.json, 1.2x@10x in SCALING.md — the cost "
+        "is the signature build, linear in corpus bytes"
+    ),
 }
 
 
@@ -680,6 +688,7 @@ def main() -> None:
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_detail.json")
     prev: dict = {}
+    prev_oracle: dict = {}
     if os.path.exists(detail_path):
         try:
             with open(detail_path) as fh:
@@ -687,6 +696,7 @@ def main() -> None:
             # only diff like-for-like: same scale factor
             if prev_doc.get("sf") == sf:
                 prev = prev_doc.get("queries", {})
+                prev_oracle = prev_doc.get("oracle_queries", {})
         except Exception:  # noqa: BLE001
             prev = {}
     # round-over-round regression surface (VERDICT r3 ask #8): ratio of
@@ -696,6 +706,27 @@ def main() -> None:
         for n in timings
         if n in prev and prev[n] > 0
     }
+    # Box-drift visibility (r6): the sum aggregates are hostage to single
+    # pathological-oracle queries (join_spatial_grid's O(n^2) DuckDB oracle
+    # alone swung oracle_total 64s -> 29s between runs, moving the headline
+    # ratio ~1x with ZERO engine change).  The medians of the per-query
+    # round-over-round deltas — Spark side and oracle side separately —
+    # say whether the engine or the comparator moved.
+    import statistics
+
+    oracle_delta_vs_prev = {
+        n: round(oracle_s[n] / prev_oracle[n], 2)
+        for n in oracle_s
+        if n in prev_oracle and prev_oracle[n] > 0
+    }
+    median_delta_vs_prev = (
+        round(statistics.median(delta_vs_prev.values()), 2) if delta_vs_prev else None
+    )
+    median_oracle_delta_vs_prev = (
+        round(statistics.median(oracle_delta_vs_prev.values()), 2)
+        if oracle_delta_vs_prev
+        else None
+    )
     detail = {
         "metric": "headline_query_wall_clock_total",
         "value": total,
@@ -718,6 +749,9 @@ def main() -> None:
         "n_queries": len(timings),
         "budget_truncated": truncated,
         "delta_vs_prev": delta_vs_prev,
+        "oracle_delta_vs_prev": oracle_delta_vs_prev,
+        "median_delta_vs_prev": median_delta_vs_prev,
+        "median_oracle_delta_vs_prev": median_oracle_delta_vs_prev,
         # sanctioned >2x ratios with their reasons — auditable without a
         # judge re-derivation (r3 verdict, perf section).  Each entry also
         # carries its CURRENT ratios (r4 ADVICE: an exception that later
@@ -781,6 +815,11 @@ def main() -> None:
         "n_over_abs_gate_undocumented": len(over_abs_gate_undocumented),
         "n_budget_truncated": len(truncated),
         "n_regressed_2x_vs_prev": len(regressed),
+        # medians of per-query round-over-round deltas: engine side vs
+        # comparator side — 1.0/1.0 means only the sum aggregates moved
+        # (single-query oracle drift), not the engine
+        "median_delta_vs_prev": median_delta_vs_prev,
+        "median_oracle_delta_vs_prev": median_oracle_delta_vs_prev,
         "top_regressions_vs_prev": regressed,
         "slowest_queries_s": slowest,
         "detail_file": "bench_detail.json",
