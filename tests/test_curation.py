@@ -9,6 +9,8 @@ and the GK sketch's rank-error bound.
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from ub_etl_spark.operators.curation import (
@@ -42,6 +44,35 @@ def test_pii_redact_plain_text_passthrough(spark):
     df = spark.createDataFrame([("no secrets here at all",)], ["t"])
     out = df.select(redact_pii(F.col("t")).alias("r")).collect()[0].r
     assert out == "no secrets here at all"
+
+
+_token = st.sampled_from(["a", "b", "ab", "xyz", "a b".replace(" ", ""), "zz"])
+_docs = st.lists(
+    st.lists(_token, min_size=2, max_size=40).map(lambda ts: " ".join(ts)),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_docs)
+def test_gopher_bigram_mode_fold_property(spark, texts):
+    """The r6 map-only bigram mode (array_sort + aggregate() max-run fold)
+    equals the brute-force Python mode on adversarial token lists —
+    heavy repeats, all-identical docs, minimum-length docs.  Guards the
+    fold's run-length arithmetic (the <=> NULL seed, the run reset)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in gopher_quality(df, "doc_id", "text").collect()}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        bigrams = [f"{toks[j]} {toks[j + 1]}" for j in range(len(toks) - 1)]
+        top = max(bigrams.count(b) for b in set(bigrams))
+        assert got[i].top_bigram_ratio == pytest.approx(top / (len(toks) - 1)), (
+            t,
+            got[i],
+        )
 
 
 def test_gopher_features_match_python(spark, sf_dir):
