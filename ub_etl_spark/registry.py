@@ -58,8 +58,9 @@ _LOADED = False
 # 48 queries whose only driver verdict is from round 1 — four rounds stale
 # against shared-operator code that perf passes have since touched — the 37
 # value-checked ones with the widest operator reach rotate in here.  The 11
-# deferred to round 7 (listed below) are the 3 r1 rows-only sketches plus 8
-# whose underlying modules were least touched since r1.
+# deferred to round 7 (listed below) are the 3 r1 rows-only sketches (the
+# driver adds only a row count there) plus the 8 lowest-risk single-shape
+# queries; all 11 stay parity-green at every sf in the meantime.
 DRIVER_PRIORITY = [
     # --- backlog: never driver-checked (5 rows-only sketch/ANN + 8 TPC-H
     # scalars).  After this round the never-checked set is empty.
