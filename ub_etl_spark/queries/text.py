@@ -763,7 +763,16 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUANTIZES to micro-units, the doc sum weights quantized longs by
     exact tf, and one division closes it.  Corpus stats (token count,
     vocab) are a 1-row broadcast; the per-term frequency join is the
-    tf-idf shape.  Scale: identical to text_tfidf."""
+    tf-idf shape.  Scale: identical to text_tfidf.
+
+    Measured non-change (r6): deriving cf from tf (sum) and the globals
+    from cf — one corpus explode instead of three — is 0.1-0.15s SLOWER
+    at sf0.1 in every A/B pairing: the three explode branches here run
+    CONCURRENTLY off one scan (each explode pipelines into its map-side
+    partial agg, no materialization), while the derived form serializes
+    tf -> cf -> g onto the critical path.  Total map CPU trades against
+    stage-graph depth; at bench scale depth wins, and the explode's
+    partial aggs keep shuffle volume term-bounded at any scale."""
     d = T(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
