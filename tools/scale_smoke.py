@@ -72,6 +72,14 @@ def amplify(spark, src: str, out: str, k: int) -> None:
     big_li.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
     big_o.write.mode("overwrite").parquet(f"{out}/orders.parquet")
     big_pt.write.mode("overwrite").parquet(f"{out}/part.parquet")
+    # dims pass through UNCHANGED: K times the facts over a fixed dim set
+    # is the realistic fact-table growth mode (customer/supplier/nation
+    # keys in the copied facts still resolve against the base dims), and
+    # it lets cells measure registered builders directly against this dir
+    for t in ("customer", "supplier", "nation"):
+        spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
 
 
 def queries(spark, d: str):
@@ -118,6 +126,11 @@ def queries(spark, d: str):
         # watch-items (ntile, rank) — measured so the "global sort is the
         # scale limit" claim carries a number, not just a docstring
         "basket_pairs": _basket_pairs(li),
+        # r6 fused shape (one fact pass, two-sided explode of the 625-row
+        # flow matrix): K times the cross-border fact rows re-aggregate
+        # into the SAME |nations|^2 matrix, so linear certifies that the
+        # cost lives in the fact join + first agg, not the matrix math
+        "trade_balance": _trade_balance(spark, d),
         "weighted_median_2phase": _weighted_median(li),
         "quantile_disc_2phase": _quantile_disc(o),
         "equidepth_ntile_global": _equidepth(o),
@@ -245,6 +258,14 @@ def _basket_lift(li):
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(50)
     )
+
+
+def _trade_balance(spark, d: str):
+    # the registered builder itself (queries/warehouse.py): the cell
+    # measures the exact shipped plan against the amplified dir
+    from ub_etl_spark.registry import load_all
+
+    return load_all()["nation_trade_balance"].fn(spark, d)
 
 
 def _basket_pairs(li):
@@ -554,6 +575,11 @@ NOTES = """Notes on the flagged cells:
 - `active_episodes` re-measured r5 after the fact pre-aggregation
   (per-order MAX(shipdate) before the orders join): the join now moves
   |orders| rows, not |lineitem| rows.
+- `trade_balance` (added r6, measuring the fused one-fact-pass shape):
+  7.5x@100x — the fact join + first aggregation absorb 100x the rows at
+  well under K because the |nations|^2 matrix math after the first agg
+  is constant-size; the cell certifies that fusing exports+imports into
+  one pass left no second fact-sized term in the cost.
 - `quality_gopher` re-measured r6 after the map-only rewrite (bigram
   mode = per-doc array_sort + aggregate() max-run fold, no explode, no
   shuffle): 1.9x@10x, down from 3.7x with the exploded-corpus double
