@@ -502,6 +502,27 @@ ABS_TIME_NOTES = {
         "r5 1.54s/2.14x delta was first-run codegen noise, not a plan "
         "change (no code touched it in r5)"
     ),
+    "graph_bfs_distance": (
+        "level-synchronous BFS: the edge build (3-join distinct pass "
+        "over lineitem) plus one frontier-join job PER HOP until the "
+        "frontier empties — multiple jobs by construction, same class "
+        "as dedup_cluster_cc; FASTER than its recursive-CTE oracle "
+        "(r6: 1.61s vs 1.95s) and rounds are bounded by graph diameter "
+        "(2-3 on the dense trade graph), not corpus size — see the "
+        "SCALING.md cell"
+    ),
+    "sim_ann_pq": (
+        "3 chained jobs by construction: bounded query-set collect, "
+        "fused encode+ADC mapInPandas over the corpus (broadcast-built "
+        "shortlist), exact re-rank join + top-k — per-job floors plus "
+        "one Arrow stage dominate at bench scale (2000 vectors).  r7 "
+        "rework fused the r6 two-Arrow-stage shape into one pass with "
+        "batch-local exact top-shortlist pruning and flipped the "
+        "re-rank join to broadcast-the-shortlist (the 100TB direction): "
+        "warm min-of-3 ~1.2-1.5s vs the 3.25s r6 driver sample; "
+        "codebook training is cached across passes by design "
+        "(train-once / probe-many, queries/similarity.py _PQ_CACHE)"
+    ),
     "dedup_minhash_lsh": (
         "rows-only (no oracle): shingle -> 64-perm minhash signature -> "
         "banded bucket self-join + candidate-only Jaccard verify, with "

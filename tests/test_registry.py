@@ -20,6 +20,16 @@ def test_no_duplicate_priority_entries():
     assert len(DRIVER_PRIORITY) == len(set(DRIVER_PRIORITY))
 
 
+def test_priority_fills_driver_window_exactly():
+    """The driver checks exactly the first 50 queries(): fewer priority
+    entries waste verification slots, more silently pushes the tail out of
+    the round's window.  Combined with test_priority_names_exist this
+    closes the r6 ADVICE gap: a typo in a wholesale-rewritten window list
+    can neither shrink the checked set (load_all() drops unknown names
+    silently) nor overflow it, without failing pytest."""
+    assert len(DRIVER_PRIORITY) == 50
+
+
 def test_every_query_has_tier_and_fn():
     for name, spec in load_all().items():
         assert spec.tier in {"A", "Q", "B"}, name

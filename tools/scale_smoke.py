@@ -142,7 +142,19 @@ def queries(spark, d: str):
         # as shipped
         "spatial_grid": _spatial_grid(pt),
         "basket_lift": _basket_lift(li),
+        # r7 (r6 verdict task 3): the newest abs-gate crosser.  K times
+        # the lineitem rows rebuild the SAME 25-nation edge set, so BFS
+        # round count is invariant (diameter 2-3 on the dense trade
+        # graph) and only the edge-build scan grows — linear certifies
+        # that the iteration machinery is a constant, not a scale term
+        "bfs_nation_hops": _bfs_nation(spark, d),
     }
+
+
+def _bfs_nation(spark, d: str):
+    from ub_etl_spark.registry import load_all
+
+    return load_all()["graph_bfs_distance"].fn(spark, d)
 
 
 def _episodes(li, o):
@@ -466,6 +478,12 @@ def corpus_queries(spark, d: str):
         "survivorship": _survivorship(docs),
         "phash_hamming": _phash_pairs(docs),
         "pq_encode": _pq_encode(spark, d, emb),
+        # r7 (r6 verdict task 3): the full PQ query as shipped after the
+        # fusion rework — bounded 10-query set, train-once codebooks, one
+        # fused encode+ADC pass with batch-local top-shortlist pruning.
+        # Expect ~corpus-linear like knn_exact_10q: the ADC scan is the
+        # only corpus-sized term; shortlist/re-rank are |Q|-bounded
+        "pq_adc_scan_10q": _pq_adc(spark, d, emb),
         "centroid_per_label": emb.select(
             "label", F.posexplode("embedding").alias("pos", "val")
         )
@@ -496,6 +514,26 @@ def _pq_encode(spark, d, emb):
             spark.read.parquet(f"{base}/embeddings.parquet"), dim=64, m=8, ksub=16
         )
     return pq_encode(emb, _PQ_BOOKS_CACHE[base]).select("vec_id", "pq_codes")
+
+
+def _pq_adc(spark, d, emb):
+    from ub_etl_spark.operators.vectors import knn_ann_pq, pq_codebooks
+
+    base = "/root/testdata/sf0.1"
+    if base not in _PQ_BOOKS_CACHE:
+        _PQ_BOOKS_CACHE[base] = pq_codebooks(
+            spark.read.parquet(f"{base}/embeddings.parquet"), dim=64, m=8, ksub=16
+        )
+    return knn_ann_pq(
+        emb,
+        k=5,
+        dim=64,
+        m=8,
+        ksub=16,
+        shortlist=50,
+        query_filter=F.col("vec_id") < 10,
+        books=_PQ_BOOKS_CACHE[base],
+    )
 
 
 def _survivorship(docs):
@@ -537,6 +575,17 @@ def _inverted(docs):
 # generator so a re-run can't silently drop the analysis (it used to be
 # hand-appended to SCALING.md and one regeneration away from loss).
 NOTES = """Notes on the flagged cells:
+- `bfs_nation_hops` (r7): level-synchronous BFS over the trade graph.
+  The 25-nation vertex set and the diameter are INVARIANT under fact
+  amplification, so hop-round count is constant and the cell isolates
+  the edge-build scan — the only corpus-sized term.  A ~linear ratio
+  certifies the per-round job floors are a constant, matching the
+  ABS_TIME_NOTES claim that bench-scale cost is iteration machinery.
+- `pq_adc_scan_10q` (r7): the shipped fused encode+ADC PQ query with a
+  fixed 10-query probe set (the knn_exact_10q convention).  Corpus-
+  linear is the design claim: the single Arrow pass is the only term
+  that grows; shortlist merge and exact re-rank stay |Q|-bounded
+  (batch-local top-shortlist pruning caps Arrow output per partition).
 - `equidepth_ntile_global` is the DOCUMENTED global-sort watch item; its
   sketch twin (`equidepth_sketch_approx`, same output contract) stays
   near-linear — the measured cost of the global sort and the value of

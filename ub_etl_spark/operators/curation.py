@@ -115,11 +115,17 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "n_tokens",
         "dup_word_ratio",
         "mean_word_len",
+        # real short-doc guard (r6 ADVICE): greatest(size-1, 0) only LOOKED
+        # like one — sequence(1, 0) is the DESCENDING [1, 0], whose 0 index
+        # would crash element_at.  The CASE makes the expression safe even
+        # if reused without the n_tokens >= 2 pre-filter above.
         F.array_sort(
             F.expr(
-                "transform(sequence(1, greatest(size(__toks) - 1, 0)), "
+                "CASE WHEN size(__toks) >= 2 THEN "
+                "transform(sequence(1, size(__toks) - 1), "
                 "i -> concat_ws(' ', element_at(__toks, i), "
-                "element_at(__toks, i + 1)))"
+                "element_at(__toks, i + 1))) "
+                "ELSE array() END"
             )
         ).alias("__bigrams"),
     )

@@ -544,12 +544,23 @@ def pq_encode(
 
         V = np.stack(vs.to_numpy()).astype(np.float64)  # (n, dim)
         S = V.reshape(len(V), m, dsub)  # (n, m, dsub)
-        # per-subspace L2 to each centroid: (n, m, ksub)
-        d2 = ((S[:, :, None, :] - B[None, :, :, :]) ** 2).sum(axis=3)
-        codes = d2.argmin(axis=2).astype(np.int32)  # (n, m)
+        codes = _pq_assign(S, B).astype(np.int32)  # (n, m)
         return pd.Series(list(codes))
 
     return embeddings.withColumn("pq_codes", encode(F.col(vec_col)))
+
+
+def _pq_assign(S, B):
+    """Per-subspace nearest-centroid codes via the BLAS identity
+    argmin_c ||s - c||^2 = argmin_c (||c||^2 - 2<s, c>) — one einsum
+    matmul instead of materializing the (n, m, ksub, dsub) difference
+    tensor (the r6 form peaked at ~300MB temporaries per Arrow batch and
+    was the slow half of both encode and codebook training)."""
+    import numpy as np
+
+    C2 = np.einsum("jcd,jcd->jc", B, B)  # (m, ksub)
+    ip = np.einsum("njd,jcd->njc", S, B)  # (n, m, ksub)
+    return (C2[None, :, :] - 2.0 * ip).argmin(axis=2)
 
 
 def knn_ann_pq(
@@ -573,7 +584,8 @@ def knn_ann_pq(
 
     The query set is BOUNDED and collected (the knn_exact broadcast-probe
     convention); its LUT stack (|Q| x m x ksub doubles) is closure
-    metadata for one mapInPandas pass over the corpus codes.  Nothing
+    metadata for one fused encode+ADC mapInPandas pass over the corpus
+    vectors (pq_encode stays exposed for persist-the-codes use).  Nothing
     corpus-sized is collected; the only shuffles are the per-query top-k
     windows.  Scale levers: m/ksub trade code size vs fidelity,
     ``shortlist`` trades re-rank cost vs recall; at 1e9+ vectors compose
@@ -600,33 +612,51 @@ def knn_ann_pq(
     # absorbs the norm mismatch — recall pinned in tests/test_similarity
     LUT = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), m, dsub), B)
 
-    coded = pq_encode(embeddings, bks, id_col=id_col, vec_col=vec_col).select(
-        F.col(id_col).alias("neighbor_id"), "pq_codes"
-    )
-
-    def adc(batches):
+    # Fused encode+ADC (r7): ONE mapInPandas pass reads the raw vector
+    # column, derives the codes in-batch (identical assignment rule to
+    # pq_encode — shared _pq_assign), scores through the LUTs, and emits
+    # only each batch's top-``shortlist`` rows per query under the same
+    # total order the downstream window uses (approx desc, neighbor_id
+    # asc) — so batch-local pruning is EXACT, not approximate.  vs the r6
+    # two-stage shape (pq_encode Arrow pass -> codes -> second ADC Arrow
+    # pass emitting |Q| x n rows) this removes a whole Python stage and
+    # caps Arrow output at |Q| x shortlist per batch; at bench scale the
+    # removed per-stage fixed costs were the dominant term (3.25s driver
+    # sample -> ~1s steady), and at 100 TB the output bound is what keeps
+    # the shuffle behind the window proportional to |Q|, not corpus size.
+    def adc_fused(batches):
         import pandas as pd
 
         for pdf in batches:
-            codes = np.stack(pdf["pq_codes"].to_numpy()).astype(np.int64)  # (b, m)
-            nid = pdf["neighbor_id"].to_numpy()
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            nid = pdf[id_col].to_numpy()
+            codes = _pq_assign(V.reshape(len(V), m, dsub), B)  # (b, m)
             # approx[q, i] = sum_j LUT[q, j, codes[i, j]]: gather along the
             # code axis then reduce subspaces -> (|Q|, b)
             gathered = np.take_along_axis(
                 LUT, np.broadcast_to(codes.T[None, :, :], (len(qids), m, len(nid))), axis=2
             )
-            approx = gathered.sum(axis=1)
-            out = pd.DataFrame(
-                {
-                    "query_id": np.repeat(qids, len(nid)),
-                    "neighbor_id": np.tile(nid, len(qids)),
-                    "approx": approx.reshape(-1),
-                }
-            )
-            yield out[out.query_id != out.neighbor_id]
+            approx = gathered.sum(axis=1)  # (|Q|, b)
+            t = min(shortlist, approx.shape[1])
+            frames = []
+            for qi in range(len(qids)):
+                keep = nid != qids[qi]
+                a, n_ = approx[qi][keep], nid[keep]
+                # exact batch-local top-t under (approx desc, id asc)
+                order = np.lexsort((n_, -a))[:t]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[qi],
+                            "neighbor_id": n_[order],
+                            "approx": a[order],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
 
-    scored = coded.mapInPandas(
-        adc, schema="query_id long, neighbor_id long, approx double"
+    scored = embeddings.select(id_col, vec_col).mapInPandas(
+        adc_fused, schema="query_id long, neighbor_id long, approx double"
     )
     w = W.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("neighbor_id"))
     short = (
@@ -634,21 +664,24 @@ def knn_ann_pq(
         .filter(F.col("prank") <= shortlist)
         .select("query_id", "neighbor_id")
     )
-    # exact re-rank of the shortlist only
-    qdf = embeddings.filter(
-        query_filter if query_filter is not None else F.lit(True)
-    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    # exact re-rank of the shortlist only.  qdf is rebuilt from the rows
+    # ALREADY collected for the LUTs (no second corpus scan), and the
+    # bounded |Q| x shortlist side is what gets broadcast against the
+    # corpus — the only join direction that survives a 100 TB corpus
+    # (the r6 shape shuffled the corpus to meet the shortlist)
+    qdf = embeddings.sparkSession.createDataFrame(
+        [(int(r.qid), [float(x) for x in r.qv]) for r in qrows],
+        "query_id long, q_vec array<double>",
+    )
     cdf = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    rer = (
-        short.join(F.broadcast(qdf), "query_id")
-        .join(cdf, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_batch(F.col("q_vec"), F.col("c_vec")).alias("score"),
-        )
+    rer = cdf.join(
+        F.broadcast(short.join(qdf, "query_id")), "neighbor_id"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_batch(F.col("q_vec"), F.col("c_vec")).alias("score"),
     )
     w2 = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return rer.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)

@@ -51,85 +51,82 @@ _LOADED = False
 # each round.  Registry is FROZEN at 257 queries (round-3 verdict task 4);
 # rounds rotate evidence, not growth.
 #
-# ROUND-6 WINDOW (this list): the 13 queries that have never had a driver
-# verdict lead (r5 verdict task 1 — all 13 passed the r5 judge's independent
-# parity run, so this clears the never-checked backlog to ZERO).  The
-# remaining 37 slots refresh the OLDEST evidence (r5 verdict task 2): of the
-# 48 queries whose only driver verdict is from round 1 — four rounds stale
-# against shared-operator code that perf passes have since touched — the 37
-# value-checked ones with the widest operator reach rotate in here.  The 11
-# deferred to round 7 (listed below) are the 3 r1 rows-only sketches (the
-# driver adds only a row count there) plus the 8 lowest-risk single-shape
-# queries; all 11 stay parity-green at every sf in the meantime.
+# ROUND-7 WINDOW (this list): evidence-depth rotation — the registry stays
+# FROZEN at 257 (see the freeze-decision note below).  Slots: (a) the 11
+# ROUND-7 RESIDUE queries whose only driver verdict is still r1 (r6 verdict
+# task 2; the r6 judge's independent parity run passed all 11); (b)
+# ``sim_ann_pq`` again — its operator was REWORKED this round (fused
+# encode+ADC, broadcast re-rank; operators/vectors.py) and changed code
+# should never coast on a prior verdict; (c) 38 of the 49 queries whose
+# latest driver verdict is r2, preferring modules later perf passes touched
+# (similarity/curation/pipeline r6-r7 reworks, streaming, storage, the
+# text build chain).  The 11 r2 queries deferred to round 8 are the
+# least-touched single-shape ones: cast_timestamp cast_types
+# rest_source_scan io_multiformat_roundtrip io_binary_files
+# storage_partitioned_write text_lang_id text_fingerprint
+# text_quality_score udf_surface udf_grouped_map.
+#
+# REGISTRY FREEZE DECISION (r6 verdict task 4): the unfreeze condition
+# (never-checked backlog <= 10) is met at 0, but the registry STAYS frozen
+# at 257 for round 7 — the surface already exceeds SURVEY §2 (215/215 rows
+# covered), and new queries would spend the 50-slot driver window on growth
+# while 60 queries still carry pre-r3 evidence.  Revisit once the oldest
+# evidence is r3+ (projected round 9).
 DRIVER_PRIORITY = [
-    # --- backlog: never driver-checked (5 rows-only sketch/ANN + 8 TPC-H
-    # scalars).  After this round the never-checked set is empty.
-    "quantile_bucket_approx",
-    "multimodal_phash_dedup",
+    # --- residue: the 11 r1-only queries (rows-only sketches + least-touched value-checked)
+    "agg_approx_distinct",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "multimodal_columns",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "unpivot_stack",
+    "join_range_bucket",
+    "join_asof",
+    "agg_skew_salted",
+    "join_skew_salted",
+    # --- reworked this round (r7 PQ fusion) — re-verify
     "sim_ann_pq",
-    "agg_kmv_distinct",
-    "agg_hll_intersection",
-    "tpch_q4_priority_check",
-    "tpch_q6_forecast_revenue",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_filter",
-    "tpch_q20_promotion_suppliers",
-    # --- refresh: r1-checked relational/agg/window surface (relational.py,
-    # extras.py — both touched by later perf/alias passes)
-    "scan_parquet",
-    "filter_predicate",
-    "join_inner_equi",
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi_anti",
-    "join_broadcast",
-    "agg_groupby",
-    "agg_count_distinct",
-    "agg_rollup_cube",
-    "agg_cube_grouping",
-    "agg_stats_exact",
-    "agg_percentile",
-    "window_rank",
-    "window_analytic",
-    "window_range_frame",
-    "window_ntile_dist",
-    "sort_limit_topk",
-    "set_union_distinct",
-    "count_running_total",
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "scalar_math_case",
-    "scalar_json_funcs",
-    "array_map_funcs",
-    # --- refresh: r1-checked nested family (queries/nested.py)
-    "project_struct_access",
-    "explode_array_struct",
-    "explode_array_scalar",
-    "explode_map",
-    "filter_null_guard",
-    # --- refresh: r1-checked dedup/merge Tier-A (dedup.py, merge.py — both
-    # grew new queries since r1)
-    "dedup_exact",
-    "dedup_fuzzy",
-    "dedup_cluster_cc",
-    "dedup_get_or_insert",
-    "bridge_join",
-    "insert_ignore_antijoin",
-    "upsert_merge",
+    # --- refresh: r2-evidence queries, touched-module-first
+    "sim_knn_exact",
+    "dedup_embedding_cosine",
+    "text_quality_gopher",
+    "pipeline_training_manifest",
+    "pipeline_corpus_prepare",
+    "pipeline_course_normalize",
+    "pipeline_user_activity",
+    "contamination_ngram_check",
+    "dedup_apply_canonical",
+    "dedup_normalized_exact",
+    "pack_sequences",
+    "mix_weighted_sources",
+    "sample_stratified_exact",
+    "split_train_val_test",
+    "text_ngram_vocab",
+    "text_pii_redact",
+    "text_tfidf",
+    "text_tokenize_stats",
+    "stream_tumbling_agg",
+    "stream_sliding_agg",
+    "stream_session_window",
+    "stream_session_native",
+    "stream_dedup_upsert",
+    "stream_interval_join",
+    "storage_bucketed_merge",
+    "storage_compact_small_files",
+    "io_schema_evolution",
+    "dim_scd2_history",
+    "agg_incremental_refresh",
+    "table_diff_reconcile",
+    "join_interval_overlap",
+    "json_schema_drift",
+    "timeseries_gapfill",
+    "events_funnel",
+    "tpch_q1_pricing",
+    "tpch_q3_priority",
+    "udf_map_in_pandas",
+    "udtf_tokenize",
 ]
-
-# ROUND-7 RESIDUE (the 11 queries whose only driver verdict remains r1;
-# all parity-green continuously since — rotate these in next round):
-#   rows-only by construction (weakest driver-row information):
-#     agg_approx_distinct dedup_minhash_lsh dedup_simhash
-#   value-checked, least-touched modules since r1:
-#     multimodal_columns multimodal_decode multimodal_frame_sample
-#     unpivot_stack join_range_bucket join_asof
-#     agg_skew_salted join_skew_salted
-
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: registration), returned with
