@@ -442,9 +442,15 @@ DOCUMENTED_EXCEPTIONS = {
 ABS_TIME_GATE_S = 1.5
 ABS_TIME_NOTES = {
     "join_spatial_grid": (
-        "9.7s is real distance-pair work: directed half-ring cell explode "
-        "+ equi hash join + exact post-filter runs 6-7x FASTER than the "
-        "O(n^2) oracle (ratio 0.15x); SCALING.md cell 6.6x@100x"
+        "~9.5s is real distance-pair work — the qualifying set is ~27M "
+        "pairs (13.5% of all pairs: r=4 on an effectively-1D strip), so "
+        "both engines are output-bound; the equi-join grid plan runs "
+        "3-7x FASTER than the O(n^2) oracle.  NB the ORACLE side is the "
+        "bench's biggest noise source: DuckDB's 27M-row fetchall swings "
+        "20-67s across sessions (r6 driver 66.8s, r7 min-of-3 27.3s), "
+        "moving aggregate_ratio by ~1x on its own — read the aggregate "
+        "with the floor/exception decomposition, not raw.  SCALING.md "
+        "cell 6.6x@100x"
     ),
     "sim_ann_lsh": (
         "rows-only (no oracle): cost = 8-band signature build + bucket "
