@@ -224,3 +224,59 @@ def test_pq_codes_shape_and_determinism(spark, sf_dir):
         for r in pq_encode(emb.limit(50), b2).select("vec_id", "pq_codes").collect()
     }
     assert {r.vec_id: list(r.pq_codes) for r in rows} == again
+
+
+def test_pq_assign_matches_naive_distance_argmin():
+    """The BLAS identity form of the subspace assignment (r7:
+    argmin ||c||^2 - 2<s,c>) must pick the same centroid as the naive
+    squared-distance argmin it replaced, across random inputs — a pure
+    numpy property, no Spark session.  Centroids are drawn continuous
+    so exact distance ties (the only case where the two formulas could
+    legally diverge in float) have measure zero."""
+    import numpy as np
+
+    from ub_etl_spark.operators.vectors import _pq_assign
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        n, m, ksub, dsub = (
+            int(rng.integers(1, 40)),
+            int(rng.integers(1, 5)),
+            int(rng.integers(2, 17)),
+            int(rng.integers(1, 9)),
+        )
+        S = rng.normal(size=(n, m, dsub))
+        B = rng.normal(size=(m, ksub, dsub))
+        naive = ((S[:, :, None, :] - B[None, :, :, :]) ** 2).sum(axis=3).argmin(axis=2)
+        assert (_pq_assign(S, B) == naive).all()
+
+
+def test_ann_pq_batch_local_pruning_partition_invariant(spark, sf_dir):
+    """The fused ADC pass prunes to a batch-local top-shortlist before
+    the global window merge; because pruning uses the window's exact
+    total order (approx desc, id asc), the final top-k must be invariant
+    to how the corpus is partitioned.  8 shuffled partitions vs the
+    single-file layout must return identical (query, neighbor, rank)."""
+    from pyspark.sql import functions as F
+
+    from ub_etl_spark.operators.vectors import knn_ann_pq, pq_codebooks
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_codebooks(emb, dim=64, m=8, ksub=16)
+
+    def run(df):
+        return sorted(
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in knn_ann_pq(
+                df,
+                k=5,
+                dim=64,
+                m=8,
+                ksub=16,
+                shortlist=20,
+                query_filter=F.col("vec_id") < 5,
+                books=books,
+            ).collect()
+        )
+
+    assert run(emb) == run(emb.repartition(8, "vec_id"))
