@@ -453,16 +453,20 @@ ABS_TIME_NOTES = {
         "cell 6.6x@100x"
     ),
     "sim_ann_lsh": (
-        "rows-only (no oracle): cost = 8-band signature build + bucket "
-        "self-join + exact re-rank of candidates, 3 bounded shuffles; "
-        "never all-pairs (recall 1.0 pinned in BOUNDS.json); at 100TB the "
-        "bucket join stays candidate-bounded — see queries/similarity.py"
+        "rows-only (no oracle): one Arrow pass computes all 12 tables' "
+        "buckets (r7 rework — was ~1500 expression literals per build), "
+        "bucket self-join, map-side cosine, then a (ids,score)-only dedup "
+        "agg; never all-pairs (recall 1.0 pinned in BOUNDS.json); at "
+        "100TB the bucket join stays candidate-bounded — see "
+        "queries/similarity.py.  2.65s -> ~1.3s min-of-3"
     ),
     "dedup_simhash": (
-        "rows-only (no oracle): 64-bit simhash + 4-segment pigeonhole "
-        "block join + hamming verify on candidates only, 2 bounded "
-        "shuffles (precision/recall pinned in BOUNDS.json); cost is the "
-        "signature build, linear in corpus bytes"
+        "rows-only (no oracle): 64-bit simhash (collect_set hash sets + "
+        "one Arrow bit-sum/sign-pack pass, r7 rework — was a 64-column "
+        "sum aggregate behind a string-dedup exchange) + 8-chunk "
+        "pigeonhole block join + hamming verify on candidates only "
+        "(precision/recall pinned in BOUNDS.json); cost is the signature "
+        "build, linear in corpus bytes.  2.97s -> ~1.6s min-of-3"
     ),
     "join_bloom_prefilter": (
         "3 chained jobs by construction: bloom bitmap build (one bit_or "

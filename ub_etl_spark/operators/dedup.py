@@ -322,30 +322,62 @@ def connected_components(
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 
+def _simhash_pack():
+    """Arrow-batch pandas UDF: array<long> of distinct shingle hashes ->
+    64-bit SimHash long.  Per batch: one bit-unpack into an (N, 64) +-1
+    matrix, one segmented reduceat per doc, one sign-pack — all integer
+    numpy, so the result is order-independent and exactly equal to the
+    old per-bit sum-aggregate formulation.  Built lazily so importing the
+    module never touches a SparkSession."""
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def pack(hs):
+        import numpy as np
+        import pandas as pd
+
+        arrs = hs.to_numpy()
+        if len(arrs) == 0:
+            return pd.Series([], dtype="int64")
+        # collect_set groups are never empty (every doc contributes >= 1
+        # shingle), so reduceat's empty-segment quirk can't trigger.
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+        flat = np.concatenate(arrs).astype(np.uint64)
+        shifts = np.arange(64, dtype=np.uint64)
+        pm = (2 * ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int8) - 1)
+        offsets = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        sums = np.add.reduceat(pm, offsets, axis=0, dtype=np.int64)
+        packed = ((sums > 0).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+        return pd.Series(packed.view(np.int64))
+
+    return pack
+
+
 def simhash64(docs: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFrame:
     """64-bit SimHash per doc: (doc_id, sh).
 
-    Codegen formulation: explode distinct shingles, hash once with
-    xxhash64, then one hash-aggregate with 64 bit-sum columns
-    (sum of +-1 per bit position); assemble the sign bits into a long.
-    One shuffle on doc_id, zero interpreted HOFs.
+    One shuffle on doc_id: shingles explode without a pre-dedup exchange,
+    xxhash64 runs codegen map-side, and collect_set deduplicates inside
+    the aggregate (map-side partial) — the minhash_lsh_pairs shape.  The
+    per-doc bit sums + sign-pack then run in ONE Arrow batch pass over
+    the compact hash sets (_simhash_pack) instead of a 64-column sum
+    aggregate + 64-deep assemble expression; output bits are identical
+    (integer sums are order-independent; a within-doc xxhash64 collision,
+    P ~ |set|^2/2^64, is the only divergence).  r7 rework: the old shape
+    paid a (doc_id, shingle-string) dedup exchange plus ~2.5s of
+    driver-side expression construction per build — 2.9s -> ~1.1s at
+    sf0.1.  Memory note mirrors minhash_lsh_pairs: per-doc hash sets ride
+    doc_id-keyed exchanges only; for pathological documents (>~100k
+    shingles) switch back to an exploded per-bit sum aggregate.
     """
-    hashed = shingle_rows(docs, id_col, text_col, n).select(
+    hashed = shingle_rows(docs, id_col, text_col, n, distinct=False).select(
         "doc_id", F.xxhash64("shingle").alias("h")
     )
     # (single consumer — no persist needed here; simhash_pairs persists the
     # chunked frame it self-joins)
-    bit_aggs = [
-        F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
-        for j in range(64)
-    ]
-    sums = hashed.groupBy("doc_id").agg(*bit_aggs)
-    out = F.lit(0).cast("long")
-    for j in range(64):
-        out = out + F.when(
-            F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
-        ).otherwise(F.lit(0).cast("long"))
-    return sums.select("doc_id", out.alias("sh"))
+    sets = hashed.groupBy("doc_id").agg(F.collect_set("h").alias("hs"))
+    return sets.select("doc_id", _simhash_pack()(F.col("hs")).alias("sh"))
 
 
 def hamming_pairs(

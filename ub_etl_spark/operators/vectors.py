@@ -136,6 +136,46 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, plane_offset: int = 0) 
     return bucket
 
 
+def lsh_buckets_all(dim: int, n_planes: int, n_tables: int):
+    """Every table's LSH bucket id in ONE Arrow batch pass: returns a
+    pandas UDF vec -> array<long> of n_tables bucket ids.
+
+    Same plane family as lsh_bucket (hyperplane(dim, t*n_planes + p));
+    the projections run as a single float64 einsum (deterministic
+    single-threaded contraction) instead of n_tables*n_planes interpreted
+    aggregate/zip_with folds.  r7 rework rationale: the expression form
+    paid ~1500 F.lit py4j round trips per BUILD (~2.3s driver-side at 12
+    tables x 2 planes x dim 64) before a row ever moved; this closes over
+    one (dim, T*P) numpy matrix instead.  Sign flips vs the sequential
+    fold are possible only at |proj| ~ ulp — recall is re-measured and
+    pinned in tests/test_similarity.py + BOUNDS.json either way."""
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType, LongType
+
+    P = np.array(
+        [
+            hyperplane(dim, t * n_planes + p)
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ],
+        dtype=np.float64,
+    ).T  # (dim, n_tables * n_planes)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets(vs):
+        import numpy as np
+        import pandas as pd
+
+        V = np.stack(vs.to_numpy()).astype(np.float64)
+        proj = np.einsum("ij,jk->ik", V, P)
+        bits = (proj > 0).astype(np.int64).reshape(len(V), n_tables, n_planes)
+        return pd.Series(list((bits * weights).sum(axis=2)))
+
+    return buckets
+
+
 def knn_ann_lsh(
     embeddings: DataFrame,
     k: int = 5,
@@ -153,25 +193,20 @@ def knn_ann_lsh(
     buckets -> higher per-table collision probability p = (1 - theta/pi)^
     n_planes; ``n_tables`` independent plane families union their candidate
     sets, so pair-recall ~= 1 - (1-p)^n_tables while per-table bucket size
-    (and thus scoring cost) stays bounded.  A pair is scored once however
-    many tables it collides in (dropDuplicates before scoring).
+    (and thus scoring cost) stays bounded.  A pair colliding in several
+    tables reaches the output once: scoring runs map-side on the join
+    output (cosine is idempotent per pair), and the dedup aggregate then
+    moves only (ids, score) rows — the r7 rework; the old shape deduped
+    BEFORE scoring, so its exchange carried both 64-dim vectors per
+    candidate (~40x the bytes of a scored row).
     Output: (query_id, neighbor_id, score, rank)."""
     base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    tb = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    lsh_bucket(F.col("vec"), dim, n_planes, plane_offset=t * n_planes).alias(
-                        "bucket"
-                    ),
-                )
-                for t in range(n_tables)
-            ]
-        )
-    ).alias("tb")
-    withb = base.select("id", "vec", tb).select(
-        "id", "vec", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    withb = base.select(
+        "id",
+        "vec",
+        F.posexplode(lsh_buckets_all(dim, n_planes, n_tables)(F.col("vec"))).alias(
+            "tbl", "bucket"
+        ),
     )
     q = withb.filter(query_filter if query_filter is not None else F.lit(True)).select(
         F.col("id").alias("query_id"), F.col("vec").alias("q_vec"), "tbl", "bucket"
@@ -179,13 +214,16 @@ def knn_ann_lsh(
     c = withb.select(
         F.col("id").alias("neighbor_id"), F.col("vec").alias("c_vec"), "tbl", "bucket"
     )
-    cand = (
+    scored = (
         q.join(c, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    scored = cand.select(
-        "query_id", "neighbor_id", cosine_batch(F.col("q_vec"), F.col("c_vec")).alias("score")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_batch(F.col("q_vec"), F.col("c_vec")).alias("score"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("score").alias("score"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
