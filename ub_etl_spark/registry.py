@@ -55,16 +55,17 @@ _LOADED = False
 # FROZEN at 257 (see the freeze-decision note below).  Slots: (a) the 11
 # ROUND-7 RESIDUE queries whose only driver verdict is still r1 (r6 verdict
 # task 2; the r6 judge's independent parity run passed all 11); (b)
-# ``sim_ann_pq`` again — its operator was REWORKED this round (fused
-# encode+ADC, broadcast re-rank; operators/vectors.py) and changed code
-# should never coast on a prior verdict; (c) 38 of the 49 queries whose
+# ``sim_ann_pq`` and ``sim_ann_lsh`` again — both operators were REWORKED
+# this round (PQ: fused encode+ADC, broadcast re-rank; LSH: single-Arrow
+# bucket pass, score-before-dedup; operators/vectors.py) and changed code
+# should never coast on a prior verdict; (c) 37 of the 49 queries whose
 # latest driver verdict is r2, preferring modules later perf passes touched
 # (similarity/curation/pipeline r6-r7 reworks, streaming, storage, the
-# text build chain).  The 11 r2 queries deferred to round 8 are the
+# text build chain).  The 12 r2 queries deferred to round 8 are the
 # least-touched single-shape ones: cast_timestamp cast_types
 # rest_source_scan io_multiformat_roundtrip io_binary_files
 # storage_partitioned_write text_lang_id text_fingerprint
-# text_quality_score udf_surface udf_grouped_map.
+# text_quality_score udf_surface udf_grouped_map udtf_tokenize.
 #
 # REGISTRY FREEZE DECISION (r6 verdict task 4): the unfreeze condition
 # (never-checked backlog <= 10) is met at 0, but the registry STAYS frozen
@@ -85,8 +86,9 @@ DRIVER_PRIORITY = [
     "join_asof",
     "agg_skew_salted",
     "join_skew_salted",
-    # --- reworked this round (r7 PQ fusion) — re-verify
+    # --- reworked this round (r7 PQ fusion; LSH single-Arrow bucket pass) — re-verify
     "sim_ann_pq",
+    "sim_ann_lsh",
     # --- refresh: r2-evidence queries, touched-module-first
     "sim_knn_exact",
     "dedup_embedding_cosine",
@@ -125,7 +127,6 @@ DRIVER_PRIORITY = [
     "tpch_q1_pricing",
     "tpch_q3_priority",
     "udf_map_in_pandas",
-    "udtf_tokenize",
 ]
 
 def load_all() -> dict[str, QuerySpec]:
