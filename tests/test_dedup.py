@@ -265,3 +265,28 @@ def test_phash_media_real_path_stubbed(spark):
         phash_media(
             with_binary_payload(df, "doc_id", "text"), fake=False
         ).collect()
+
+
+def test_simhash_arrow_pack_matches_bit_sum_reference(spark, sf_dir):
+    """The r7 Arrow bit-pack signature must stay bit-identical to the
+    original per-bit sum-aggregate formulation (reproduced inline here as
+    the reference)."""
+    from ub_etl_spark.operators.dedup import shingle_rows, simhash64
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hashed = shingle_rows(docs, "doc_id", "text", 2).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    )
+    bit_aggs = [
+        F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
+        for j in range(64)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*bit_aggs)
+    ref_expr = F.lit(0).cast("long")
+    for j in range(64):
+        ref_expr = ref_expr + F.when(
+            F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+    ref = {r.doc_id: r.sh for r in sums.select("doc_id", ref_expr.alias("sh")).collect()}
+    got = {r.doc_id: r.sh for r in simhash64(docs, "doc_id", "text").collect()}
+    assert got == ref

@@ -280,3 +280,29 @@ def test_ann_pq_batch_local_pruning_partition_invariant(spark, sf_dir):
         )
 
     assert run(emb) == run(emb.repartition(8, "vec_id"))
+
+
+def test_lsh_buckets_all_matches_expression_form(spark, sf_dir):
+    """The r7 single-Arrow bucket pass must agree with the per-plane
+    expression formulation (lsh_bucket) on every (vector, table) cell —
+    same plane family, same sign rule."""
+    from ub_etl_spark.operators.vectors import lsh_bucket, lsh_buckets_all
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    n_tables, n_planes, dim = 6, 2, 64
+    expr = base.select(
+        "id",
+        *[
+            lsh_bucket(F.col("vec"), dim, n_planes, plane_offset=t * n_planes).alias(f"b{t}")
+            for t in range(n_tables)
+        ],
+    )
+    ref = {r.id: [r[f"b{t}"] for t in range(n_tables)] for r in expr.collect()}
+    got = {
+        r.id: list(r.bks)
+        for r in base.select(
+            "id", lsh_buckets_all(dim, n_planes, n_tables)(F.col("vec")).alias("bks")
+        ).collect()
+    }
+    assert got == ref
