@@ -615,8 +615,8 @@ NOTES = """Notes on the flagged cells:
 - `active_episodes` at 100x rides the keyed-window SORT ENVELOPE, not
   past it: sort cost is n log n, so the expected 100x ratio is
   100 * ln(100n)/ln(n) = 138.6x for the sf0.1 order count (n=150k) —
-  the r7 clean-session measurement (144.9x) sits within ~5% of that
-  computed envelope (r5: 114.3x on a noisier 1x base).  The lever for
+  the two r7 clean-session runs (136.6x, 144.9x) straddle that
+  computed envelope within ~5% (r5: 114.3x on a noisier 1x base).  The lever for
   sub-envelope growth is now IN-TREE and measured beside it:
   `active_episodes_2phase` (operators/intervals.py) replaces the keyed
   windows with bucket-by-start-month hash aggs + per-group array folds
@@ -658,14 +658,14 @@ NOTES = """Notes on the flagged cells:
   (per-order MAX(shipdate) before the orders join): the join now moves
   |orders| rows, not |lineitem| rows.
 - `trade_balance` (added r6, measuring the fused one-fact-pass shape):
-  ~10x@100x (r7 clean re-run 9.7x; r6 recorded 7.5x) — the fact join +
+  ~10x@100x (r7 clean re-runs 9.7x and 12.5x; r6 recorded 7.5x) — the fact join +
   first aggregation absorb 100x the rows at well under K because the
   |nations|^2 matrix math after the first agg is constant-size; the
   cell certifies that fusing exports+imports into one pass left no
   second fact-sized term in the cost.
 - `quality_gopher` re-measured r6 after the map-only rewrite (bigram
   mode = per-doc array_sort + aggregate() max-run fold, no explode, no
-  shuffle): 1.7x@10x (r7 clean re-run; r6 recorded 1.9x), down from
+  shuffle): ~2x@10x (r7 clean re-runs 1.7x and 1.9x; r6 recorded 1.9x), down from
   3.7x with the exploded-corpus double shuffle — the cell now certifies
   an embarrassingly parallel projection whose only growth term is
   corpus bytes.
