@@ -187,6 +187,114 @@ def quantile_disc_two_phase(
     )
 
 
+def global_row_number_two_phase(
+    df: DataFrame,
+    order_cols: list[str],
+    out: str = "rn",
+    num_partitions: int | None = None,
+    total_out: str | None = None,
+) -> DataFrame:
+    """Exact global ``row_number() OVER (ORDER BY order_cols)`` without
+    the single-partition WindowExec collapse (the same hazard class as
+    the NTILE/rank watch items in SCALING.md): Spark plans an un-keyed
+    ordered window as Exchange SinglePartition + one giant sort, so the
+    whole table funnels through ONE task at any scale.
+
+    Two-phase shape instead: ``repartitionByRange(N, order_cols)`` (an
+    EXPLICIT N, so AQE will not re-coalesce the ranges differently per
+    consumer) gives ordered, disjoint key ranges per partition; a local
+    ``sortWithinPartitions`` plus ``monotonically_increasing_id`` yields
+    the within-partition sequence (mid increments by exactly 1 per row
+    in flow order inside a partition — the documented contract — and the
+    per-partition ``min(mid)`` subtraction normalizes away the base, so
+    nothing depends on the id's bit layout); a ``num_partitions``-row
+    stats frame (count + min(mid) per partition id) turns into broadcast
+    cumulative offsets.  global rn = local seq + offset.  Cost: ONE
+    full-data shuffle (the range exchange, reused by both consumers) and
+    two local sorts — no WindowExec touches the fact; the only window
+    runs over the partition-count spine (the bounded-spine argument of
+    quantile_disc_two_phase above).
+
+    Correctness requires ``order_cols`` to be a UNIQUE total order (add
+    a tiebreak key, exactly as a deterministic windowed row_number
+    would need); with ties unbroken, rows inside a tie may number
+    differently than the windowed form.  ``total_out``, when set, also
+    attaches the global row count as a column (free — it rides the same
+    broadcast), which downstream rank arithmetic (NTILE, percent_rank)
+    needs.  ``__gr``-prefixed names are the operator's reserved
+    namespace."""
+    n_parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    seq = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .select(
+            "*",
+            F.monotonically_increasing_id().alias("__gr_mid"),
+            F.spark_partition_id().alias("__gr_pid"),
+        )
+    )
+    stats = seq.groupBy("__gr_pid").agg(
+        F.count(F.lit(1)).alias("__gr_cnt"), F.min("__gr_mid").alias("__gr_base")
+    )
+    wprior = Window.orderBy("__gr_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wtot = Window.partitionBy()
+    offsets = stats.select(
+        "__gr_pid",
+        "__gr_base",
+        F.coalesce(F.sum("__gr_cnt").over(wprior), F.lit(0)).alias("__gr_off"),
+        F.sum("__gr_cnt").over(wtot).alias("__gr_n"),
+    )
+    rn = F.col("__gr_mid") - F.col("__gr_base") + 1 + F.col("__gr_off")
+    keep = [out] if total_out is None else [out, total_out]
+    return (
+        seq.join(F.broadcast(offsets), "__gr_pid")
+        .withColumn(out, rn)
+        .withColumn(total_out or "__gr_drop", F.col("__gr_n"))
+        .drop("__gr_mid", "__gr_pid", "__gr_base", "__gr_off", "__gr_n")
+        .select(*df.columns, *keep)
+    )
+
+
+def ntile_two_phase(
+    df: DataFrame,
+    k: int,
+    order_cols: list[str],
+    out: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ``NTILE(k) OVER (ORDER BY order_cols)`` from the
+    two-phase row number — the in-tree scale lever for the documented
+    `equidepth_ntile_global` watch item (SCALING.md): same output,
+    no Exchange SinglePartition on the fact.
+
+    NTILE semantics reproduced arithmetically from (rn, n, k): with
+    base = n div k and rem = n mod k, the first rem buckets hold
+    base+1 rows.  bucket(rn) = ceil(rn/(base+1)) while rn <= rem*(base+1),
+    else rem + ceil((rn - rem*(base+1))/base).  Integer ceils are done
+    as floor((x-1)/d)+1 over doubles — exact while row counts stay
+    below 2^53.  Same unique-total-order requirement as
+    global_row_number_two_phase (ties: windowed NTILE numbers tied rows
+    by its one global sort's arbitrary order; a unique key makes both
+    forms deterministic and equal)."""
+    with_rn = global_row_number_two_phase(
+        df, order_cols, out="__gr_rn", num_partitions=num_partitions,
+        total_out="__gr_total",
+    )
+    rn, n = F.col("__gr_rn"), F.col("__gr_total")
+    base, rem = F.floor(n / k), n % k
+    cut = rem * (base + 1)
+    bucket = F.when(
+        rn <= cut, F.floor((rn - 1) / (base + 1)) + 1
+    ).otherwise(rem + F.floor((rn - cut - 1) / base) + 1)
+    return with_rn.withColumn(out, bucket.cast("int")).drop(
+        "__gr_rn", "__gr_total"
+    )
+
+
 def basket_arrays(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
     """One row per basket with its sorted de-duplicated item array —
     the ONE shuffle the whole basket-analysis family pays.  Consumers
