@@ -666,10 +666,13 @@ NOTES = """Notes on the flagged cells:
   path while the |V|-row adjacency fits executor memory, and
   `count_triangles(broadcast_adjacency=False)` is the switch beyond.
   The full-table cell above rides higher (~25x@10x) because it runs
-  late in a heap-pressured session (GCLocker allocation retries logged
-  during the 100x relational cells) — an artifact of the smoke's
-  single-session design, not of the plan; the fresh-session controlled
-  numbers are the plan-quality signal.
+  late in the single smoke session AND the box sees sustained external
+  load windows (r7 controlled: a 30-query polluted session inflated
+  triangle only 1.24x, while its absolute time swung 2.6-9.2s with
+  host load-avg ~6 from outside the process tree; GCLocker allocation
+  retries were also logged during the 100x relational cells) —
+  artifacts of the measurement environment, not of the plan; the
+  fresh-session controlled numbers are the plan-quality signal.
 - `spatial_grid` (added r5, measuring the r4 directed-half-ring plan):
   part amplifies into DISJOINT price bands (constant local density), so
   a linear ratio certifies the equi-join-on-cell plan; the 5x B-side
