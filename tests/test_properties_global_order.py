@@ -1,0 +1,85 @@
+"""Randomized property tests for the two-phase global-order operators
+(operators/selection.py) against a pure-Python model — cross-impl, so a
+shared mistake in two Spark window forms can't hide (deterministic
+seeds; one Spark job per property, the test_properties_curation.py
+convention)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from ub_etl_spark.operators.selection import (
+    global_row_number_two_phase,
+    ntile_two_phase,
+)
+
+
+def _py_ntile(rows: list[tuple[int, int]], k: int) -> dict[int, int]:
+    """SQL NTILE model: sort by the unique total order, first n%k buckets
+    get floor(n/k)+1 rows, the rest floor(n/k)."""
+    order = sorted(rows, key=lambda t: (t[1], t[0]))
+    n, out, pos = len(order), {}, 0
+    base, rem = divmod(n, k)
+    for b in range(1, k + 1):
+        size = base + (1 if b <= rem else 0)
+        for _ in range(size):
+            if pos < n:
+                out[order[pos][0]] = b
+                pos += 1
+    return out
+
+
+def test_ntile_matches_python_model_random(spark):
+    """Random values WITH duplicates and negatives, several k and
+    partition counts — every (k, parts) pairing must match the model."""
+    rng = np.random.RandomState(11)
+    rows = [
+        (int(i), int(v))
+        for i, v in enumerate(rng.randint(-50, 50, size=997))
+    ]
+    df = spark.createDataFrame(rows, "id bigint, v bigint")
+    for k, parts in ((1, 4), (3, 1), (10, 7), (160, 5), (997, 3), (2000, 4)):
+        want = _py_ntile(rows, k)
+        got = {
+            r.id: r.b
+            for r in ntile_two_phase(
+                df, k, ["v", "id"], out="b", num_partitions=parts
+            ).collect()
+        }
+        assert got == want, f"k={k} parts={parts}"
+
+
+def test_row_number_matches_python_model_random(spark):
+    rng = np.random.RandomState(13)
+    rows = [
+        (int(i), int(v))
+        for i, v in enumerate(rng.randint(-1000, 1000, size=1499))
+    ]
+    df = spark.createDataFrame(rows, "id bigint, v bigint")
+    order = sorted(rows, key=lambda t: (t[1], t[0]))
+    want = {rid: i + 1 for i, (rid, _) in enumerate(order)}
+    for parts in (1, 2, 9):
+        got = {
+            r.id: r.rn
+            for r in global_row_number_two_phase(
+                df, ["v", "id"], out="rn", num_partitions=parts
+            ).collect()
+        }
+        assert got == want, f"parts={parts}"
+
+
+def test_all_equal_values_single_tiebreak(spark):
+    """Degenerate distribution: the first order column is constant, so
+    both the range split and the ordering fall entirely to the tiebreak
+    column — the skewed-key case a value-only range split would fail."""
+    rows = [(i, 7) for i in range(200)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint")
+    want = _py_ntile(rows, 6)
+    got = {
+        r.id: r.b
+        for r in ntile_two_phase(
+            df, 6, ["v", "id"], out="b", num_partitions=5
+        ).collect()
+    }
+    assert got == want
