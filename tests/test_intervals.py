@@ -66,3 +66,59 @@ def test_cross_month_chain_and_gap(spark):
         (2, 1, ts("2024-01-01"), ts("2024-05-01"), 2),
         (2, 2, ts("2024-07-01"), ts("2024-07-02"), 1),
     ]
+
+
+def test_arrow_form_matches_windowed_on_corpus(spark, sf_dir):
+    from ub_etl_spark.operators.intervals import coalesce_intervals_arrow
+    from ub_etl_spark.registry import load_all
+
+    windowed = _rows(load_all()["orders_active_episodes"].fn(spark, sf_dir))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    last_ship = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.max("l_shipdate").alias("iv_end")
+    )
+    iv = o.select(
+        "o_custkey", F.col("o_orderdate").alias("iv_start"), "o_orderkey"
+    ).join(last_ship, "o_orderkey")
+    got = _rows(coalesce_intervals_arrow(iv, "o_custkey", "iv_start", "iv_end"))
+    assert got == windowed
+
+
+def test_arrow_cross_batch_carry(spark):
+    """Force multi-batch partitions (maxRecordsPerBatch=2) so episodes
+    span Arrow batches and keys change at batch boundaries — the carry
+    path must produce exactly the agg form's answer."""
+    from datetime import datetime
+
+    from ub_etl_spark.operators.intervals import (
+        coalesce_intervals_agg,
+        coalesce_intervals_arrow,
+    )
+
+    ts = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    rows = []
+    # key 1: one long chain of 7 touching intervals -> ONE episode that
+    # must survive several batch carries, then a gap episode
+    for d in range(7):
+        rows.append((1, ts(f"2024-01-{10+d:02d}"), ts(f"2024-01-{11+d:02d}")))
+    rows.append((1, ts("2024-05-01"), ts("2024-05-02")))
+    # key 2: starts mid-batch; covering interval then far gap
+    rows.append((2, ts("2024-01-01"), ts("2024-04-01")))
+    rows.append((2, ts("2024-02-01"), ts("2024-02-02")))
+    rows.append((2, ts("2024-06-01"), ts("2024-06-02")))
+    # key 3: single row (open episode flushed at iterator end)
+    rows.append((3, ts("2024-03-01"), ts("2024-03-05")))
+    df = spark.createDataFrame(rows, "k bigint, s timestamp, e timestamp")
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(conf)
+    spark.conf.set(conf, "2")
+    try:
+        # num_partitions=1 puts every key in ONE partition stream: the
+        # hardest carry case (key changes always inside a partition)
+        got = _rows(coalesce_intervals_arrow(df, "k", "s", "e", num_partitions=1))
+    finally:
+        spark.conf.set(conf, prev)
+    want = _rows(coalesce_intervals_agg(df, "k", "s", "e"))
+    assert got == want
+    assert len(want) == 5  # 2 + 2 + 1 episodes

@@ -139,6 +139,7 @@ def queries(spark, d: str):
         "gini_rank_global": _gini(o),
         "active_episodes": _episodes(li, o),
         "active_episodes_2phase": _episodes_2phase(li, o),
+        "active_episodes_arrow": _episodes_arrow(li, o),
         # round-4/5 shape changes (r4 verdict task 4): the directed
         # half-ring spatial grid and the shared-basket lift plan, measured
         # as shipped
@@ -206,6 +207,23 @@ def _episodes_2phase(li, o):
         "o_custkey", "o_orderkey", F.col("o_orderdate").alias("iv_start")
     ).join(last_ship, "o_orderkey")
     return coalesce_intervals_agg(iv, "o_custkey", "iv_start", "iv_end")
+
+
+def _episodes_arrow(li, o):
+    from pyspark.sql import functions as F
+
+    from ub_etl_spark.operators.intervals import coalesce_intervals_arrow
+
+    # same interval build, stitched by the single vectorized Arrow pass
+    # (exchange + local sort + O(n) numpy scan; carry across batches) —
+    # the 100TB form of the three (see the notes)
+    last_ship = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.max("l_shipdate").alias("iv_end")
+    )
+    iv = o.select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").alias("iv_start")
+    ).join(last_ship, "o_orderkey")
+    return coalesce_intervals_arrow(iv, "o_custkey", "iv_start", "iv_end")
 
 
 def _spatial_grid(pt):
@@ -651,9 +669,21 @@ NOTES = """Notes on the flagged cells:
   min-of-2): windowed 0.90s -> 58.4s (64.7x@100x), two-phase 1.86s ->
   49.7s (26.8x@100x) — the agg shape pays ~2x fixed overhead at 1x and
   wins in ABSOLUTE time at 100x, with the gap widening as the sort's
-  log factor grows.  Equality is pinned row-for-row in
-  tests/test_intervals.py.  The windowed form stays the registered
-  query (it is the reference semantics and fine at bench scale).
+  log factor grows.  The agg fold has its own growth term, though:
+  _stitch_fold is an interpreted HOF whose accumulator copy is O(g^2)
+  per group, and per-group interval counts g grow with fact volume
+  (keys do not amplify) — so a THIRD form is the actual 100TB shape:
+  `active_episodes_arrow` (coalesce_intervals_arrow), hash exchange +
+  local sort (exactly what the keyed WindowExec pays) then ONE
+  vectorized mapInPandas scan (numpy running-max/reduceat with
+  cross-batch episode carry), O(n) after the sort.  Controlled r7
+  three-way (fresh session, min-of-2, same machine window): windowed
+  46.6s, agg 52.5s, arrow 22.4s at 100x — and arrow is also the
+  FASTEST at 1x (0.70s vs 0.78s windowed).  Equality of all three is
+  pinned row-for-row in tests/test_intervals.py (including a forced
+  tiny-Arrow-batch carry case).  The windowed form stays the
+  registered query (it is the reference semantics and fine at bench
+  scale).
 - Corpus cells whose cost is TEXT-BYTE-bound (`normalized_dedup`,
   `survivorship` — both dominated by the normalize-regex pass) ride
   above K by construction: the per-copy `c{i}_` token prefix inflates

@@ -106,3 +106,140 @@ def coalesce_intervals_agg(
         F.col("ep.e").alias("episode_end"),
         F.col("ep.n").alias("n_orders"),
     )
+
+
+def coalesce_intervals_arrow(
+    df: DataFrame,
+    key: str,
+    start_col: str,
+    end_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Same contract as coalesce_intervals_agg, as ONE vectorized Arrow
+    pass — the 100TB shape for interval coalescing.
+
+    Why a third form: _stitch_fold is an interpreted higher-order
+    aggregate whose accumulator copy makes each group's fold O(g^2), and
+    per-group interval counts g grow linearly with fact volume (keys do
+    not amplify) — the agg lever's growth term.  Here the heavy lifting
+    is hash-partition by key + sortWithinPartitions (exactly the
+    exchange+local-sort a keyed WindowExec pays, nothing more), then a
+    single mapInPandas scan: numpy maximum.accumulate finds the running
+    max end, episode boundaries are one vector compare, and
+    maximum.reduceat/diff aggregate each episode — O(n) per partition
+    after the sort, no per-row JVM window machinery, no O(g^2) folds.
+    Arrow moves only (key, start, end).
+
+    Cross-batch state: a partition streams in as multiple Arrow batches
+    (same key may span batches — batch size is a config, not a grouping
+    guarantee), so the scan carries the last OPEN episode and the key's
+    emitted-episode count across batches and flushes on iterator end.
+    Equality against both other forms is pinned in tests/test_intervals.py
+    (including a tiny maxRecordsPerBatch so the carry path actually runs).
+    """
+    in_types = dict(df.dtypes)
+    out_schema = (
+        f"{key} {in_types[key]}, episode bigint, "
+        f"episode_start {in_types[start_col]}, "
+        f"episode_end {in_types[end_col]}, n_orders bigint"
+    )
+
+    def stitch(batches):
+        import numpy as np
+        import pandas as pd
+
+        carry = None  # (key, ep_start, ep_end, n, episodes_already_emitted)
+
+        def emit(k, s, e, n, ep_idx):
+            return pd.DataFrame(
+                {
+                    key: k,
+                    "episode": ep_idx,
+                    "episode_start": s,
+                    "episode_end": e,
+                    "n_orders": n,
+                }
+            )
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            k = pdf[key].to_numpy()
+            s = pdf[start_col].to_numpy()
+            e = pdf[end_col].to_numpy()
+            n = np.ones(len(pdf), dtype="int64")
+            base = np.zeros(len(pdf), dtype="int64")  # episodes emitted before
+            if carry is not None:
+                ck, cs, ce, cn, cemitted = carry
+                if ck == k[0]:
+                    # prepend the open episode as one pre-merged interval
+                    k = np.concatenate(([ck], k))
+                    s = np.concatenate(([cs], s))
+                    e = np.concatenate(([ce], e))
+                    n = np.concatenate(([cn], n))
+                    base = np.concatenate(([0], base))
+                    base[k == ck] = cemitted
+                else:
+                    yield emit([ck], [cs], [ce], [cn], [cemitted + 1])
+                carry = None
+            new_key = np.empty(len(k), dtype=bool)
+            new_key[0] = True
+            new_key[1:] = k[1:] != k[:-1]
+            # boundary mask: a new episode opens on a new key, or where
+            # start exceeds the key's running max end.  numpy has no
+            # RESETTING cummax, so run the accumulate per key RUN — one
+            # python iteration per distinct key in the batch, each fully
+            # vectorized (sorted input makes runs contiguous; a batch
+            # holds few runs when keys carry many rows, and tiny numpy
+            # slices when they don't)
+            boundary = new_key.copy()
+            run_starts = np.flatnonzero(new_key)
+            run_ends = np.append(run_starts[1:], len(k))
+            for a, b in zip(run_starts, run_ends):
+                if b - a > 1:
+                    cm = np.maximum.accumulate(e[a:b])
+                    boundary[a + 1 : b] = s[a + 1 : b] > cm[: b - a - 1]
+            idx = np.flatnonzero(boundary)
+            ep_s = s[idx]
+            ep_e = np.maximum.reduceat(e, idx)
+            ep_n_rows = np.diff(np.append(idx, len(k)))
+            # n may exceed 1 for the carried pre-merged interval: sum n
+            # per episode, not count rows
+            ep_n = np.add.reduceat(n, idx)
+            ep_k = k[idx]
+            ep_base = base[idx]
+            # episode index within key: 1-based cumulative position among
+            # this batch's episodes of the same key, offset by base
+            key_start = np.empty(len(idx), dtype=bool)
+            key_start[0] = True
+            key_start[1:] = ep_k[1:] != ep_k[:-1]
+            pos = np.arange(len(idx), dtype="int64")
+            run_start = np.maximum.accumulate(np.where(key_start, pos, 0))
+            ep_idx = pos - run_start + 1 + ep_base
+            # hold back the LAST episode — the next batch may extend it
+            carry = (
+                ep_k[-1],
+                ep_s[-1],
+                ep_e[-1],
+                int(ep_n[-1]),
+                int(ep_idx[-1] - 1),
+            )
+            if len(idx) > 1:
+                yield emit(
+                    ep_k[:-1], ep_s[:-1], ep_e[:-1], ep_n[:-1], ep_idx[:-1]
+                )
+        if carry is not None:
+            ck, cs, ce, cn, cemitted = carry
+            yield emit([ck], [cs], [ce], [cn], [cemitted + 1])
+
+    n_parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    return (
+        df.select(
+            F.col(key), F.col(start_col), F.col(end_col)
+        )
+        .repartition(n_parts, F.col(key))
+        .sortWithinPartitions(key, start_col, end_col)
+        .mapInPandas(stitch, out_schema)
+    )
