@@ -718,7 +718,7 @@ NOTES = """Notes on the flagged cells:
   (per-order MAX(shipdate) before the orders join): the join now moves
   |orders| rows, not |lineitem| rows.
 - `trade_balance` (added r6, measuring the fused one-fact-pass shape):
-  ~10x@100x (r7 clean re-runs 9.7x and 12.5x; r6 recorded 7.5x) — the fact join +
+  ~10x@100x controlled (r7 clean re-runs 9.7x and 12.5x; r6 recorded 7.5x; one in-suite r7 sample hit 21x in the same window that logged GCLocker retries — the single-session artifact class the triangle note documents) — the fact join +
   first aggregation absorb 100x the rows at well under K because the
   |nations|^2 matrix math after the first agg is constant-size; the
   cell certifies that fusing exports+imports into one pass left no
