@@ -757,8 +757,14 @@ def main() -> None:
     # full per-query decomposition (timings, oracle seconds, ratios,
     # floor_share, sub-floor set, round-over-round deltas) is written to
     # bench_detail.json next to this script, where the judge can read it.
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_detail.json")
+    # SPARK_GRAFT_BENCH_DETAIL redirects the sidecar: verify_all's budgeted
+    # sf0.001 smoke sets it to a temp path so a gate run can never
+    # overwrite the committed sf0.1 artifact (which the pytest abs-time
+    # gate reads — an sf0.001 overwrite silently disables that lint until
+    # someone notices the working-tree diff)
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
     prev: dict = {}
     prev_oracle: dict = {}
     if os.path.exists(detail_path):

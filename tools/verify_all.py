@@ -127,6 +127,9 @@ def main() -> None:
             env={
                 "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
                 "SPARK_GRAFT_BENCH_BUDGET_S": "900",
+                # keep the committed sf0.1 sidecar intact: the smoke's
+                # sf0.001 artifact goes to /tmp (bench.py honors this)
+                "SPARK_GRAFT_BENCH_DETAIL": "/tmp/bench_detail_smoke.json",
             },
         )
     print("ALL GATES GREEN")
