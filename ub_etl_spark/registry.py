@@ -72,7 +72,13 @@ _LOADED = False
 # at 257 for round 7 — the surface already exceeds SURVEY §2 (215/215 rows
 # covered), and new queries would spend the 50-slot driver window on growth
 # while 60 queries still carry pre-r3 evidence.  Revisit once the oldest
-# evidence is r3+ (projected round 9).
+# evidence is r3+ (projected round 9).  If/when unfrozen, the first
+# growth candidates are the r7 scale levers that already have oracles by
+# construction (their outputs equal existing registered queries'):
+# equidepth-by-ntile_two_phase and episodes-by-coalesce_intervals_arrow
+# (operators/selection.py, operators/intervals.py) — registering them
+# would put driver hash evidence on the levers themselves, not just
+# pytest equality pins.
 DRIVER_PRIORITY = [
     # --- residue: the 11 r1-only queries (rows-only sketches + least-touched value-checked)
     "agg_approx_distinct",
