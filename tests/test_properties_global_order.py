@@ -83,3 +83,38 @@ def test_all_equal_values_single_tiebreak(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_null_order_values_match_windowed(spark):
+    """NULL first-order-column values: Spark's default ascending sort is
+    NULLS FIRST in both WindowExec and range partitioning — the
+    two-phase forms must agree with the windowed forms row-for-row."""
+    from pyspark.sql import Window as W
+
+    rows = [(1, None), (2, 5), (3, None), (4, 1), (5, 5), (6, None), (7, 2)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint")
+    order = ["v", "id"]
+    win_rn = {
+        r.id: r.rn
+        for r in df.select(
+            "id", F.row_number().over(W.orderBy(*order)).alias("rn")
+        ).collect()
+    }
+    got_rn = {
+        r.id: r.rn
+        for r in global_row_number_two_phase(
+            df, order, out="rn", num_partitions=3
+        ).collect()
+    }
+    assert got_rn == win_rn
+    win_nt = {
+        r.id: r.b
+        for r in df.select(
+            "id", F.ntile(3).over(W.orderBy(*order)).alias("b")
+        ).collect()
+    }
+    got_nt = {
+        r.id: r.b
+        for r in ntile_two_phase(df, 3, order, out="b", num_partitions=3).collect()
+    }
+    assert got_nt == win_nt

@@ -130,6 +130,12 @@ def coalesce_intervals_arrow(
     after the sort, no per-row JVM window machinery, no O(g^2) folds.
     Arrow moves only (key, start, end).
 
+    Precondition (all three forms share it): key/start/end are non-null
+    — the windowed stitch's running max and this scan's numpy compares
+    both treat NULL/NaT as vacuous, so callers filter nulls upstream
+    (the registered episode query builds intervals from inner joins,
+    which cannot produce them).
+
     Cross-batch state: a partition streams in as multiple Arrow batches
     (same key may span batches — batch size is a config, not a grouping
     guarantee), so the scan carries the last OPEN episode and the key's
