@@ -101,3 +101,29 @@ def test_empty_input(spark):
         global_row_number_two_phase(df, ["v", "id"], total_out="n").count()
         == 0
     )
+
+
+def test_mid_consecutiveness_invariant_is_loud(spark, monkeypatch):
+    """r7 ADVICE: global_row_number_two_phase leans on an implementation
+    detail (mid consecutive within a partition); the operator's stats
+    frame must RAISE if the id layout ever changes, not mis-number.
+    Simulate the layout change by patching the id generator to stride by
+    2 — the REAL operator path must then fail loudly (the invariant
+    holding on legitimate calls is exercised by every equality test
+    above)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ub_etl_spark.operators import selection as sel
+
+    real = F.monotonically_increasing_id
+    monkeypatch.setattr(
+        sel.F, "monotonically_increasing_id", lambda: real() * 2
+    )
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    with pytest.raises(Exception, match="not consecutive"):
+        global_row_number_two_phase(
+            df, ["v", "id"], out="rn", num_partitions=4
+        ).collect()

@@ -122,3 +122,30 @@ def test_arrow_cross_batch_carry(spark):
     want = _rows(coalesce_intervals_agg(df, "k", "s", "e"))
     assert got == want
     assert len(want) == 5  # 2 + 2 + 1 episodes
+
+
+def test_null_precondition_raises_in_both_forms(spark):
+    """r7 ADVICE: a NULL key/start/end must fail loudly and identically in
+    the agg and Arrow forms, never silently mis-stitch."""
+    import pytest
+
+    from ub_etl_spark.operators.intervals import (
+        coalesce_intervals_agg,
+        coalesce_intervals_arrow,
+    )
+
+    ts = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01"), ts("2024-01-05")),
+            (1, None, ts("2024-02-05")),
+        ],
+        "k bigint, s timestamp, e timestamp",
+    )
+    for form in (coalesce_intervals_agg, coalesce_intervals_arrow):
+        with pytest.raises(Exception, match="non-null precondition"):
+            form(df, "k", "s", "e").collect()
+    # the guard passes clean frames through untouched
+    clean = df.filter(F.col("s").isNotNull())
+    assert coalesce_intervals_agg(clean, "k", "s", "e").count() == 1
+    assert coalesce_intervals_arrow(clean, "k", "s", "e").count() == 1

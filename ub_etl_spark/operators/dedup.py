@@ -324,11 +324,16 @@ def connected_components(
 
 def _simhash_pack():
     """Arrow-batch pandas UDF: array<long> of distinct shingle hashes ->
-    64-bit SimHash long.  Per batch: one bit-unpack into an (N, 64) +-1
-    matrix, one segmented reduceat per doc, one sign-pack — all integer
-    numpy, so the result is order-independent and exactly equal to the
-    old per-bit sum-aggregate formulation.  Built lazily so importing the
-    module never touches a SparkSession."""
+    64-bit SimHash long.  Per batch: one byte-view unpackbits into an
+    (N, 64) uint8 bit matrix, one segmented reduceat per doc, one
+    sign-pack — all integer numpy, so the result is order-independent
+    and exactly equal to the old per-bit sum-aggregate formulation.
+    Transient memory is ~1 byte per shingle-bit (r7 ADVICE: the earlier
+    ``flat[:, None] >> shifts`` form materialized a (total, 64) uint64 —
+    8 bytes per bit — which maxRecordsPerBatch does NOT bound, since it
+    caps rows, not total set sizes).  The +-1 matrix is never built:
+    per-doc +-1 sums are recovered arithmetically as 2*bitsum - len.
+    Built lazily so importing the module never touches a SparkSession."""
     from pyspark.sql.types import LongType
 
     @F.pandas_udf(LongType())
@@ -342,13 +347,20 @@ def _simhash_pack():
         # collect_set groups are never empty (every doc contributes >= 1
         # shingle), so reduceat's empty-segment quirk can't trigger.
         lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
-        flat = np.concatenate(arrs).astype(np.uint64)
-        shifts = np.arange(64, dtype=np.uint64)
-        pm = (2 * ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int8) - 1)
+        # force little-endian so the byte view maps bit j of hash i to
+        # bits[i, j] under bitorder="little" (no-copy on LE hosts)
+        flat = np.ascontiguousarray(np.concatenate(arrs)).astype("<u8", copy=False)
+        bits = np.unpackbits(
+            flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )
         offsets = np.zeros(len(arrs), dtype=np.int64)
         np.cumsum(lens[:-1], out=offsets[1:])
-        sums = np.add.reduceat(pm, offsets, axis=0, dtype=np.int64)
-        packed = ((sums > 0).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+        bitsums = np.add.reduceat(bits, offsets, axis=0, dtype=np.int64)
+        # sum over {-1,+1} == 2*(count of 1-bits) - (count of elements)
+        shifts = np.arange(64, dtype=np.uint64)
+        packed = (
+            ((2 * bitsums - lens[:, None] > 0)).astype(np.uint64) << shifts
+        ).sum(axis=1, dtype=np.uint64)
         return pd.Series(packed.view(np.int64))
 
     return pack

@@ -31,6 +31,34 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _require_non_null(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Loud shared precondition (r7 ADVICE): a NULL key/start/end would
+    degrade DIFFERENTLY per form — the windowed running max treats NULL
+    as vacuous, the agg fold's struct sort moves it, and the Arrow scan's
+    numpy compares go all-False — silently breaking both the episode
+    boundaries and the pinned three-way equality.  Enforce identically
+    in every operator form: a codegen filter whose failing branch raises
+    (a filter, not a dropped assert_true projection, so Catalyst cannot
+    prune it).  Cost: one null-check per row inside the existing scan
+    stage — no extra exchange."""
+    ok = None
+    for c in cols:
+        cond = F.col(c).isNotNull()
+        ok = cond if ok is None else (ok & cond)
+    return df.filter(
+        F.when(ok, F.lit(True)).otherwise(
+            F.raise_error(
+                F.lit(
+                    "coalesce_intervals: NULL in one of ("
+                    + ", ".join(cols)
+                    + ") violates the documented non-null precondition; "
+                    "filter nulls upstream"
+                )
+            )
+        )
+    )
+
+
 def _stitch_fold(eps: Column) -> Column:
     """Fold a start-sorted array<struct<s,e,n>> into coalesced episodes.
 
@@ -74,7 +102,7 @@ def coalesce_intervals_agg(
     Output matches orders_active_episodes' schema contract: (<key>,
     episode 1-based in start order, episode_start, episode_end, n_orders).
     """
-    iv = df.select(
+    iv = _require_non_null(df, [key, start_col, end_col]).select(
         F.col(key).alias("k"),
         F.trunc(F.col(start_col), "month").alias("bk"),
         F.struct(
@@ -134,7 +162,10 @@ def coalesce_intervals_arrow(
     — the windowed stitch's running max and this scan's numpy compares
     both treat NULL/NaT as vacuous, so callers filter nulls upstream
     (the registered episode query builds intervals from inner joins,
-    which cannot produce them).
+    which cannot produce them).  ENFORCED, not just documented (r7
+    ADVICE): _require_non_null raises loudly — and identically in the
+    agg form — instead of letting a NULL produce silently wrong episode
+    boundaries.
 
     Cross-batch state: a partition streams in as multiple Arrow batches
     (same key may span batches — batch size is a config, not a grouping
@@ -242,8 +273,9 @@ def coalesce_intervals_arrow(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
     return (
-        df.select(
-            F.col(key), F.col(start_col), F.col(end_col)
+        _require_non_null(
+            df.select(F.col(key), F.col(start_col), F.col(end_col)),
+            [key, start_col, end_col],
         )
         .repartition(n_parts, F.col(key))
         .sortWithinPartitions(key, start_col, end_col)

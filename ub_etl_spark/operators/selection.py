@@ -222,7 +222,17 @@ def global_row_number_two_phase(
     attaches the global row count as a column (free — it rides the same
     broadcast), which downstream rank arithmetic (NTILE, percent_rank)
     needs.  ``__gr``-prefixed names are the operator's reserved
-    namespace."""
+    namespace.
+
+    Loud invariant (r7 ADVICE): per-row increment-by-1 of
+    monotonically_increasing_id inside a partition is a CURRENT
+    implementation detail, not Spark's contract (which only promises
+    monotonic-unique), and the id's 33-bit per-partition counter would
+    overflow into partition-id bits past 2^33 rows per partition.  The
+    stats frame therefore checks ``max(mid) - min(mid) + 1 == count``
+    per partition — consecutiveness and overflow-freedom in one
+    equality, checked on the n_parts-row spine for free — and raises
+    instead of silently mis-numbering."""
     n_parts = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
@@ -235,8 +245,35 @@ def global_row_number_two_phase(
             F.spark_partition_id().alias("__gr_pid"),
         )
     )
-    stats = seq.groupBy("__gr_pid").agg(
-        F.count(F.lit(1)).alias("__gr_cnt"), F.min("__gr_mid").alias("__gr_base")
+    stats = (
+        seq.groupBy("__gr_pid")
+        .agg(
+            F.count(F.lit(1)).alias("__gr_cnt"),
+            F.min("__gr_mid").alias("__gr_base"),
+            F.max("__gr_mid").alias("__gr_hi"),
+        )
+        .filter(
+            F.when(
+                F.col("__gr_hi") - F.col("__gr_base") + 1 == F.col("__gr_cnt"),
+                F.lit(True),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "global_row_number_two_phase: "
+                            "monotonically_increasing_id is not consecutive "
+                            "within partition "
+                        ),
+                        F.col("__gr_pid").cast("string"),
+                        F.lit(
+                            " (id-layout change or >2^33 rows/partition); "
+                            "rn would be silently wrong"
+                        ),
+                    )
+                )
+            )
+        )
+        .drop("__gr_hi")
     )
     wprior = Window.orderBy("__gr_pid").rowsBetween(
         Window.unboundedPreceding, -1
