@@ -159,6 +159,9 @@ HEADLINE = [
     "events_attribution_last_touch",
     "quantile_bucket_equidepth",
     "agg_gini_concentration",
+    # round-8: the registered global-order scale levers (r7 verdict task 1)
+    "quantile_bucket_equidepth_2phase",
+    "orders_active_episodes_arrow",
     "join_theta_band",
     # round-3: behavior/sequence tier (queries/behavior.py)
     "events_path_topk",

@@ -213,10 +213,9 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "quantile_bucket_equidepth",
-    tier="B",
-    oracle=f"""
+# shared by the windowed reference form and the registered two-phase scale
+# form below — identical output contract, one oracle text
+_EQUIDEPTH_ORACLE = f"""
     WITH b AS (
       SELECT o_totalprice,
              NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
@@ -226,29 +225,68 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
            MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
            {sql_csum("o_totalprice", "total")}
     FROM b GROUP BY bucket
-    """,
+    """
+
+
+def _equidepth_bucket_agg(bucketed: DataFrame) -> DataFrame:
+    """Per-bucket count/bounds/exact sum — the shared tail of both
+    equi-depth forms (bucket column name is the contract)."""
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        csum("o_totalprice", "total"),
+    )
+
+
+@register(
+    "quantile_bucket_equidepth",
+    tier="B",
+    oracle=_EQUIDEPTH_ORACLE,
 )
 def quantile_bucket_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth decile bucketing (the histogram/feature-binning
     primitive): NTILE over a total order (price, orderkey tiebreak) then
-    per-bucket count/bounds/exact sum.  The exact form needs one global
-    sort — the documented watch-item shared with every global order
-    statistic here; the 100 TB path swaps the NTILE for
-    percentile_approx bucket BOUNDARIES broadcast into a codegen
-    bucket-assignment projection (no global sort, approximate depths),
-    keeping this exact variant as the oracle-checkable reference."""
+    per-bucket count/bounds/exact sum.  This windowed form is the
+    oracle-shaped REFERENCE: Spark plans the un-keyed ordered window as
+    Exchange SinglePartition + one global sort (the documented
+    watch-item; SCALING.md equidepth_ntile_global 111x@100x).  The
+    registered DEFAULT at scale is quantile_bucket_equidepth_2phase
+    below — same rows, no single-partition collapse — with
+    quantile_bucket_approx as the sketch path when approximate depths
+    suffice."""
     o = T(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
-    return (
-        o.withColumn("bucket", F.ntile(10).over(w))
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.min("o_totalprice").alias("lo"),
-            F.max("o_totalprice").alias("hi"),
-            csum("o_totalprice", "total"),
-        )
+    return _equidepth_bucket_agg(o.withColumn("bucket", F.ntile(10).over(w)))
+
+
+@register(
+    "quantile_bucket_equidepth_2phase",
+    tier="B",
+    oracle=_EQUIDEPTH_ORACLE,
+)
+def quantile_bucket_equidepth_2phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth deciles WITHOUT the global-sort collapse — the
+    registered scale default for equi-depth binning (r7 verdict task 1:
+    promote the lever from measured sidecar to driver-hash-checked
+    query).  ntile_two_phase (operators/selection.py) range-partitions
+    on (price, orderkey), numbers rows locally, and broadcasts
+    per-partition offsets: one full-data range exchange, two local
+    sorts, zero Exchange SinglePartition — controlled 100x measurement
+    3.15 s vs the windowed form's 36.8 s (SCALING.md
+    equidepth_ntile_2phase 4.9x@100x vs 111x@100x).  Output is
+    row-identical to the windowed form (the (price, orderkey) tiebreak
+    is a unique total order, so NTILE arithmetic reproduces bucket
+    boundaries exactly); equality is pinned both by
+    tests/test_global_order.py and by this query sharing the windowed
+    form's oracle."""
+    from ub_etl_spark.operators.selection import ntile_two_phase
+
+    o = T(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    bucketed = ntile_two_phase(
+        o, 10, ["o_totalprice", "o_orderkey"], out="bucket"
     )
+    return _equidepth_bucket_agg(bucketed)
 
 
 # ---------------------------------------------------------------------------

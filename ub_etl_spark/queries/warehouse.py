@@ -381,10 +381,9 @@ def lineitem_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "orders_active_episodes",
-    tier="B",
-    oracle="""
+# shared by the windowed reference form and the registered Arrow scale
+# form — identical output contract, one oracle text
+_EPISODES_ORACLE = """
     WITH iv AS (
       SELECT o.o_custkey, o.o_orderkey,
              o.o_orderdate AS iv_start, MAX(l.l_shipdate) AS iv_end
@@ -416,7 +415,31 @@ def lineitem_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM numbered
     GROUP BY o_custkey, episode
     ORDER BY o_custkey, episode
-    """,
+    """
+
+
+def _order_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_custkey, iv_start, iv_end) per order — the shared interval
+    build of both episode forms.  Pre-aggregate the fact to per-order
+    MAX(shipdate) BEFORE joining orders: the join then moves |orders|
+    rows instead of |lineitem| rows carrying customer/date columns
+    through the wide shuffle (the 4x-fact-reduction that matters at
+    100 TB; same result — max is per-orderkey either side of the
+    join)."""
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    last_ship = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.max("l_shipdate").alias("iv_end")
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").alias("iv_start")
+    ).join(last_ship, "o_orderkey")
+
+
+@register(
+    "orders_active_episodes",
+    tier="B",
+    oracle=_EPISODES_ORACLE,
 )
 def orders_active_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval coalescing / gaps-and-islands over VARIABLE-LENGTH
@@ -432,21 +455,13 @@ def orders_active_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (start, end, orderkey); tied starts can swap flag attribution
     between the tied rows but never change episode MEMBERSHIP (either
     tied row's end >= the shared start), so the per-episode aggregate is
-    order-stable.  Scale: pure keyed windows — same plan at 1e9
-    customers."""
-    o = T(spark, sf_dir, "orders")
-    li = T(spark, sf_dir, "lineitem")
-    # pre-aggregate the fact to per-order MAX(shipdate) BEFORE joining
-    # orders: the join then moves |orders| rows instead of |lineitem|
-    # rows carrying customer/date columns through the wide shuffle (the
-    # 4x-fact-reduction that matters at 100 TB; same result — max is
-    # per-orderkey either side of the join)
-    last_ship = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
-        F.max("l_shipdate").alias("iv_end")
-    )
-    iv = o.select("o_custkey", "o_orderkey", F.col("o_orderdate").alias("iv_start")).join(
-        last_ship, "o_orderkey"
-    )
+    order-stable.  Scale note: keyed windows keep the plan shape at 1e9
+    customers, but per-key interval counts grow with fact volume and the
+    window sort rides its n log n envelope (SCALING.md
+    active_episodes_100x 112x@100x) — the registered scale DEFAULT is
+    orders_active_episodes_arrow below (15.3x@100x, same rows); this
+    windowed form stays as the oracle-shaped reference."""
+    iv = _order_intervals(spark, sf_dir)
     w_prev = (
         Window.partitionBy("o_custkey")
         .orderBy("iv_start", "iv_end", "o_orderkey")
@@ -483,6 +498,33 @@ def orders_active_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "episode")
     )
+
+
+@register(
+    "orders_active_episodes_arrow",
+    tier="B",
+    oracle=_EPISODES_ORACLE,
+)
+def orders_active_episodes_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing as ONE vectorized Arrow pass — the registered
+    scale default for gaps-and-islands episode stitching (r7 verdict
+    task 1: promote the lever from measured sidecar to
+    driver-hash-checked query).  coalesce_intervals_arrow
+    (operators/intervals.py) pays exactly the exchange + local sort a
+    keyed WindowExec would (hash repartition by custkey,
+    sortWithinPartitions), then replaces the per-row window machinery
+    with a numpy maximum.accumulate/reduceat scan carrying open-episode
+    state across Arrow batches — O(n) per partition after the sort.
+    Controlled 100x: 22.4 s vs the windowed form's 46.6 s (SCALING.md
+    active_episodes_arrow 15.3x@100x vs 112x@100x); also fastest at 1x.
+    Output is row-identical to orders_active_episodes (equality pinned
+    in tests/test_intervals.py including the forced cross-batch carry
+    path) and shares its oracle; intervals come from inner joins so the
+    operator's non-null guard is vacuously satisfied."""
+    from ub_etl_spark.operators.intervals import coalesce_intervals_arrow
+
+    iv = _order_intervals(spark, sf_dir)
+    return coalesce_intervals_arrow(iv, "o_custkey", "iv_start", "iv_end")
 
 
 # ---------------------------------------------------------------------------

@@ -48,91 +48,101 @@ _LOADED = False
 
 # The driver's correctness gate checks the first 50 entries of ``queries()``
 # in registration order, so ordering decides which queries get a driver row
-# each round.  Registry is FROZEN at 257 queries (round-3 verdict task 4);
-# rounds rotate evidence, not growth.
+# each round.
 #
-# ROUND-7 WINDOW (this list): evidence-depth rotation — the registry stays
-# FROZEN at 257 (see the freeze-decision note below).  Slots: (a) the 11
-# ROUND-7 RESIDUE queries whose only driver verdict is still r1 (r6 verdict
-# task 2; the r6 judge's independent parity run passed all 11); (b)
-# ``sim_ann_pq`` and ``sim_ann_lsh`` again — both operators were REWORKED
-# this round (PQ: fused encode+ADC, broadcast re-rank; LSH: single-Arrow
-# bucket pass, score-before-dedup; operators/vectors.py) and changed code
-# should never coast on a prior verdict; (c) 37 of the 49 queries whose
-# latest driver verdict is r2, preferring modules later perf passes touched
-# (similarity/curation/pipeline r6-r7 reworks, streaming, storage, the
-# text build chain).  The 12 r2 queries deferred to round 8 are the
-# least-touched single-shape ones: cast_timestamp cast_types
-# rest_source_scan io_multiformat_roundtrip io_binary_files
-# storage_partitioned_write text_lang_id text_fingerprint
-# text_quality_score udf_surface udf_grouped_map udtf_tokenize.
+# REGISTRY UNFREEZE (r7 verdict task 1): the freeze (r3 verdict task 4,
+# held at 257 through r7 for evidence depth) ends this round with exactly
+# the two named growth candidates — the global-order scale levers now
+# registered as driver-hash-checked queries with oracles by construction
+# (their outputs equal the existing registered forms'):
+#   quantile_bucket_equidepth_2phase  (ntile_two_phase,
+#       operators/selection.py — 4.9x@100x vs the windowed 111x@100x)
+#   orders_active_episodes_arrow      (coalesce_intervals_arrow,
+#       operators/intervals.py — 15.3x@100x vs the windowed 112x@100x)
+# Registry: 259.  Further growth stays gated on the same principle that
+# motivated the freeze: a new query must carry either a new operator
+# family or a scale lever, never a near-duplicate plan shape, because
+# every added query dilutes the 50-slot evidence window.
 #
-# REGISTRY FREEZE DECISION (r6 verdict task 4): the unfreeze condition
-# (never-checked backlog <= 10) is met at 0, but the registry STAYS frozen
-# at 257 for round 7 — the surface already exceeds SURVEY §2 (215/215 rows
-# covered), and new queries would spend the 50-slot driver window on growth
-# while 60 queries still carry pre-r3 evidence.  Revisit once the oldest
-# evidence is r3+ (projected round 9).  If/when unfrozen, the first
-# growth candidates are the r7 scale levers that already have oracles by
-# construction (their outputs equal existing registered queries'):
-# equidepth-by-ntile_two_phase and episodes-by-coalesce_intervals_arrow
-# (operators/selection.py, operators/intervals.py) — registering them
-# would put driver hash evidence on the levers themselves, not just
-# pytest equality pins.
+# ROTATION POLICY (r7 verdict task 6 — the arithmetic for r9+): with 259
+# registered queries and a 50-slot window, full staleness rotation takes
+# ceil(259/50) = 6 rounds, so steady-state evidence age is bounded at 6
+# rounds IF every window spends its slots on the globally stalest
+# queries.  Standing rules:
+#   (a) NEWLY registered or REWORKED queries get TWO consecutive windows
+#       (registration/rework round + the next), then join the staleness
+#       rotation — changed code never coasts on one lucky pass;
+#   (b) all remaining slots go to the stalest evidence, oldest driver
+#       round first; ties broken toward modules this round's perf work
+#       touched (their plans changed most recently);
+#   (c) the deferred residue is NAMED here each round so the next window
+#       is decidable without re-deriving the evidence map.
+#
+# ROUND-8 WINDOW (this list): (a) the two NEW lever queries (rule a: they
+# also claim r9 slots); (b) the 12 r2-stale queries named by the r7
+# window comment and verdict task 2 (the r7 judge's independent parity
+# run passed all 12); (c) 36 of the 46 r3-evidence queries, oldest-first
+# rule b.  The 10 r3 queries deferred to ROUND 9 are the pure
+# Catalyst-surface single-shapes whose modules nothing has touched since
+# r3: agg_corr_exact agg_grouping_sets_explicit agg_mode_per_group
+# array_advanced_funcs map_advanced_funcs pivot_wide
+# scalar_subquery_correlated scalar_try_safe string_fuzzy_levenshtein
+# window_value_functions.  Projected r9 window: those 10 + the 2 lever
+# queries (rule a, second window) + 38 r4-evidence refreshes.
 DRIVER_PRIORITY = [
-    # --- residue: the 11 r1-only queries (rows-only sketches + least-touched value-checked)
-    "agg_approx_distinct",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "multimodal_columns",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "unpivot_stack",
-    "join_range_bucket",
-    "join_asof",
-    "agg_skew_salted",
-    "join_skew_salted",
-    # --- reworked this round (r7 PQ fusion; LSH single-Arrow bucket pass) — re-verify
-    "sim_ann_pq",
-    "sim_ann_lsh",
-    # --- refresh: r2-evidence queries, touched-module-first
-    "sim_knn_exact",
-    "dedup_embedding_cosine",
-    "text_quality_gopher",
-    "pipeline_training_manifest",
-    "pipeline_corpus_prepare",
-    "pipeline_course_normalize",
-    "pipeline_user_activity",
-    "contamination_ngram_check",
-    "dedup_apply_canonical",
-    "dedup_normalized_exact",
-    "pack_sequences",
-    "mix_weighted_sources",
-    "sample_stratified_exact",
-    "split_train_val_test",
-    "text_ngram_vocab",
-    "text_pii_redact",
-    "text_tfidf",
-    "text_tokenize_stats",
-    "stream_tumbling_agg",
-    "stream_sliding_agg",
-    "stream_session_window",
-    "stream_session_native",
-    "stream_dedup_upsert",
-    "stream_interval_join",
-    "storage_bucketed_merge",
-    "storage_compact_small_files",
-    "io_schema_evolution",
-    "dim_scd2_history",
-    "agg_incremental_refresh",
-    "table_diff_reconcile",
-    "join_interval_overlap",
-    "json_schema_drift",
-    "timeseries_gapfill",
-    "events_funnel",
-    "tpch_q1_pricing",
-    "tpch_q3_priority",
-    "udf_map_in_pandas",
+    # --- rule (a): registered this round — the global-order scale levers
+    "quantile_bucket_equidepth_2phase",
+    "orders_active_episodes_arrow",
+    # --- rule (b): the 12 r2-stale queries (deferred from the r7 window)
+    "cast_timestamp",
+    "cast_types",
+    "rest_source_scan",
+    "io_multiformat_roundtrip",
+    "io_binary_files",
+    "storage_partitioned_write",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_quality_score",
+    "udf_surface",
+    "udf_grouped_map",
+    "udtf_tokenize",
+    # --- rule (b): 36 of the 46 r3-evidence queries (10 named above defer to r9)
+    "agg_approx_percentile",
+    "agg_cms_term_counts",
+    "agg_histogram_fixed_width",
+    "agg_hll_mergeable",
+    "cdc_apply_changes",
+    "dedup_cluster_cc_star",
+    "dedup_incremental_batch",
+    "dedup_source_priority",
+    "dim_scd2_point_in_time",
+    "embedding_centroid_per_label",
+    "embedding_quantize",
+    "events_retention_cohort",
+    "events_transition_counts",
+    "hybrid_search_rrf",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "join_bloom_prefilter",
+    "mix_temperature_sampling",
+    "multimodal_resize",
+    "sim_ann_ivf",
+    "sim_rerank_mmr",
+    "storage_bucketed_join",
+    "storage_dpp_join",
+    "storage_zorder_cluster",
+    "stream_interval_join_outer",
+    "stream_topk_trending",
+    "text_bm25_rank",
+    "text_chunk_sliding",
+    "text_collocation_pmi",
+    "text_inverted_index",
+    "text_lang_confusion",
+    "timeseries_multi_rollup",
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q5_local_supplier",
+    "window_topk_per_group",
 ]
 
 def load_all() -> dict[str, QuerySpec]:
