@@ -343,7 +343,8 @@ DOCUMENTED_EXCEPTIONS = {
         "tracer: same-session controlled r7 runs swing 2.6-9.2s with "
         "host load (load-avg ~6 from outside this process tree), while "
         "a 30-query polluted-session experiment inflated it only 1.24x "
-        "— read cross-round deltas here against machine state, not "
+        "— read cross-round deltas here against the artifact's "
+        "machine_state_per_pass field (load_avg_1m per pass), not "
         "plan changes"
     ),
     "graph_jaccard_link_prediction": (
@@ -618,6 +619,23 @@ def main() -> None:
 
     floor_s = round(min(floor_once() for _ in range(5)), 4)
 
+    # Machine-state evidence (r7 verdict task 4): the graph/trade cells
+    # measured up to 3x same-day swings that tracked EXTERNAL host load
+    # (load-avg ~6 with no processes of ours), so the artifact records
+    # the 1-minute load average and host uptime before each pass — a
+    # suspicious delta can then be exonerated or indicted from the
+    # artifact itself instead of from a memory note.
+    def machine_state() -> dict:
+        la1, la5, _ = os.getloadavg()
+        try:
+            with open("/proc/uptime") as fh:
+                up = round(float(fh.read().split()[0]))
+        except OSError:
+            up = None
+        return {"load_avg_1m": round(la1, 2), "load_avg_5m": round(la5, 2), "uptime_s": up}
+
+    machine_state_per_pass: list[dict] = []
+
     # Three full interleaved passes, per-query min: consecutive samples of
     # a query land minutes apart, so a transient noise window on this
     # shared VM (observed: multi-second slowdowns covering several
@@ -642,6 +660,7 @@ def main() -> None:
     oracle_s: dict[str, float] = {}
     ratio: dict[str, float | None] = {}
     for _pass in range(3):
+        machine_state_per_pass.append(machine_state())
         for name in HEADLINE:
             if over_budget():
                 break
@@ -708,6 +727,18 @@ def main() -> None:
         n: round(min(floor_s / max(timings[n], 1e-9), 1.0), 2) for n in timings
     }
     sub_floor = sorted(n for n in oracle_s if oracle_s[n] < floor_s)
+    # Floor-ADJACENT (r7 verdict task 3): oracles in [floor, 2*floor) sit
+    # in the scheduling-noise regime — a 0.11s oracle against a 0.9s
+    # Spark run is a ratio of per-job machinery, not plan quality, yet
+    # the old subfloor cut (oracle < floor) left such queries looking
+    # like unexplained >2x residue.  They are NOT excluded from the
+    # ratio aggregates below (only DOCUMENTED_EXCEPTIONS are); the
+    # bucket exists so the artifact's own accounting classifies every
+    # query.  Large ABSOLUTE times can't hide here: the abs-time gate
+    # still flags any query over ABS_TIME_GATE_S regardless of bucket.
+    floor_adjacent = sorted(
+        n for n in oracle_s if floor_s <= oracle_s[n] < 2 * floor_s
+    )
     above = [n for n in oracle_s if n not in set(sub_floor)]
     agg_ratio_excl = (
         round(
@@ -751,6 +782,19 @@ def main() -> None:
         )
         if plan_set
         else None
+    )
+    # Zero-residue accounting (r7 verdict task 3): every oracle-bearing
+    # query must be explained by exactly one story — subfloor,
+    # floor-adjacent, documented exception, or floor-adjusted ratio
+    # under 2x.  Anything left is a REAL unexplained plan gap; the list
+    # ships in both artifacts and the goal state is empty.
+    unexplained_over_2x = sorted(
+        n
+        for n in oracle_s
+        if n not in set(sub_floor)
+        and n not in set(floor_adjacent)
+        and n not in DOCUMENTED_EXCEPTIONS
+        and (floor_adj_ratio(n) or 0.0) >= 2.0
     )
     # --- artifact emission -------------------------------------------------
     # The driver captures only the LAST ~2000 characters of stdout and
@@ -824,8 +868,19 @@ def main() -> None:
         # queries whose oracle beats the floor itself: ratio there is
         # machinery-bound by construction, not plan-bound
         "sub_floor_queries": sub_floor,
+        # oracles in [floor, 2*floor): the scheduling-noise regime (see
+        # the computation comment); still counted in the aggregates
+        "floor_adjacent_queries": floor_adjacent,
+        # oracle-bearing queries with NO story (not subfloor, not
+        # floor-adjacent, not a documented exception, floor-adjusted
+        # ratio >= 2x) — the artifact's own residue; target: empty
+        "unexplained_over_2x_floor_adjusted": unexplained_over_2x,
         "aggregate_ratio_excl_subfloor": agg_ratio_excl,
         "aggregate_ratio_excl_subfloor_and_exceptions": agg_ratio_plan,
+        # 1-min/5-min load average + uptime captured before each pass:
+        # the evidence that exonerates (or indicts) a wall-clock delta
+        # on this shared VM (r7: external load ~6 swung graph cells 3x)
+        "machine_state_per_pass": machine_state_per_pass,
         "sf": sf,
         "n_queries": len(timings),
         "budget_truncated": truncated,
@@ -890,6 +945,9 @@ def main() -> None:
         "aggregate_ratio_excl_subfloor": agg_ratio_excl,
         "aggregate_ratio_excl_subfloor_and_exceptions": agg_ratio_plan,
         "n_subfloor": len(sub_floor),
+        "n_floor_adjacent": len(floor_adjacent),
+        "n_unexplained_over_2x_floor_adj": len(unexplained_over_2x),
+        "load_avg_1m_per_pass": [m["load_avg_1m"] for m in machine_state_per_pass],
         "n_exceptions_healed_below_2x": sum(
             1 for n in DOCUMENTED_EXCEPTIONS if healed_below_2x(n)
         ),
