@@ -149,3 +149,36 @@ def test_null_precondition_raises_in_both_forms(spark):
     clean = df.filter(F.col("s").isNotNull())
     assert coalesce_intervals_agg(clean, "k", "s", "e").count() == 1
     assert coalesce_intervals_arrow(clean, "k", "s", "e").count() == 1
+
+
+def test_session_window_as_interval_coalescing(spark, sf_dir):
+    """Sessions ARE coalesced [ts, ts+gap] intervals (scale_smoke's
+    session_window_arrow lever): equal-length intervals make the running
+    max the previous end, so 'touching or overlapping' == gap <= 30 min —
+    the Arrow interval scan must reproduce stream_session_window
+    row-for-row."""
+    from ub_etl_spark.operators.intervals import coalesce_intervals_arrow
+    from ub_etl_spark.registry import load_all
+    from ub_etl_spark.sources.tables import load_table
+
+    windowed = sorted(
+        (r.user_id, r.session_id, r.n_events, r.session_start, r.session_end)
+        for r in load_all()["stream_session_window"].fn(spark, sf_dir).collect()
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("iv_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("iv_end"),
+    )
+    eps = coalesce_intervals_arrow(e, "user_id", "iv_start", "iv_end")
+    arrow = sorted(
+        (
+            r.user_id,
+            r.episode,
+            r.n_orders,
+            r.episode_start,
+            r.episode_end - __import__("datetime").timedelta(minutes=30),
+        )
+        for r in eps.collect()
+    )
+    assert arrow == windowed

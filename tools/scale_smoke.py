@@ -80,6 +80,30 @@ def amplify(spark, src: str, out: str, k: int) -> None:
         spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
             f"{out}/{t}.parquet"
         )
+    # events (r8, r7 verdict task 5): K time-shifted copies with the SAME
+    # user ids — per-user event counts grow by K, which is exactly the
+    # per-key sequential-scan hazard class the sessionization/gapfill
+    # cells measure (keys amplifying instead would keep per-key
+    # cardinality flat and hide the window-sort growth term).  Each copy
+    # shifts by 31 days: > the 30-minute session gap, so sessions never
+    # merge across copies (session count scales by K), and the per-user
+    # day span grows ~K so the gapfill grid scales by K too.  Must load
+    # through load_table (TIMESTAMP(NANOS) source); the amplified copy
+    # is written as regular micros and reads back through the same path.
+    from ub_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, src, "events")
+    max_ev = ev.agg(F.max("event_id")).first()[0] + 1
+    ev_parts = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(i * max_ev)).withColumn(
+            "ts", F.col("ts") + F.expr(f"INTERVAL {i * 31} DAYS")
+        )
+        for i in range(k)
+    ]
+    big_ev = ev_parts[0]
+    for p in ev_parts[1:]:
+        big_ev = big_ev.unionByName(p)
+    big_ev.write.mode("overwrite").parquet(f"{out}/events.parquet")
 
 
 def queries(spark, d: str):
@@ -151,7 +175,59 @@ def queries(spark, d: str):
         # graph) and only the edge-build scan grows — linear certifies
         # that the iteration machinery is a constant, not a scale term
         "bfs_nation_hops": _bfs_nation(spark, d),
+        # r8 (r7 verdict task 5): the two remaining per-key
+        # sequential-scan shapes beside the interval stitch — fixed-gap
+        # sessionization (lag + cumsum keyed windows) and forward-fill
+        # gapfill (grid explode + left join + last-ignorenulls window).
+        # Per-user event counts grow by K under the events amplification
+        # above, so these cells measure the same window-sort growth term
+        # active_episodes documents; session_window_arrow is the in-tree
+        # lever (sessions ARE coalesced [ts, ts+gap] intervals — see
+        # _session_arrow) measured beside the windowed form.
+        "session_window_keyed": _session_windowed(spark, d),
+        "session_window_arrow": _session_arrow(spark, d),
+        "gapfill_forward_fill": _gapfill(spark, d),
     }
+
+
+def _session_windowed(spark, d: str):
+    from ub_etl_spark.registry import load_all
+
+    return load_all()["stream_session_window"].fn(spark, d)
+
+
+def _session_arrow(spark, d: str):
+    """stream_session_window re-expressed as interval coalescing: each
+    event is the interval [ts, ts + 30 min]; 'overlapping or touching'
+    coalescing merges exactly the pairs with gap <= 30 min (equal-length
+    intervals make the running max the previous end), so episodes ARE
+    sessions — session_start = episode_start, session_end =
+    episode_end - 30 min, n_events = n, session_id = episode.  Zero new
+    operator code: this is coalesce_intervals_arrow (operators/
+    intervals.py) with a projected end column; the cell measures the
+    O(n)-after-sort Arrow scan against the two-window form above."""
+    from ub_etl_spark.operators.intervals import coalesce_intervals_arrow
+    from ub_etl_spark.sources.tables import load_table
+
+    e = load_table(spark, d, "events").select(
+        "user_id",
+        F.col("ts").alias("iv_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("iv_end"),
+    )
+    eps = coalesce_intervals_arrow(e, "user_id", "iv_start", "iv_end")
+    return eps.select(
+        "user_id",
+        F.col("episode").alias("session_id"),
+        F.col("n_orders").alias("n_events"),
+        F.col("episode_start").alias("session_start"),
+        (F.col("episode_end") - F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+    )
+
+
+def _gapfill(spark, d: str):
+    from ub_etl_spark.registry import load_all
+
+    return load_all()["timeseries_gapfill"].fn(spark, d)
 
 
 def _bfs_nation(spark, d: str):
@@ -684,6 +760,25 @@ NOTES = """Notes on the flagged cells:
   tiny-Arrow-batch carry case).  The windowed form stays the
   registered query (it is the reference semantics and fine at bench
   scale).
+- `session_window_keyed` / `session_window_arrow` / `gapfill_forward_fill`
+  (r8, r7 verdict task 5): the two remaining per-key sequential-scan
+  shapes beside the interval stitch, measured under the new events
+  amplification (same user ids, 31-day-shifted copies: per-user event
+  counts grow by K — the hazard class).  Controlled r8 100x
+  measurement (fresh session, min-of-2, host load-avg 4.5-5.8 so read
+  these as upper bounds): windowed sessionization 0.50s -> 9.6s
+  (19.1x), gapfill 0.57s -> 13.6s (24.0x) — both comfortably UNDER K
+  and far under their sort envelopes (the per-user sorts are small:
+  6.7k events/user at 100x), so neither demands the intervals.py
+  rework; the envelope-riding term that bit active_episodes was its
+  100x orders+lineitem interval-build join, which these cells don't
+  have.  The Arrow lever is measured beside them anyway:
+  `session_window_arrow` re-expresses sessions as coalesced
+  [ts, ts+30min] intervals (equal-length intervals make running-max ==
+  previous end, so touching == gap <= 30 min; equality vs the windowed
+  query pinned row-for-row in tests/test_intervals.py) — 0.97s at 1x
+  (Arrow fixed overhead loses below ~1M events) but 6.0s at 100x,
+  1.6x faster absolute, with the gap growing as per-key counts do.
 - Corpus cells whose cost is TEXT-BYTE-bound (`normalized_dedup`,
   `survivorship` — both dominated by the normalize-regex pass) ride
   above K by construction: the per-copy `c{i}_` token prefix inflates
