@@ -417,6 +417,16 @@ DOCUMENTED_EXCEPTIONS = {
         "at scale); the remaining gap is per-stage latency vs DuckDB's "
         "0.17s single-node run"
     ),
+    "orders_active_episodes_arrow": (
+        "the registered SCALE form of orders_active_episodes (r8): same "
+        "join + hash exchange + local sort, then one mapInPandas scan "
+        "instead of two WindowExecs — at sf0.1 the Python-worker "
+        "spin-up and Arrow transfer are fixed costs (~0.3-0.5s) the "
+        "windowed form doesn't pay, so it reads slightly slower here; "
+        "the trade is 22.4s vs 46.6s at 100x (SCALING.md "
+        "active_episodes_arrow 15.3x vs 112x windowed).  Same sub-second "
+        "DuckDB-oracle floor story as the windowed entry above"
+    ),
     "pipeline_training_manifest": (
         "deliberately composes THREE curation stages (gopher gate, "
         "normalized-exact dedup, contamination check) plus mix+split "
@@ -454,6 +464,16 @@ DOCUMENTED_EXCEPTIONS = {
 # are FASTER than their oracle and excluding them would distort the number.
 ABS_TIME_GATE_S = 1.5
 ABS_TIME_NOTES = {
+    "quantile_bucket_equidepth_2phase": (
+        "the registered SCALE form of quantile_bucket_equidepth (r8): "
+        "range-partition sampling + local seq + stats-frame agg + "
+        "broadcast offsets = 3-4 chained jobs whose per-stage floors "
+        "dominate at bench scale (~1.8s warm vs the windowed form's "
+        "0.65s; oracle is sub-floor).  The shape is the POINT: the "
+        "windowed form is Exchange SinglePartition on the fact — the "
+        "trade is 3.15s vs 36.8s at 100x (SCALING.md "
+        "equidepth_ntile_2phase 4.9x vs 111x windowed)"
+    ),
     "agg_winsorized_mean": (
         "two-phase distributed selection (quantile_disc_two_phase: coarse "
         "bucket agg + spine walk + broadcast-targeted fine pass + final "
