@@ -727,9 +727,11 @@ NOTES = """Notes on the flagged cells:
   -> 36.8s (96.6x@100x, the single-partition sort), two-phase 1.58s ->
   3.15s (2.0x@100x, multi-job floors dominating BOTH cells) — 11.7x
   faster in absolute time at 100x.  Equality vs windowed NTILE is
-  pinned row-for-row in tests/test_global_order.py.  The windowed form
-  stays the registered query's shape (reference semantics, fine at
-  bench scale); the cell pair documents when to switch.
+  pinned row-for-row in tests/test_global_order.py.  As of r8 the
+  lever is ALSO a registered, driver-hash-checked query
+  (quantile_bucket_equidepth_2phase, sharing the windowed form's
+  oracle) — the registered scale default, with the windowed form kept
+  as the oracle-shaped reference.
 - `quantile_disc_2phase` is the distributed EXACT answer to the same
   hazard class: discrete p05/p95 by bucketed two-phase selection (no
   global-order window), the operator behind agg_winsorized_mean.
@@ -757,9 +759,10 @@ NOTES = """Notes on the flagged cells:
   46.6s, agg 52.5s, arrow 22.4s at 100x — and arrow is also the
   FASTEST at 1x (0.70s vs 0.78s windowed).  Equality of all three is
   pinned row-for-row in tests/test_intervals.py (including a forced
-  tiny-Arrow-batch carry case).  The windowed form stays the
-  registered query (it is the reference semantics and fine at bench
-  scale).
+  tiny-Arrow-batch carry case).  As of r8 the Arrow form is ALSO a
+  registered, driver-hash-checked query (orders_active_episodes_arrow,
+  sharing the windowed form's oracle) — the registered scale default,
+  with the windowed form kept as the oracle-shaped reference.
 - `session_window_keyed` / `session_window_arrow` / `gapfill_forward_fill`
   (r8, r7 verdict task 5): the two remaining per-key sequential-scan
   shapes beside the interval stitch, measured under the new events

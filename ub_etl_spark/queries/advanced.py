@@ -267,9 +267,9 @@ def quantile_bucket_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quantile_bucket_equidepth_2phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact equi-depth deciles WITHOUT the global-sort collapse — the
-    registered scale default for equi-depth binning (r7 verdict task 1:
-    promote the lever from measured sidecar to driver-hash-checked
-    query).  ntile_two_phase (operators/selection.py) range-partitions
+    registered scale default for equi-depth binning (SURVEY §2 B96;
+    r7 verdict task 1: promote the lever from measured sidecar to
+    driver-hash-checked query).  ntile_two_phase (operators/selection.py) range-partitions
     on (price, orderkey), numbers rows locally, and broadcasts
     per-partition offsets: one full-data range exchange, two local
     sorts, zero Exchange SinglePartition — controlled 100x measurement

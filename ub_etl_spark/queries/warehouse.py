@@ -507,8 +507,8 @@ def orders_active_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_active_episodes_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval coalescing as ONE vectorized Arrow pass — the registered
-    scale default for gaps-and-islands episode stitching (r7 verdict
-    task 1: promote the lever from measured sidecar to
+    scale default for gaps-and-islands episode stitching (SURVEY §2
+    B133; r7 verdict task 1: promote the lever from measured sidecar to
     driver-hash-checked query).  coalesce_intervals_arrow
     (operators/intervals.py) pays exactly the exchange + local sort a
     keyed WindowExec would (hash repartition by custkey,
