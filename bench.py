@@ -427,6 +427,71 @@ DOCUMENTED_EXCEPTIONS = {
         "active_episodes_arrow 15.3x vs 112x windowed).  Same sub-second "
         "DuckDB-oracle floor story as the windowed entry above"
     ),
+    # --- r8 zero-residue accounting (r7 verdict task 3): the queries
+    # below are the floor-adjusted >2x remainder once subfloor and
+    # floor-adjacent oracles are classified.  Shared story, stated per
+    # query: all are SUB-SECOND absolute, stable round-over-round
+    # (delta_vs_prev 0.88-1.34 in the r8 artifact), with oracles at
+    # 0.17-0.35s; floor_adj_ratio subtracts ONE job floor while these
+    # plans run 3-6 chained stages (shuffles/persists each paying
+    # scheduling latency), so the remaining "ratio" is per-stage
+    # machinery, not plan work — the same decomposition the subfloor
+    # bucket makes for cheaper oracles.  Each entry names its stage
+    # count and scale evidence.
+    "agg_weighted_median": (
+        "two-phase exact weighted median: per-group cumulative-weight "
+        "window + threshold pick = 2 keyed sorts + final agg; cost is "
+        "the exact-answer contract (sketch twin agg_approx_percentile "
+        "is sub-0.3s); ~1.0s steady since r6; SCALING "
+        "weighted_median_2phase 11.2x@100x"
+    ),
+    "array_map_funcs": (
+        "collect_list agg builds per-order arrays, then array/map HOF "
+        "chain + re-agg = 2 shuffles around a Python-free HOF "
+        "projection; 0.85s absolute, oracle 0.29s single-node"
+    ),
+    "dim_scd2_history": (
+        "SCD2 build: change-detect window + validity-interval window + "
+        "current-flag projection = 2 keyed sorts over one exchange; "
+        "0.57s absolute"
+    ),
+    "dim_scd2_point_in_time": (
+        "SCD2 history build (the 2-window plan above) PLUS the "
+        "as-of-date range probe join = 4 stages; 0.89s absolute"
+    ),
+    "explode_array_struct": (
+        "nest-then-explode roundtrip proof: collect_list into "
+        "array<struct> then Generate back out = agg shuffle + explode; "
+        "1.0s absolute, oracle 0.35s; the nested-build side is the "
+        "point of the A4 surface row"
+    ),
+    "join_skew_salted": (
+        "DELIBERATE skew machinery on a uniform bench table: salt "
+        "explode + two-phase de-salt agg add an exchange the plain "
+        "join never pays — the oracle runs the unsalted single-node "
+        "form; the plan exists to pin the skew-mitigation shape "
+        "(agg_skew_salted shares the story)"
+    ),
+    "lineitem_otif_rate": (
+        "per-order MAX pre-agg + priority join + ppm rate agg = 3 "
+        "stages; 0.72s absolute; the pre-agg is the 4x fact reduction "
+        "documented in the builder"
+    ),
+    "tpch_q21_waiting_suppliers": (
+        "the heaviest TPC-H shape kept: 4-way join + EXISTS semi + NOT "
+        "EXISTS anti over lineitem x3 = 5-6 stages; 0.97s absolute vs "
+        "DuckDB 0.18s single-node; stages scale-out while the oracle's "
+        "advantage is bench-size constant factors"
+    ),
+    "window_ntile_dist": (
+        "NTILE + cume_dist/percent_rank keyed windows + dist agg = 2 "
+        "keyed sorts; 0.54s absolute, oracle 0.19s"
+    ),
+    "window_running_distinct": (
+        "expanding COUNT DISTINCT rewrite: first-seen ranking window + "
+        "cumulative sum window = 2 keyed exchanges (no native frame "
+        "can express it); 0.58s absolute, oracle 0.18s"
+    ),
     "pipeline_training_manifest": (
         "deliberately composes THREE curation stages (gopher gate, "
         "normalized-exact dedup, contamination check) plus mix+split "
@@ -541,11 +606,15 @@ ABS_TIME_NOTES = {
         "broadcast remap = multiple jobs by construction; the remap "
         "itself is one broadcast hash join, sub-second"
     ),
-    "agg_weighted_median": (
-        "two-phase exact weighted median: per-group cumulative-weight "
-        "window + threshold pick = 2 keyed sorts; cost is the exact-"
-        "answer contract (the sketch twin agg_approx_percentile is "
-        "sub-second); r6 min-of-3 re-measure confirmed ~1.0s steady"
+    "multimodal_phash_dedup": (
+        "mapInPandas aHash + 8-chunk pigeonhole self-join + verify + "
+        "dedup + sort = 5 stages; controlled warm min is 0.9-1.3s and "
+        "the r8 artifact's 1.78s min-of-3 rode passes whose "
+        "machine_state_per_pass shows load 2.1-2.5 (the documented "
+        "external-load class); no code change (r8 vectorized the "
+        "hasher bit-identically; measured neutral at 2k docs, it "
+        "matters at real batch sizes).  SCALING phash_hamming cell is "
+        "linear"
     ),
     "text_bm25_rank": (
         "tf/df build + per-term idf join + per-doc score agg = 3 "

@@ -177,25 +177,43 @@ def phash_media(df: DataFrame, fake: bool = True) -> DataFrame:
     """
 
     def hasher(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             if not fake:
                 raise NotImplementedError(
                     "image codecs not available in this environment; "
                     "use fake=True for the deterministic stand-in"
                 )
-            out = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n = len(payload)
-                px = [payload[(i * n) // 64] for i in range(64)] if n else [0] * 64
-                mean = sum(px) / 64.0
-                h = 0
-                for i, p in enumerate(px):
-                    if p > mean:
-                        h |= 1 << i
-                # interpret as signed 64-bit for the LongType column
-                if h >= 1 << 63:
-                    h -= 1 << 64
-                out.append({"doc_id": doc_id, "phash": h})
-            yield pd.DataFrame(out, columns=["doc_id", "phash"])
+            # One vectorized pass per Arrow batch (r8; was a per-row
+            # Python loop over per-byte indexing): gather each doc's 64
+            # sample bytes via a flat-offset fancy index, threshold
+            # against the float mean, and pack bits — byte-identical to
+            # px_i = payload[(i*n)//64], mean = sum/64.0, bit on p > mean
+            # (uint8 sums are exact in float64; /64 is a power of two).
+            payloads = pdf["payload"].tolist()
+            lens = np.fromiter((len(p) for p in payloads), np.int64, count=len(payloads))
+            if len(lens) == 0 or lens.sum() == 0:
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "phash": np.zeros(len(lens), "int64")}
+                )
+                continue
+            flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            grid = np.arange(64, dtype=np.int64)
+            # empty payloads index position 0 harmlessly; their hash is
+            # forced to 0 below (matches the old n==0 branch: px all 0,
+            # 0 > 0.0 is false)
+            pos = starts[:, None] + (grid[None, :] * lens[:, None]) // 64
+            px = flat[np.minimum(pos, len(flat) - 1)]
+            px[lens == 0] = 0
+            mean = px.sum(axis=1, dtype=np.int64)[:, None] / 64.0
+            h = (
+                ((px > mean).astype(np.uint64) << grid.astype(np.uint64))
+                .sum(axis=1, dtype=np.uint64)
+                .view(np.int64)
+            )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": h})
 
     return df.mapInPandas(hasher, schema="doc_id long, phash long")
