@@ -203,6 +203,16 @@ EXPECT = {
     "agg_linear_regression": ["HashAggregate", "*("],
     "events_attribution_last_touch": ["Window", "HashAggregate", "Exchange hashpartitioning(user_id"],
     "quantile_bucket_equidepth": ["Window", "HashAggregate"],
+    # two-phase NTILE (r8 registered lever): the FACT flows through an
+    # explicit-N range exchange + broadcast offsets join; the only
+    # Exchange SinglePartition in the plan sits on the 32-row stats
+    # spine (__gr_cnt/__gr_base), bounded by construction — so assert
+    # the range exchange + broadcast, not a SinglePartition negation
+    "quantile_bucket_equidepth_2phase": [
+        "Exchange rangepartitioning",
+        "BroadcastHashJoin",
+        "HashAggregate",
+    ],
     "agg_gini_concentration": ["Window", "HashAggregate"],
     # banded theta join: bucket-exploded candidates through an EQUI join —
     # the inequality predicate must never degrade to a nested loop
@@ -271,6 +281,13 @@ EXPECT = {
     "events_stickiness_weekly": ["HashAggregate", "Exchange hashpartitioning(wk"],
     # episodes: both windows + the episode agg share ONE custkey exchange
     "orders_active_episodes": ["Window", "Exchange hashpartitioning(o_custkey"],
+    # Arrow interval stitch (r8 registered lever): one custkey exchange
+    # into the mapInPandas scan, ZERO WindowExec anywhere
+    "orders_active_episodes_arrow": [
+        "MapInPandas",
+        "Exchange hashpartitioning(o_custkey",
+        "!Window",
+    ],
     "text_lexical_diversity": ["Generate", "HashAggregate"],
     "text_zipf_rank_fit": ["TakeOrderedAndProject", "HashAggregate"],
     # delete-where: result is a plain pruned parquet read-back
