@@ -118,3 +118,25 @@ def test_null_order_values_match_windowed(spark):
         for r in ntile_two_phase(df, 3, order, out="b", num_partitions=3).collect()
     }
     assert got_nt == win_nt
+
+
+def test_registered_lever_queries_partition_count_invariant(spark, sf_dir):
+    """The registered scale-lever queries read spark.sql.shuffle.partitions
+    at build time (explicit-N exchanges); their OUTPUT must not depend on
+    it — the reproducibility contract a cluster resize must not break."""
+    from ub_etl_spark.registry import load_all
+
+    reg = load_all()
+    conf = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf)
+    for name in ("quantile_bucket_equidepth_2phase", "orders_active_episodes_arrow"):
+        rows = {}
+        for parts in (prev, "5"):
+            spark.conf.set(conf, parts)
+            try:
+                rows[parts] = sorted(
+                    tuple(r) for r in reg[name].fn(spark, sf_dir).collect()
+                )
+            finally:
+                spark.conf.set(conf, prev)
+        assert rows[prev] == rows["5"], name
