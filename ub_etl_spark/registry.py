@@ -78,71 +78,75 @@ _LOADED = False
 #   (c) the deferred residue is NAMED here each round so the next window
 #       is decidable without re-deriving the evidence map.
 #
-# ROUND-8 WINDOW (this list): (a) the two NEW lever queries (rule a: they
-# also claim r9 slots); (b) the 12 r2-stale queries named by the r7
-# window comment and verdict task 2 (the r7 judge's independent parity
-# run passed all 12); (c) 36 of the 46 r3-evidence queries, oldest-first
-# rule b.  The 10 r3 queries deferred to ROUND 9 are the pure
-# Catalyst-surface single-shapes whose modules nothing has touched since
-# r3: agg_corr_exact agg_grouping_sets_explicit agg_mode_per_group
-# array_advanced_funcs map_advanced_funcs pivot_wide
-# scalar_subquery_correlated scalar_try_safe string_fuzzy_levenshtein
-# window_value_functions.  Projected r9 window: those 10 + the 2 lever
-# queries (rule a, second window) + 38 r4-evidence refreshes.
+# ROUND-10 WINDOW (this list): the round-9 window never rotated (r9 landed
+# zero builder commits), so this executes the rotation two verdicts have
+# named.  (a) no rule-a slots: the two lever queries completed their two
+# consecutive windows at r8+r9 (both hash-green both rounds) and join the
+# staleness rotation; sim_ann_pq's r10 work is re-MEASUREMENT only (no
+# code change), so it claims no rule-a slot.  (b) the 10 r3-evidence
+# Catalyst-surface single-shapes, now four rounds stale and judge-parity
+# pre-verified three times (r8, r9 judge x2: 10/10 each); (c) 40 of the 50
+# r4-evidence queries, oldest-first.  The 10 r4 queries deferred to ROUND
+# 11 (rule c, named residue): the 8 TPC-H multi-join shapes whose plan
+# family was just re-evidenced at r9 via q1/q3/q5/q18/q21 —
+# tpch_q2_min_cost_supplier tpch_q7_volume_shipping tpch_q8_market_share
+# tpch_q9_product_profit tpch_q10_returned_items tpch_q11_important_parts
+# tpch_q12_late_lines tpch_q22_dormant_customers — plus two stable
+# single-aggregate shapes: agg_bitwise_flags stat_crosstab_segments.
+# Projected r11 window: those 10 + 40 oldest-r5 refreshes.
 DRIVER_PRIORITY = [
-    # --- rule (a): registered this round — the global-order scale levers
-    "quantile_bucket_equidepth_2phase",
-    "orders_active_episodes_arrow",
-    # --- rule (b): the 12 r2-stale queries (deferred from the r7 window)
-    "cast_timestamp",
-    "cast_types",
-    "rest_source_scan",
-    "io_multiformat_roundtrip",
-    "io_binary_files",
-    "storage_partitioned_write",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_quality_score",
-    "udf_surface",
-    "udf_grouped_map",
-    "udtf_tokenize",
-    # --- rule (b): 36 of the 46 r3-evidence queries (10 named above defer to r9)
-    "agg_approx_percentile",
-    "agg_cms_term_counts",
-    "agg_histogram_fixed_width",
-    "agg_hll_mergeable",
-    "cdc_apply_changes",
-    "dedup_cluster_cc_star",
-    "dedup_incremental_batch",
-    "dedup_source_priority",
-    "dim_scd2_point_in_time",
-    "embedding_centroid_per_label",
-    "embedding_quantize",
-    "events_retention_cohort",
-    "events_transition_counts",
-    "hybrid_search_rrf",
-    "join_asof_forward",
-    "join_asof_nearest",
-    "join_bloom_prefilter",
-    "mix_temperature_sampling",
-    "multimodal_resize",
-    "sim_ann_ivf",
-    "sim_rerank_mmr",
-    "storage_bucketed_join",
-    "storage_dpp_join",
-    "storage_zorder_cluster",
-    "stream_interval_join_outer",
-    "stream_topk_trending",
-    "text_bm25_rank",
-    "text_chunk_sliding",
-    "text_collocation_pmi",
-    "text_inverted_index",
-    "text_lang_confusion",
-    "timeseries_multi_rollup",
-    "tpch_q18_large_orders",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q5_local_supplier",
-    "window_topk_per_group",
+    # --- rule (b): the 10 r3-evidence Catalyst-surface queries (4 rounds stale)
+    "agg_corr_exact",
+    "agg_grouping_sets_explicit",
+    "agg_mode_per_group",
+    "array_advanced_funcs",
+    "map_advanced_funcs",
+    "pivot_wide",
+    "scalar_subquery_correlated",
+    "scalar_try_safe",
+    "string_fuzzy_levenshtein",
+    "window_value_functions",
+    # --- rule (b): 40 of the 50 r4-evidence queries (10 named above defer to r11)
+    "agg_gini_concentration",
+    "agg_ks_test_bucketed",
+    "agg_linear_regression",
+    "agg_mutual_information",
+    "agg_share_of_parent",
+    "agg_weighted_median",
+    "dq_expectation_checks",
+    "events_ab_test_zscore",
+    "events_active_users_rolling",
+    "events_anomaly_mad",
+    "events_burst_detection",
+    "events_funnel_rates",
+    "events_path_topk",
+    "events_sequence_match",
+    "events_stickiness_weekly",
+    "events_user_entropy",
+    "feature_decay_rolling",
+    "feature_onehot_encode",
+    "feature_scale_standard",
+    "graph_pagerank_trade",
+    "hierarchy_flatten_paths",
+    "join_theta_band",
+    "lineitem_yoy_growth",
+    "market_basket_pairs",
+    "orders_abc_classification",
+    "orders_active_episodes",
+    "orders_interpurchase_gaps",
+    "orders_open_backlog_daily",
+    "orders_rfm_segmentation",
+    "pipeline_corpus_health",
+    "pipeline_customer_features",
+    "privacy_k_anonymity",
+    "profile_table_stats",
+    "quantile_bucket_equidepth",
+    "sample_reservoir_hash",
+    "stream_late_data_accounting",
+    "text_containment_dedup",
+    "timeseries_seasonal_decompose",
+    "udaf_grouped_agg",
+    "window_running_distinct",
 ]
 
 def load_all() -> dict[str, QuerySpec]:
