@@ -290,3 +290,20 @@ def test_simhash_arrow_pack_matches_bit_sum_reference(spark, sf_dir):
     ref = {r.doc_id: r.sh for r in sums.select("doc_id", ref_expr.alias("sh")).collect()}
     got = {r.doc_id: r.sh for r in simhash64(docs, "doc_id", "text").collect()}
     assert got == ref
+
+
+def test_simhash_pack_empty_batch_guard(spark):
+    """r8 ADVICE: an empty Arrow batch must early-return an empty int64
+    series instead of raising from np.concatenate([]) — pinned by calling
+    the wrapped function directly (Arrow rarely delivers empty batches end
+    to end, so the guard needs its own probe), plus the e2e empty-frame
+    path."""
+    import pandas as pd
+
+    from ub_etl_spark.operators.dedup import _simhash_pack, simhash64
+
+    pack = _simhash_pack().func
+    out = pack(pd.Series([], dtype=object))
+    assert len(out) == 0 and str(out.dtype) == "int64"
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert simhash64(empty, "doc_id", "text").count() == 0

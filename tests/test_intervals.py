@@ -151,6 +151,74 @@ def test_null_precondition_raises_in_both_forms(spark):
     assert coalesce_intervals_arrow(clean, "k", "s", "e").count() == 1
 
 
+def test_session_gap_boundary_synthetic(spark):
+    """r8 ADVICE: pin the 30-minute session-gap boundary with a synthetic
+    frame instead of relying on the fixture corpus containing exact
+    30-minute ties.  An EXACT 30-minute gap merges (touching intervals;
+    the lag form's ``gap <= INTERVAL 30 MINUTES``); 30min+1s splits."""
+    from datetime import timedelta
+
+    from pyspark.sql import Window as W
+
+    from ub_etl_spark.operators.intervals import (
+        coalesce_intervals_agg,
+        coalesce_intervals_arrow,
+    )
+
+    ts = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    gap = timedelta(minutes=30)
+    df = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 00:00:00")),
+            (1, ts("2024-01-01 00:30:00")),  # exactly 30 min -> same session
+            (2, ts("2024-01-01 00:00:00")),
+            (2, ts("2024-01-01 00:30:01")),  # 30 min + 1 s -> new session
+        ],
+        "k bigint, ts timestamp",
+    )
+    iv = df.select(
+        "k",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    want = [
+        (1, 1, ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00"), 2),
+        (2, 1, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:30:00"), 1),
+        (2, 2, ts("2024-01-01 00:30:01"), ts("2024-01-01 01:00:01"), 1),
+    ]
+    for form in (coalesce_intervals_agg, coalesce_intervals_arrow):
+        assert _rows(form(iv, "k", "s", "e")) == want, form.__name__
+    # ... and the lag-based sessionization (stream_session_window's exact
+    # shape) agrees at both boundaries: session_end == episode_end - gap.
+    w = W.partitionBy("k").orderBy("ts")
+    lag_gap = F.col("ts") - F.lag("ts").over(w)
+    sess = (
+        df.select(
+            "k",
+            "ts",
+            F.when(lag_gap <= F.expr("INTERVAL 30 MINUTES"), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("is_new"),
+        )
+        .select(
+            "k",
+            "ts",
+            F.sum("is_new")
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias("sid"),
+        )
+        .groupBy("k", "sid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("s0"),
+            F.max("ts").alias("e0"),
+        )
+    )
+    got_sessions = sorted((r.k, r.sid, r.s0, r.e0, r.n) for r in sess.collect())
+    want_sessions = [(k, ep, s0, e0 - gap, n) for (k, ep, s0, e0, n) in want]
+    assert got_sessions == want_sessions
+
+
 def test_session_window_as_interval_coalescing(spark, sf_dir):
     """Sessions ARE coalesced [ts, ts+gap] intervals (scale_smoke's
     session_window_arrow lever): equal-length intervals make the running

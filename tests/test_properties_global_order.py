@@ -129,9 +129,14 @@ def test_registered_lever_queries_partition_count_invariant(spark, sf_dir):
     reg = load_all()
     conf = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(conf)
+    # r8 ADVICE: pick the alternate count dynamically so the comparison can
+    # never silently degenerate into same-config-vs-itself if the session
+    # default is ever changed to 5.
+    alt = "5" if prev != "5" else "7"
+    assert prev != alt
     for name in ("quantile_bucket_equidepth_2phase", "orders_active_episodes_arrow"):
         rows = {}
-        for parts in (prev, "5"):
+        for parts in (prev, alt):
             spark.conf.set(conf, parts)
             try:
                 rows[parts] = sorted(
@@ -139,4 +144,4 @@ def test_registered_lever_queries_partition_count_invariant(spark, sf_dir):
                 )
             finally:
                 spark.conf.set(conf, prev)
-        assert rows[prev] == rows["5"], name
+        assert rows[prev] == rows[alt], name
