@@ -507,6 +507,32 @@ DOCUMENTED_EXCEPTIONS = {
         "touches only the nightly delta; the from-scratch rebuild "
         "re-reads 3 years of history"
     ),
+    # --- r10 (r9 verdict task 2): the two queries the floor-adjacent
+    # loophole had been hiding, now classified honestly under the
+    # tightened rule (floor-adjacent no longer exempts; only the query's
+    # OWN floor-adjusted ratio < 2 or an entry here does) ---------------
+    "text_tfidf": (
+        "3-scan/3-stage pipeline on a 580KB corpus: tokenize-explode + "
+        "tf hash agg (exchange 1), df branch (Catalyst prunes it to a "
+        "two-phase distinct: exchange 2), term join (AQE broadcasts the "
+        "vocab side at bench scale) + broadcast n_docs count job — vs "
+        "one single-node DuckDB pass (0.166s).  r10 quiet-box warm "
+        "min-of-3: 0.74s.  Measured non-changes: df-via-window-over-term "
+        "0.85s (the full sort by term costs more than the exchange it "
+        "saves), explicit broadcast(df) neutral (AQE already picks BHJ), "
+        "tf persist 1.1-1.4x SLOWER (r6, docstring).  Per-stage "
+        "scheduling latency is the residue; the plan is linear in corpus "
+        "bytes and the join never exceeds vocab size"
+    ),
+    "window_analytic": (
+        "canonical minimal plan: ONE exchange by o_custkey + one sort + "
+        "ONE WindowExec computing all three functions (shared window "
+        "spec), then materializing the full 150k-row table through the "
+        "noop sink; nothing to shave.  r10 quiet-box warm min-of-3: "
+        "0.42s vs oracle 0.146s — the floor-adjusted ratio (~2.4) is "
+        "row-materialization + scheduling machinery on a full-table "
+        "window, the same constant-factor regime as the r8 entries above"
+    ),
     "contamination_ngram_check": (
         "explode -> dropDuplicates -> broadcast join -> per-doc agg on "
         "580KB of documents: two sub-second shuffles whose scheduling "
@@ -527,7 +553,25 @@ DOCUMENTED_EXCEPTIONS = {
 # list is empty.  ABS_TIME_NOTES does NOT exclude a query from the
 # plan-quality aggregate (unlike DOCUMENTED_EXCEPTIONS) — several of these
 # are FASTER than their oracle and excluding them would distort the number.
+# Second role (r10): for floor-ADJACENT-oracle queries above the in-band
+# machinery cap, an entry here is the individual story that keeps them out
+# of unexplained_over_2x_floor_adjusted — absolute-cost documentation is
+# the right genre for that class, since their sub-0.2s oracles make the
+# ratio a machinery artifact by construction.
 ABS_TIME_GATE_S = 1.5
+# Stage-machinery band for floor-ADJACENT-oracle queries (see the
+# unexplained_over_2x comment): a query whose oracle sits in
+# [floor, 2*floor) is explained when its own absolute time is within
+# this many job-floors, and must otherwise carry an individual story.
+# Calibration: the audited registered plans chain <= ~6 stages, and the
+# r8/r9 sidecars put every audited minimal shape (join_inner_equi,
+# tpch_q1_pricing, cdc_apply_changes, join_asof_tolerance, ...) in the
+# 5-9.5-floor range with min-of-3 noise of +-1-2 floors; 14 floors
+# (~1.0s at this box's ~0.07s floor) sits above that cluster with
+# run-to-run margin while staying well below the 1.5s abs-time gate —
+# the r8 ADVICE's exploit scenario (a 1.4s in-band query escaping both
+# lists) lands in the residue under it.
+IN_BAND_MACHINERY_FLOORS = 14
 ABS_TIME_NOTES = {
     "quantile_bucket_equidepth_2phase": (
         "the registered SCALE form of quantile_bucket_equidepth (r8): "
@@ -643,7 +687,62 @@ ABS_TIME_NOTES = {
         "re-rank join to broadcast-the-shortlist (the 100TB direction): "
         "warm min-of-3 ~1.2-1.5s vs the 3.25s r6 driver sample; "
         "codebook training is cached across passes by design "
-        "(train-once / probe-many, queries/similarity.py _PQ_CACHE)"
+        "(train-once / probe-many, queries/similarity.py _PQ_CACHE).  "
+        "r10 quiet-box re-measurement (r9 verdict task 3): warm "
+        "min-of-3 1.15s (samples 9.0 first-pass training+codegen, then "
+        "1.29/1.15/1.22 at load-avg ~1.7-2.2) — the r9 driver's 3.09s "
+        "sample rode passes whose machine_state_per_pass showed "
+        "load-avg 1.9-2.8, the documented external-load class; the "
+        "1.2-1.5s envelope stands, no rework needed"
+    ),
+    # --- r10: the recurring heavy floor-adjacent queries (oracles 0.08-
+    # 0.17s, own times near or above the in-band machinery cap across the
+    # r8/r9 sidecars) — individual stories so the zero-residue accounting
+    # never depends on which side of the cap a noisy pass lands ---------
+    "text_collocation_pmi": (
+        "three aggregations over one tokenized scan (bigram counts via "
+        "map-side slide, unigram counts, scalar totals) + two word joins "
+        "(AQE broadcasts the vocab side) + min-support top-100 on a "
+        "580KB corpus: 4-5 chained stages whose scheduling latency "
+        "dominates against a ~0.08s single-node pass; 0.79s (r8 quiet "
+        "sidecar).  Linear in corpus bytes; vocab joins stay "
+        "broadcast-bounded while the vocabulary fits, co-keyed beyond"
+    ),
+    "text_keyphrase_topk": (
+        "text_tfidf's exact expression tree (tokenize + tf agg + pruned "
+        "two-phase distinct df + term join) PLUS a per-doc "
+        "WindowGroupLimit top-3 — one more keyed stage on top of the "
+        "sanctioned tf-idf shape (see text_tfidf's entry); 0.85-1.03s "
+        "across the r8/r9 sidecars vs a 0.12-0.13s oracle.  State is "
+        "bounded by per-doc vocabulary; the rank exchange reuses the tf "
+        "keying"
+    ),
+    "nation_trade_balance": (
+        "fused one-fact-pass shape: 4-way dim join + two-sided explode "
+        "feeds exporter+importer marginals from ONE lineitem scan "
+        "(docstring: 14 -> 10 scans), then constant-size |nations|^2 "
+        "matrix math; 0.81-0.94s vs a ~0.1s MATERIALIZED-CTE oracle.  "
+        "The fact join + first agg absorb the volume: SCALING.md "
+        "trade_balance ~10x@100x controlled — the absolute bench cost "
+        "is stage machinery on 580KB, not a growth term"
+    ),
+    "hybrid_search_rrf": (
+        "two candidate pipelines (term-keyed inverted-index lexical "
+        "join; bounded-|Q| dense cosine scoring) + left-join fusion + "
+        "two ranking windows + RRF top-k = 5-6 chained stages vs a "
+        "0.14-0.15s single-node pass; 0.78-0.89s across the r8/r9 "
+        "sidecars.  Never all-pairs on the lexical side; the dense side "
+        "is |Q|-bounded by construction (module docstring)"
+    ),
+    "embedding_quantize": (
+        "one Arrow pandas_udf pass (l2_normalize_quantize: per-vector "
+        "norm + int8 scale) + posexplode to the per-dimension contract "
+        "rows (2000 vecs x 64 dims -> 128k rows): the Python-worker "
+        "spin-up and Arrow round-trip are the fixed cost (same class as "
+        "the sanctioned udf_* surface proofs), the explode is the "
+        "output contract; 0.88-1.10s vs a 0.14-0.17s oracle.  Scales "
+        "with vector count; the UDF is the vectorized-batch fast path, "
+        "not a per-row fallback"
     ),
     "dedup_minhash_lsh": (
         "rows-only (no oracle): shingle -> 64-perm minhash signature -> "
@@ -873,17 +972,43 @@ def main() -> None:
         else None
     )
     # Zero-residue accounting (r7 verdict task 3): every oracle-bearing
-    # query must be explained by exactly one story — subfloor,
-    # floor-adjacent, documented exception, or floor-adjusted ratio
-    # under 2x.  Anything left is a REAL unexplained plan gap; the list
-    # ships in both artifacts and the goal state is empty.
+    # query must be explained by exactly one story — subfloor, documented
+    # exception, floor-adjusted ratio under 2x, or (for floor-adjacent
+    # oracles only) the query's own absolute time sitting in the
+    # stage-machinery band or carrying an ABS_TIME_NOTES story.  Anything
+    # left is a REAL unexplained plan gap; the list ships in both
+    # artifacts and the goal state is empty.
+    #
+    # r10 rule change (r8 ADVICE / r9 verdict task 2): the r8 rule
+    # exempted any query whose ORACLE landed in [floor, 2*floor)
+    # regardless of the query's own numbers — so when the measured floor
+    # rose between rounds, queries with unchanged 2.7-4.8x floor-adjusted
+    # ratios silently dropped out of this list with zero code changed.
+    # Closing it with ONLY the own-ratio<2 test would be over-broad the
+    # other way: floor_adj_ratio subtracts ONE job floor while every
+    # multi-stage plan pays per-STAGE scheduling latency, so against a
+    # ~0.1s oracle even a canonical 2-stage join (join_inner_equi, 0.56s
+    # in the r8 sidecar, 3.6x "floor-adjusted") reads as residue — 37 of
+    # the r8 sidecar's queries would have needed boilerplate exception
+    # entries, removing them from the plan-quality aggregate and diluting
+    # what DOCUMENTED_EXCEPTIONS means.  So the in-band exemption follows
+    # the r8 ADVICE's "(or timings[n] below some floor multiple)" branch:
+    # a floor-adjacent query is explained by its OWN absolute time being
+    # within IN_BAND_MACHINERY_FLOORS job-floors (calibration at the
+    # constant's definition) or by an explicit
+    # ABS_TIME_NOTES/DOCUMENTED_EXCEPTIONS story.  No query escapes on
+    # its oracle's band position alone, which was the hole.
+    in_band_cap_s = IN_BAND_MACHINERY_FLOORS * floor_s
     unexplained_over_2x = sorted(
         n
         for n in oracle_s
         if n not in set(sub_floor)
-        and n not in set(floor_adjacent)
         and n not in DOCUMENTED_EXCEPTIONS
         and (floor_adj_ratio(n) or 0.0) >= 2.0
+        and not (
+            n in set(floor_adjacent)
+            and (timings[n] <= in_band_cap_s or n in ABS_TIME_NOTES)
+        )
     )
     # --- artifact emission -------------------------------------------------
     # The driver captures only the LAST ~2000 characters of stdout and
@@ -960,9 +1085,15 @@ def main() -> None:
         # oracles in [floor, 2*floor): the scheduling-noise regime (see
         # the computation comment); still counted in the aggregates
         "floor_adjacent_queries": floor_adjacent,
-        # oracle-bearing queries with NO story (not subfloor, not
-        # floor-adjacent, not a documented exception, floor-adjusted
-        # ratio >= 2x) — the artifact's own residue; target: empty
+        # the r10 in-band machinery cap actually applied this run
+        # (IN_BAND_MACHINERY_FLOORS * measured floor), so the residue
+        # rule is auditable from the artifact alone
+        "in_band_machinery_cap_s": round(in_band_cap_s, 4),
+        # oracle-bearing queries with NO story (not subfloor, not a
+        # documented exception, floor-adjusted ratio >= 2x, and — for
+        # floor-adjacent oracles — neither inside the machinery cap nor
+        # carrying an ABS_TIME_NOTES story) — the artifact's own
+        # residue; target: empty
         "unexplained_over_2x_floor_adjusted": unexplained_over_2x,
         "aggregate_ratio_excl_subfloor": agg_ratio_excl,
         "aggregate_ratio_excl_subfloor_and_exceptions": agg_ratio_plan,

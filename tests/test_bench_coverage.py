@@ -72,3 +72,44 @@ def test_abs_time_gate_against_committed_sidecar():
     assert not undocumented, (
         f"queries over {mod.ABS_TIME_GATE_S}s without a cost note: {undocumented}"
     )
+
+
+def test_zero_residue_against_committed_sidecar():
+    """r9 verdict task 2: the zero-residue accounting, recomputed from
+    bench.py's CURRENT constants against the committed sidecar — so a rule
+    tweak or a note removal that reopens residue fails here without waiting
+    for the next full bench run.  Replicates bench.py's
+    unexplained_over_2x_floor_adjusted rule exactly: a query is explained
+    by subfloor oracle, a documented exception, own floor-adjusted ratio
+    < 2, or (floor-adjacent oracle only) own time within the in-band
+    machinery cap or an ABS_TIME_NOTES story."""
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    detail_path = os.path.join(os.path.dirname(__file__), "..", "bench_detail.json")
+    with open(detail_path) as fh:
+        detail = json.load(fh)
+    if detail.get("sf") != 0.1:  # only the full-scale sidecar is meaningful
+        return
+    timings = detail["queries"]
+    oracle = detail["oracle_queries"]
+    floor_s = detail["spark_job_floor_s"]
+    cap = mod.IN_BAND_MACHINERY_FLOORS * floor_s
+    residue = sorted(
+        n
+        for n, o in oracle.items()
+        if n in timings
+        and o >= floor_s
+        and n not in mod.DOCUMENTED_EXCEPTIONS
+        and max(timings[n] - floor_s, 0.0) / max(o, 1e-9) >= 2.0
+        and not (
+            o < 2 * floor_s and (timings[n] <= cap or n in mod.ABS_TIME_NOTES)
+        )
+    )
+    assert not residue, (
+        f"unexplained >2x floor-adjusted residue vs committed sidecar: {residue}"
+    )

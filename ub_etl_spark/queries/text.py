@@ -83,6 +83,14 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computation measured 1.1-1.4x SLOWER at bench scale (tf is the
     # largest frame in the query — recomputing the pruned branch beats
     # caching it; same finding as text_containment_dedup's gram frame).
+    # r10 measured non-changes: deriving df as COUNT(*) OVER (PARTITION
+    # BY term) on tf is 0.85s vs 0.74s — the full sort by term costs
+    # more than the df-agg exchange it removes (and is the worse shape
+    # under term skew at scale: a stopword's rows land on one task,
+    # where the agg form partial-aggregates map-side); explicit
+    # F.broadcast(df) measured neutral — AQE already converts the term
+    # join to BHJ at bench scale.  The registered 3-stage plan stands;
+    # its bench ratio is sanctioned in bench.py DOCUMENTED_EXCEPTIONS.
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
