@@ -64,6 +64,18 @@ _LOADED = False
 # family or a scale lever, never a near-duplicate plan shape, because
 # every added query dilutes the 50-slot evidence window.
 #
+# REGISTRY DECISION (r10, per the r8 verdict task 5 ask): HOLD at 259.
+# The one measured registration candidate is session_window_arrow
+# (coalesce_intervals_arrow over [ts, ts+30min] event intervals — 6.2x
+# @100x vs session_window_keyed's 19.1x in SCALING.md, equality with
+# stream_session_window pinned row-for-row in tests/test_intervals.py).
+# It is NOT registered this round because the r10 window has zero slack:
+# all 50 slots go to the staleness backlog (10 r3 + 40 r4 below), and a
+# rule-(a) registration would claim two of them for a plan shape whose
+# scale behavior is already certified by its SCALING cell and pinned
+# equality test.  Revisit when the oldest-evidence age drops back under
+# 3 rounds and a window has free slots.
+#
 # ROTATION POLICY (r7 verdict task 6 — the arithmetic for r9+): with 259
 # registered queries and a 50-slot window, full staleness rotation takes
 # ceil(259/50) = 6 rounds, so steady-state evidence age is bounded at 6
