@@ -81,8 +81,9 @@ def test_zero_residue_against_committed_sidecar():
     for the next full bench run.  Replicates bench.py's
     unexplained_over_2x_floor_adjusted rule exactly: a query is explained
     by subfloor oracle, a documented exception, own floor-adjusted ratio
-    < 2, or (floor-adjacent oracle only) own time within the in-band
-    machinery cap or an ABS_TIME_NOTES story."""
+    < 2, or (small-oracle regime only: oracle under SMALL_ORACLE_FLOORS
+    job-floors) own time within the machinery cap or an ABS_TIME_NOTES
+    story."""
     import json
 
     spec = importlib.util.spec_from_file_location(
@@ -98,7 +99,8 @@ def test_zero_residue_against_committed_sidecar():
     timings = detail["queries"]
     oracle = detail["oracle_queries"]
     floor_s = detail["spark_job_floor_s"]
-    cap = mod.IN_BAND_MACHINERY_FLOORS * floor_s
+    cutoff = mod.SMALL_ORACLE_FLOORS * floor_s
+    cap = max(mod.MACHINERY_CAP_FLOORS * floor_s, mod.MACHINERY_CAP_MIN_S)
     residue = sorted(
         n
         for n, o in oracle.items()
@@ -107,7 +109,7 @@ def test_zero_residue_against_committed_sidecar():
         and n not in mod.DOCUMENTED_EXCEPTIONS
         and max(timings[n] - floor_s, 0.0) / max(o, 1e-9) >= 2.0
         and not (
-            o < 2 * floor_s and (timings[n] <= cap or n in mod.ABS_TIME_NOTES)
+            o < cutoff and (timings[n] <= cap or n in mod.ABS_TIME_NOTES)
         )
     )
     assert not residue, (
