@@ -631,6 +631,16 @@ def corpus_queries(spark, d: str):
         )
         .groupBy("label", "pos")
         .agg(_cavg(F.col("val").cast("double"), "c", scale=6)),
+        # r10: the newly note-documented text/search shapes, measured so
+        # their "linear in corpus bytes / never all-pairs" claims carry
+        # numbers.  tfidf_score = tokenize + tf agg + pruned two-phase
+        # distinct df + term join; keyphrase adds a per-doc
+        # WindowGroupLimit; hybrid_rrf holds |Q|=3 fixed (the
+        # knn_exact_10q convention) so the ratio tracks the corpus-sized
+        # terms only (lexical inverted-index probe + dense scoring)
+        "tfidf_score": _registered(spark, d, "text_tfidf"),
+        "keyphrase_topk": _registered(spark, d, "text_keyphrase_topk"),
+        "hybrid_rrf_3q": _registered(spark, d, "hybrid_search_rrf"),
     }
 
 
@@ -800,16 +810,27 @@ NOTES = """Notes on the flagged cells:
   task 4): the last two per-key-growth window shapes under the events
   amplification (per-user rows grow by K).  The expanding-distinct
   rewrite (first-seen ranking window on (user, type) + cumulative sum
-  on user — the two keyed exchanges no native frame can avoid) runs
-  0.47s -> 8.5s (18.0x@100x); the RANGE-frame trailing count (value
-  frame over epoch seconds + per-user max agg sharing the exchange)
-  runs 0.22s -> 7.9s (36.5x@100x).  Both sit far under K and far under
-  the per-key sort envelope (~K*ln(Kn)/ln(n) ~ 139x at this volume) —
-  the same conclusion as the sessionization/gapfill cells: per-user
-  sorts stay small (6.7k events/user at 100x), the RANGE frame's
-  sliding lower bound is O(n) after the sort, and neither shape
-  demands an Arrow rework.  burst's higher ratio is its tiny 1x base
-  (0.22s, mostly floor), not a super-linear term.
+  on user — the two keyed exchanges no native frame can avoid) measured
+  18.0x and 26.7x@100x across two r10 runs; the RANGE-frame trailing
+  count (value frame over epoch seconds + per-user max agg sharing the
+  exchange) 36.5x and 46.5x.  Both sit far under K and far under the
+  per-key sort envelope (~K*ln(Kn)/ln(n) ~ 139x at this volume) — the
+  same conclusion as the sessionization/gapfill cells: per-user sorts
+  stay small (6.7k events/user at 100x), the RANGE frame's sliding
+  lower bound is O(n) after the sort, and neither shape demands an
+  Arrow rework.  burst's higher ratio is its tiny 1x base (~0.2s,
+  mostly floor), not a super-linear term.
+- `tfidf_score` / `keyphrase_topk` / `hybrid_rrf_3q` (r10): the text /
+  search shapes whose bench ratios are sanctioned by
+  DOCUMENTED_EXCEPTIONS / ABS_TIME_NOTES stories claiming corpus
+  linearity — measured so the claims carry numbers.  Against the
+  ~15.5x byte-linear mark (10 copies x 1.55x salt-token inflation):
+  tf-idf 4.1x@10x (tokenize + tf agg + pruned two-phase distinct df +
+  term join), keyphrase 5.1x (same tree + per-doc WindowGroupLimit),
+  hybrid RRF 2.4x with |Q|=3 held fixed (lexical inverted-index probe
+  + dense scoring both corpus-sized, fusion |Q|-bounded).  All
+  sub-byte-linear: fixed per-stage overhead still dominates at this
+  volume, and no term grows faster than corpus bytes.
   `survivorship` — both dominated by the normalize-regex pass) ride
   above K by construction: the per-copy `c{i}_` token prefix inflates
   text bytes ~1.55x (measured on sf0.1), so K=10 copies carry ~15.5x
