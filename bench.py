@@ -800,6 +800,35 @@ ABS_TIME_NOTES = {
 }
 
 
+def machinery_bounds(floor_s: float) -> tuple[float, float]:
+    """(small-oracle cutoff, machinery cap) for a measured job floor —
+    the two boundaries of the r10 residue rule, in one place."""
+    return (
+        SMALL_ORACLE_FLOORS * floor_s,
+        max(MACHINERY_CAP_FLOORS * floor_s, MACHINERY_CAP_MIN_S),
+    )
+
+
+def residue_unexplained(
+    timings: dict, oracle_s: dict, floor_s: float
+) -> list[str]:
+    """The zero-residue rule as a pure function: the sorted list of
+    oracle-bearing queries with NO story (see the call site comment for
+    the rationale).  Shared by main() and the pytest gate
+    (tests/test_bench_coverage.py::test_zero_residue_against_committed_sidecar)
+    so the enforced rule can never drift from the emitted one."""
+    cutoff, cap = machinery_bounds(floor_s)
+    return sorted(
+        n
+        for n, o in oracle_s.items()
+        if n in timings
+        and o >= floor_s
+        and n not in DOCUMENTED_EXCEPTIONS
+        and max(timings[n] - floor_s, 0.0) / max(o, 1e-9) >= 2.0
+        and not (o < cutoff and (timings[n] <= cap or n in ABS_TIME_NOTES))
+    )
+
+
 def run_once(spark, spec, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = spec.fn(spark, sf_dir)
@@ -1044,19 +1073,8 @@ def main() -> None:
     # job-floors or by an explicit ABS_TIME_NOTES/DOCUMENTED_EXCEPTIONS
     # story.  No query escapes on its oracle's position alone, which was
     # the hole — the escape always reads the query's own time.
-    small_oracle_cutoff_s = SMALL_ORACLE_FLOORS * floor_s
-    machinery_cap_s = max(MACHINERY_CAP_FLOORS * floor_s, MACHINERY_CAP_MIN_S)
-    unexplained_over_2x = sorted(
-        n
-        for n in oracle_s
-        if n not in set(sub_floor)
-        and n not in DOCUMENTED_EXCEPTIONS
-        and (floor_adj_ratio(n) or 0.0) >= 2.0
-        and not (
-            oracle_s[n] < small_oracle_cutoff_s
-            and (timings[n] <= machinery_cap_s or n in ABS_TIME_NOTES)
-        )
-    )
+    small_oracle_cutoff_s, machinery_cap_s = machinery_bounds(floor_s)
+    unexplained_over_2x = residue_unexplained(timings, oracle_s, floor_s)
     # Transparency list: the small-oracle queries whose ONLY story is the
     # machinery cap (own ratio >= 2, no note, no exception) — ships in
     # the artifact with each query's time so the cap's reach is auditable

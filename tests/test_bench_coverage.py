@@ -78,12 +78,12 @@ def test_zero_residue_against_committed_sidecar():
     """r9 verdict task 2: the zero-residue accounting, recomputed from
     bench.py's CURRENT constants against the committed sidecar — so a rule
     tweak or a note removal that reopens residue fails here without waiting
-    for the next full bench run.  Replicates bench.py's
-    unexplained_over_2x_floor_adjusted rule exactly: a query is explained
-    by subfloor oracle, a documented exception, own floor-adjusted ratio
-    < 2, or (small-oracle regime only: oracle under SMALL_ORACLE_FLOORS
-    job-floors) own time within the machinery cap or an ABS_TIME_NOTES
-    story."""
+    for the next full bench run.  Calls the SAME residue_unexplained
+    function bench.py's artifact emission uses (a query is explained by
+    subfloor oracle, a documented exception, own floor-adjusted ratio < 2,
+    or — small-oracle regime only: oracle under SMALL_ORACLE_FLOORS
+    job-floors — own time within the machinery cap or an ABS_TIME_NOTES
+    story), so the enforced rule cannot drift from the emitted one."""
     import json
 
     spec = importlib.util.spec_from_file_location(
@@ -96,21 +96,8 @@ def test_zero_residue_against_committed_sidecar():
         detail = json.load(fh)
     if detail.get("sf") != 0.1:  # only the full-scale sidecar is meaningful
         return
-    timings = detail["queries"]
-    oracle = detail["oracle_queries"]
-    floor_s = detail["spark_job_floor_s"]
-    cutoff = mod.SMALL_ORACLE_FLOORS * floor_s
-    cap = max(mod.MACHINERY_CAP_FLOORS * floor_s, mod.MACHINERY_CAP_MIN_S)
-    residue = sorted(
-        n
-        for n, o in oracle.items()
-        if n in timings
-        and o >= floor_s
-        and n not in mod.DOCUMENTED_EXCEPTIONS
-        and max(timings[n] - floor_s, 0.0) / max(o, 1e-9) >= 2.0
-        and not (
-            o < cutoff and (timings[n] <= cap or n in mod.ABS_TIME_NOTES)
-        )
+    residue = mod.residue_unexplained(
+        detail["queries"], detail["oracle_queries"], detail["spark_job_floor_s"]
     )
     assert not residue, (
         f"unexplained >2x floor-adjusted residue vs committed sidecar: {residue}"
