@@ -102,3 +102,46 @@ def test_zero_residue_against_committed_sidecar():
     assert not residue, (
         f"unexplained >2x floor-adjusted residue vs committed sidecar: {residue}"
     )
+
+
+def test_residue_rule_paths_synthetic():
+    """Pin every escape path of residue_unexplained on synthetic inputs —
+    the committed-sidecar gate only exercises whichever paths the current
+    measurement happens to contain.  Covers: subfloor oracle, own
+    floor-adjusted ratio < 2, small-oracle within the machinery cap
+    (including the MACHINERY_CAP_MIN_S flooring when the sampled floor is
+    low), small-oracle over the cap with an ABS_TIME_NOTES story, a
+    documented exception, and the two true-residue shapes (small-oracle
+    over cap without a story; big-oracle ratio >= 2)."""
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    noted = next(iter(set(mod.ABS_TIME_NOTES) - set(mod.DOCUMENTED_EXCEPTIONS)))
+    excepted = next(iter(set(mod.DOCUMENTED_EXCEPTIONS) - set(mod.ABS_TIME_NOTES)))
+    floor = 0.05  # 14 * 0.05 = 0.7 < MACHINERY_CAP_MIN_S -> cap floors at 1.0
+    cutoff, cap = mod.machinery_bounds(floor)
+    assert cutoff == 0.2 and cap == mod.MACHINERY_CAP_MIN_S
+    timings = {
+        "sub": 1.0,
+        "ratio_ok": 0.3,
+        "capped": 0.99,
+        noted: 5.0,
+        excepted: 9.9,
+        "bad_small": 1.01,
+        "bad_big": 2.0,
+    }
+    oracle = {
+        "sub": 0.01,  # subfloor -> explained
+        "ratio_ok": 0.30,  # floor-adj ratio 0.83 < 2 -> explained
+        "capped": 0.10,  # small oracle, 0.99 <= cap 1.0 -> explained
+        noted: 0.10,  # small oracle, over cap, noted -> explained
+        excepted: 0.50,  # big oracle, ratio 19.7 -> exception -> explained
+        "bad_small": 0.10,  # small oracle, over cap, NO story -> residue
+        "bad_big": 0.50,  # big oracle, ratio 3.9, no story -> residue
+    }
+    assert mod.residue_unexplained(timings, oracle, floor) == [
+        "bad_big",
+        "bad_small",
+    ]
