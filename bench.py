@@ -507,32 +507,6 @@ DOCUMENTED_EXCEPTIONS = {
         "touches only the nightly delta; the from-scratch rebuild "
         "re-reads 3 years of history"
     ),
-    # --- r10 (r9 verdict task 2): the two queries the floor-adjacent
-    # loophole had been hiding, now classified honestly under the
-    # tightened rule (floor-adjacent no longer exempts; only the query's
-    # OWN floor-adjusted ratio < 2 or an entry here does) ---------------
-    "text_tfidf": (
-        "3-scan/3-stage pipeline on a 580KB corpus: tokenize-explode + "
-        "tf hash agg (exchange 1), df branch (Catalyst prunes it to a "
-        "two-phase distinct: exchange 2), term join (AQE broadcasts the "
-        "vocab side at bench scale) + broadcast n_docs count job — vs "
-        "one single-node DuckDB pass (0.166s).  r10 quiet-box warm "
-        "min-of-3: 0.74s.  Measured non-changes: df-via-window-over-term "
-        "0.85s (the full sort by term costs more than the exchange it "
-        "saves), explicit broadcast(df) neutral (AQE already picks BHJ), "
-        "tf persist 1.1-1.4x SLOWER (r6, docstring).  Per-stage "
-        "scheduling latency is the residue; the plan is linear in corpus "
-        "bytes and the join never exceeds vocab size"
-    ),
-    "window_analytic": (
-        "canonical minimal plan: ONE exchange by o_custkey + one sort + "
-        "ONE WindowExec computing all three functions (shared window "
-        "spec), then materializing the full 150k-row table through the "
-        "noop sink; nothing to shave.  r10 quiet-box warm min-of-3: "
-        "0.42s vs oracle 0.146s — the floor-adjusted ratio (~2.4) is "
-        "row-materialization + scheduling machinery on a full-table "
-        "window, the same constant-factor regime as the r8 entries above"
-    ),
     "contamination_ngram_check": (
         "explode -> dropDuplicates -> broadcast join -> per-doc agg on "
         "580KB of documents: two sub-second shuffles whose scheduling "
@@ -592,6 +566,35 @@ MACHINERY_CAP_FLOORS = 14
 # flapping from the floor sample, not from the queries.
 MACHINERY_CAP_MIN_S = 1.0
 ABS_TIME_NOTES = {
+    # --- r11 (r10 ADVICE): moved here FROM DOCUMENTED_EXCEPTIONS.  Both
+    # sit in the small-oracle regime (oracles ~2x floor < cutoff), where
+    # the machinery cap + an individual story here is the sanctioned
+    # accounting genre; an EXCEPTIONS entry additionally excluded them
+    # from aggregate_ratio_excl_subfloor_and_exceptions, which flattered
+    # the plan-quality aggregate with no added explanatory power --------
+    "text_tfidf": (
+        "3-scan/3-stage pipeline on a 580KB corpus: tokenize-explode + "
+        "tf hash agg (exchange 1), df branch (Catalyst prunes it to a "
+        "two-phase distinct: exchange 2), term join (AQE broadcasts the "
+        "vocab side at bench scale) + broadcast n_docs count job — vs "
+        "one single-node DuckDB pass (0.166s).  r10 quiet-box warm "
+        "min-of-3: 0.74s.  Measured non-changes: df-via-window-over-term "
+        "0.85s (the full sort by term costs more than the exchange it "
+        "saves), explicit broadcast(df) neutral (AQE already picks BHJ), "
+        "tf persist 1.1-1.4x SLOWER (r6, docstring).  Per-stage "
+        "scheduling latency is the residue; the plan is linear in corpus "
+        "bytes and the join never exceeds vocab size"
+    ),
+    "window_analytic": (
+        "canonical minimal plan: ONE exchange by o_custkey + one sort + "
+        "ONE WindowExec computing all three functions (shared window "
+        "spec), then materializing the full 150k-row table through the "
+        "noop sink; nothing to shave.  r10 quiet-box warm min-of-3: "
+        "0.42s vs oracle 0.146s — the floor-adjusted ratio (~2.4) is "
+        "row-materialization + scheduling machinery on a full-table "
+        "window, the same constant-factor regime as the multi-stage "
+        "small-oracle entries in DOCUMENTED_EXCEPTIONS"
+    ),
     "quantile_bucket_equidepth_2phase": (
         "the registered SCALE form of quantile_bucket_equidepth (r8): "
         "range-partition sampling + local seq + stats-frame agg + "
@@ -1018,11 +1021,13 @@ def main() -> None:
     # but it is only computed over MEANINGFUL oracles (>= the small-
     # oracle cutoff): below that, raw ratios are per-stage machinery
     # arithmetic by construction (see SMALL_ORACLE_FLOORS), and a median
-    # over them would report the scheduling floor, not plan quality
-    # (measured: 4.85 over all above-floor oracles vs 1.21 over
-    # meaningful ones on the same r10 run).  Cross-round r8/r9/r10
-    # values: 1.22 / 0.91 / 1.21 — the stable parity signal the noisy
-    # sum-ratio obscures.
+    # over them would report the scheduling floor, not plan quality.
+    # Source runs for the cited values (r10 ADVICE: name the run, the
+    # committed sidecar and the audit trail diverged): 4.85-vs-1.21 and
+    # the r8/r9/r10 recomputes 1.22/0.91/1.21 came from the f915113
+    # quiet-box sidecar (load<2, min-of-3; superseded in-tree by the
+    # driver's loaded r10 run, which shipped 1.54 for the same code —
+    # the spread IS the box-noise story this median exists to damp).
     def _median(vals: list[float]) -> float | None:
         if not vals:
             return None

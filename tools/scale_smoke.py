@@ -831,6 +831,7 @@ NOTES = """Notes on the flagged cells:
   + dense scoring both corpus-sized, fusion |Q|-bounded).  All
   sub-byte-linear: fixed per-stage overhead still dominates at this
   volume, and no term grows faster than corpus bytes.
+- Corpus cells whose cost is TEXT-BYTE-bound (`normalized_dedup`,
   `survivorship` — both dominated by the normalize-regex pass) ride
   above K by construction: the per-copy `c{i}_` token prefix inflates
   text bytes ~1.55x (measured on sf0.1), so K=10 copies carry ~15.5x
