@@ -49,6 +49,7 @@ HEADLINE = [
     "agg_rollup_cube",
     "stream_tumbling_agg",
     "stream_session_window",
+    "session_window_arrow",
     "text_tokenize_stats",
     "text_tfidf",
     "text_fingerprint",

@@ -202,6 +202,56 @@ def stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Scale lever twin of stream_session_window (registered r11; SCALING.md
+# cell session_window_arrow 6.2x@100x vs session_window_keyed 19.1x):
+# sessions ARE coalesced [ts, ts+gap] intervals — equal-length intervals
+# make the running max the previous end, so "touching or overlapping"
+# coalescing merges exactly the gap<=30min pairs.  Zero new operator
+# code: coalesce_intervals_arrow (operators/intervals.py — hash exchange
+# by user + ONE in-partition sort + ONE O(n) Arrow scan, vs the windowed
+# form's TWO WindowExec passes over the same exchange).  Oracle is the
+# same SQL as stream_session_window (row-for-row equality also pinned in
+# tests/test_intervals.py::test_session_window_as_interval_coalescing).
+@register(
+    "session_window_arrow",
+    tier="B",
+    oracle="""
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         <= INTERVAL '30 minutes'
+                    THEN 0 ELSE 1 END AS is_new
+        FROM events
+      ) g
+    ) s
+    GROUP BY user_id, session_id
+    """,
+)
+def session_window_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ub_etl_spark.operators.intervals import coalesce_intervals_arrow
+
+    e = T(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("iv_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("iv_end"),
+    )
+    eps = coalesce_intervals_arrow(e, "user_id", "iv_start", "iv_end")
+    return eps.select(
+        "user_id",
+        F.col("episode").alias("session_id"),
+        F.col("n_orders").alias("n_events"),
+        F.col("episode_start").alias("session_start"),
+        (F.col("episode_end") - F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+    )
+
+
 # B35: stream-stream interval join (signup -> purchase within 2 h).  The
 # batch twin of streaming/pipelines.interval_join_stream — same join
 # operator, and the time bound in the join condition is what lets the

@@ -76,6 +76,17 @@ _LOADED = False
 # equality test.  Revisit when the oldest-evidence age drops back under
 # 3 rounds and a window has free slots.
 #
+# REGISTRY DECISION (r11, executing the r10 verdict task 5): REGISTER
+# session_window_arrow — 259 -> 260.  It carries a scale lever (the
+# Arrow gaps-and-islands sessionizer at 6.2x@100x vs the keyed windowed
+# form's 19.1x, SCALING.md session_window_arrow cell), satisfying the
+# growth principle above, and its oracle is by construction: row-for-row
+# equality with stream_session_window, pinned in tests/test_intervals.py
+# and now ALSO registered with the same DuckDB oracle SQL so the driver
+# hash-checks it independently.  Its rule-(a) two consecutive windows
+# are r12+r13 (see the r11 window note below — r11's 50 slots are all
+# owed to the staleness backlog the r10 verdict names byte-for-byte).
+#
 # ROTATION POLICY (r7 verdict task 6 — the arithmetic for r9+): with 259
 # registered queries and a 50-slot window, full staleness rotation takes
 # ceil(259/50) = 6 rounds, so steady-state evidence age is bounded at 6
@@ -90,75 +101,82 @@ _LOADED = False
 #   (c) the deferred residue is NAMED here each round so the next window
 #       is decidable without re-deriving the evidence map.
 #
-# ROUND-10 WINDOW (this list): the round-9 window never rotated (r9 landed
-# zero builder commits), so this executes the rotation two verdicts have
-# named.  (a) no rule-a slots: the two lever queries completed their two
-# consecutive windows at r8+r9 (both hash-green both rounds) and join the
-# staleness rotation; sim_ann_pq's r10 work is re-MEASUREMENT only (no
-# code change), so it claims no rule-a slot.  (b) the 10 r3-evidence
-# Catalyst-surface single-shapes, now four rounds stale and judge-parity
-# pre-verified three times (r8, r9 judge x2: 10/10 each); (c) 40 of the 50
-# r4-evidence queries, oldest-first.  The 10 r4 queries deferred to ROUND
-# 11 (rule c, named residue): the 8 TPC-H multi-join shapes whose plan
-# family was just re-evidenced at r9 via q1/q3/q5/q18/q21 —
-# tpch_q2_min_cost_supplier tpch_q7_volume_shipping tpch_q8_market_share
-# tpch_q9_product_profit tpch_q10_returned_items tpch_q11_important_parts
-# tpch_q12_late_lines tpch_q22_dormant_customers — plus two stable
-# single-aggregate shapes: agg_bitwise_flags stat_crosstab_segments.
-# Projected r11 window: those 10 + 40 oldest-r5 refreshes.
+# ROUND-10 WINDOW (rotated; see git history for the list): 10 r3-evidence
+# Catalyst-surface single-shapes + 40 oldest-r4 — came back 50/50 green
+# (CORRECTNESS_r10), oldest evidence then r4.
+#
+# ROUND-11 WINDOW (this list — r10 verdict task 1, byte-for-byte the set
+# `python tools/evidence_map.py --window 50` prints): (a) no rule-a
+# slots consumed by the window — session_window_arrow registers THIS
+# round (see the r11 registry decision above) but its two consecutive
+# windows are scheduled r12+r13: rule (a)'s purpose is two consecutive
+# windows of evidence for changed code, and its first window starts the
+# round after registration when the registration round's window has
+# zero slack, which r11's does (all 50 slots owed to the staleness
+# backlog the r10 verdict names).  evidence_map ranks a never-checked
+# query first, so the r12 window picks it up automatically.  (b) the 10
+# r4-evidence queries deferred from r10 (8 TPC-H multi-join shapes + 2
+# single-aggregate shapes); (c) 40 of the 50 r5-evidence queries,
+# oldest-first alphabetical.  The 10 r5 queries deferred to ROUND 12
+# (rule c, named residue): supplier_concentration_hhi text_keyphrase_topk
+# text_lexical_diversity text_unigram_logprob text_zipf_rank_fit
+# timeseries_autocorrelation timeseries_cusum_changepoint
+# timeseries_rolling_median tpch_q15_top_supplier udf_cogrouped_map.
+# Projected r12 window: session_window_arrow (rule a, window 1 of 2) +
+# those 10 r5 + 39 oldest-r6 refreshes.
 DRIVER_PRIORITY = [
-    # --- rule (b): the 10 r3-evidence Catalyst-surface queries (4 rounds stale)
-    "agg_corr_exact",
-    "agg_grouping_sets_explicit",
-    "agg_mode_per_group",
-    "array_advanced_funcs",
-    "map_advanced_funcs",
-    "pivot_wide",
-    "scalar_subquery_correlated",
-    "scalar_try_safe",
-    "string_fuzzy_levenshtein",
-    "window_value_functions",
-    # --- rule (b): 40 of the 50 r4-evidence queries (10 named above defer to r11)
-    "agg_gini_concentration",
-    "agg_ks_test_bucketed",
-    "agg_linear_regression",
-    "agg_mutual_information",
-    "agg_share_of_parent",
-    "agg_weighted_median",
-    "dq_expectation_checks",
-    "events_ab_test_zscore",
-    "events_active_users_rolling",
-    "events_anomaly_mad",
-    "events_burst_detection",
-    "events_funnel_rates",
-    "events_path_topk",
-    "events_sequence_match",
-    "events_stickiness_weekly",
-    "events_user_entropy",
-    "feature_decay_rolling",
-    "feature_onehot_encode",
-    "feature_scale_standard",
-    "graph_pagerank_trade",
-    "hierarchy_flatten_paths",
-    "join_theta_band",
-    "lineitem_yoy_growth",
-    "market_basket_pairs",
-    "orders_abc_classification",
-    "orders_active_episodes",
-    "orders_interpurchase_gaps",
-    "orders_open_backlog_daily",
-    "orders_rfm_segmentation",
-    "pipeline_corpus_health",
-    "pipeline_customer_features",
-    "privacy_k_anonymity",
-    "profile_table_stats",
-    "quantile_bucket_equidepth",
-    "sample_reservoir_hash",
-    "stream_late_data_accounting",
-    "text_containment_dedup",
-    "timeseries_seasonal_decompose",
-    "udaf_grouped_agg",
-    "window_running_distinct",
+    # --- rule (b): the 10 r4-evidence queries deferred from the r10 window
+    "agg_bitwise_flags",
+    "stat_crosstab_segments",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_lines",
+    "tpch_q22_dormant_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    # --- rule (c): 40 of the 50 r5-evidence queries (10 named above defer to r12)
+    "agg_benford_first_digit",
+    "agg_theil_inequality",
+    "agg_winsorized_mean",
+    "dim_date_generate",
+    "dim_scd2_apply_changes",
+    "dq_schema_contract",
+    "events_attribution_last_touch",
+    "events_bounce_rate",
+    "events_cohort_ltv",
+    "events_dow_hour_heatmap",
+    "events_funnel_any_order",
+    "events_funnel_windowed",
+    "events_impact_diff_in_diff",
+    "events_new_vs_returning",
+    "events_survival_curve",
+    "feature_target_encode",
+    "feature_trailing_windows",
+    "feature_woe_iv",
+    "graph_bfs_distance",
+    "graph_jaccard_link_prediction",
+    "graph_triangle_count",
+    "io_csv_malformed_quarantine",
+    "join_asof_tolerance",
+    "join_spatial_grid",
+    "lineitem_otif_rate",
+    "market_basket_lift",
+    "multimodal_dedup_exact",
+    "nation_trade_balance",
+    "orders_backlog_aging",
+    "orders_lines_per_order_hist",
+    "orders_repeat_purchase_rate",
+    "pipeline_churn_training_set",
+    "pipeline_media_prepare",
+    "privacy_l_diversity",
+    "skyline_pareto_frontier",
+    "split_group_aware",
+    "storage_gdpr_delete",
+    "storage_stats_pruned_read",
+    "storage_time_travel",
+    "stream_static_enrich",
 ]
 
 def load_all() -> dict[str, QuerySpec]:
