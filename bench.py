@@ -833,6 +833,42 @@ def residue_unexplained(
     )
 
 
+def detail_sidecar_paths(env_detail: str | None, here: str) -> tuple[str, str]:
+    """Route the detail sidecar (r10 verdict task 6): (write_path, delta_base).
+
+    The committed bench_detail.json is the builder's deliberate quiet-box
+    measurement and is only written when SPARK_GRAFT_BENCH_DETAIL names a
+    path explicitly (write and delta-base coincide then — the builder
+    regenerates in place).  An unadorned run — how the DRIVER invokes
+    bench.py, under whatever load the round has — writes the round-stamped
+    bench_detail_r{N}.json (N = 1 + the highest BENCH_r*.json at the repo
+    root: this run's driver line will be recorded as round N), keeping
+    every driver run's full decomposition as a per-round on-disk artifact
+    (gitignored) without clobbering the committed sidecar the pytest
+    gates lint against.  Its delta base is the PREVIOUS round's stamped
+    sidecar (like-for-like loaded-run regime), falling back to the
+    committed quiet-box artifact when no stamped predecessor exists."""
+    import glob as _glob
+    import re as _re
+
+    if env_detail:
+        return env_detail, env_detail
+    rounds = [
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    n_round = (max(rounds) + 1) if rounds else 0
+    detail_path = os.path.join(here, f"bench_detail_r{n_round:02d}.json")
+    prev_candidate = os.path.join(here, f"bench_detail_r{n_round - 1:02d}.json")
+    prev_path = (
+        prev_candidate
+        if os.path.exists(prev_candidate)
+        else os.path.join(here, "bench_detail.json")
+    )
+    return detail_path, prev_path
+
+
 def run_once(spark, spec, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = spec.fn(spark, sf_dir)
@@ -1129,20 +1165,32 @@ def main() -> None:
     # line carries ONLY aggregates plus the 10 most expensive queries; the
     # full per-query decomposition (timings, oracle seconds, ratios,
     # floor_share, sub-floor set, round-over-round deltas) is written to
-    # bench_detail.json next to this script, where the judge can read it.
+    # a detail sidecar next to this script, where the judge can read it.
     # SPARK_GRAFT_BENCH_DETAIL redirects the sidecar: verify_all's budgeted
     # sf0.001 smoke sets it to a temp path so a gate run can never
     # overwrite the committed sf0.1 artifact (which the pytest abs-time
     # gate reads — an sf0.001 overwrite silently disables that lint until
-    # someone notices the working-tree diff)
-    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    # someone notices the working-tree diff).
+    #
+    # DEFAULT path (r10 verdict task 6): the committed bench_detail.json
+    # is the BUILDER's deliberate quiet-box measurement (load<2,
+    # min-of-3) and only changes when SPARK_GRAFT_BENCH_DETAIL names it
+    # explicitly.  An unadorned `python bench.py` — which is how the
+    # driver runs it, under whatever box load the round happens to have —
+    # writes bench_detail_r{N}.json instead (N = 1 + the highest
+    # BENCH_r*.json round at the repo root, i.e. the round this run's
+    # driver line will be recorded as), so every driver run keeps its
+    # full decomposition as a per-round artifact WITHOUT clobbering the
+    # committed quiet-box sidecar the pytest gates lint against.
+    detail_path, prev_path = detail_sidecar_paths(
+        os.environ.get("SPARK_GRAFT_BENCH_DETAIL"),
+        os.path.dirname(os.path.abspath(__file__)),
     )
     prev: dict = {}
     prev_oracle: dict = {}
-    if os.path.exists(detail_path):
+    if os.path.exists(prev_path):
         try:
-            with open(detail_path) as fh:
+            with open(prev_path) as fh:
                 prev_doc = json.load(fh)
             # only diff like-for-like: same scale factor
             if prev_doc.get("sf") == sf:
@@ -1306,7 +1354,7 @@ def main() -> None:
         "median_oracle_delta_vs_prev": median_oracle_delta_vs_prev,
         "top_regressions_vs_prev": regressed,
         "slowest_queries_s": slowest,
-        "detail_file": "bench_detail.json",
+        "detail_file": os.path.basename(detail_path),
     }
     out = json.dumps(line)
     # hard guard: the line MUST fit the driver's 2000-char capture window

@@ -145,3 +145,36 @@ def test_residue_rule_paths_synthetic():
         "bad_big",
         "bad_small",
     ]
+
+
+def test_detail_sidecar_routing(tmp_path):
+    """r10 verdict task 6: the committed bench_detail.json may only be
+    written by a deliberate SPARK_GRAFT_BENCH_DETAIL run; an unadorned
+    (driver-style) run routes to the round-stamped gitignored sidecar,
+    with the previous round's stamped file as its delta base."""
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    here = str(tmp_path)
+    # explicit env -> write and delta base are that path, verbatim
+    assert mod.detail_sidecar_paths("/x/y.json", here) == ("/x/y.json", "/x/y.json")
+    # no BENCH_r*.json yet -> round 0, delta base falls back to committed
+    w, p = mod.detail_sidecar_paths(None, here)
+    assert w.endswith("bench_detail_r00.json")
+    assert p.endswith("bench_detail.json")
+    # BENCH_r10 exists -> this run is round 11; no stamped r10 sidecar ->
+    # fall back to the committed quiet-box artifact
+    (tmp_path / "BENCH_r10.json").write_text("{}")
+    w, p = mod.detail_sidecar_paths(None, here)
+    assert w.endswith("bench_detail_r11.json")
+    assert p.endswith("bench_detail.json")
+    # a stamped predecessor exists -> like-for-like delta base
+    (tmp_path / "BENCH_r11.json").write_text("{}")
+    (tmp_path / "bench_detail_r11.json").write_text("{}")
+    w, p = mod.detail_sidecar_paths(None, here)
+    assert w.endswith("bench_detail_r12.json")
+    assert p.endswith("bench_detail_r11.json")
+    # the unadorned path NEVER names the committed sidecar
+    assert os.path.basename(w) != "bench_detail.json"
