@@ -582,9 +582,16 @@ ABS_TIME_NOTES = {
         "min-of-3: 0.74s.  Measured non-changes: df-via-window-over-term "
         "0.85s (the full sort by term costs more than the exchange it "
         "saves), explicit broadcast(df) neutral (AQE already picks BHJ), "
-        "tf persist 1.1-1.4x SLOWER (r6, docstring).  Per-stage "
-        "scheduling latency is the residue; the plan is linear in corpus "
-        "bytes and the join never exceeds vocab size"
+        "tf persist 1.1-1.4x SLOWER (r6, docstring); r11 map-side-tf "
+        "family both dead: HOF-index run-length tf PATHOLOGICAL (>150s "
+        "— CollapseProject re-inlines array_sort(split()) into each "
+        "lambda element, O(L^2) re-sorts per doc), and "
+        "explode(array_distinct)+filter-count 1.21s vs 0.61s same-run "
+        "(the O(L*U) per-doc filter work costs more than the "
+        "(doc_id,term) exchange it removes).  Per-stage scheduling "
+        "latency is the residue; the plan is linear in corpus bytes and "
+        "the join never exceeds vocab size; the sf1 pass (SCALING.md "
+        "sf1 ratio table) adjudicates the floor-amortization claim"
     ),
     "window_analytic": (
         "canonical minimal plan: ONE exchange by o_custkey + one sort + "

@@ -89,8 +89,22 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # under term skew at scale: a stopword's rows land on one task,
     # where the agg form partial-aggregates map-side); explicit
     # F.broadcast(df) measured neutral — AQE already converts the term
-    # join to BHJ at bench scale.  The registered 3-stage plan stands;
-    # its bench ratio is sanctioned in bench.py DOCUMENTED_EXCEPTIONS.
+    # join to BHJ at bench scale.  r11 measured non-changes (the
+    # map-side-tf family, trying to delete the (doc_id,term) exchange
+    # outright): (a) HOF-index run-length tf — array_sort(s), boundary
+    # positions via filter(transform(s,(x,i)->i), ...), pair struct via
+    # indexed transform — is PATHOLOGICAL (>150s at sf0.1, killed):
+    # CollapseProject substitutes the alias chain back into every
+    # lambda-body reference, so array_sort(split(text)) re-evaluates
+    # per lambda ELEMENT — O(L^2) re-sorts per doc (the general form of
+    # the r6 "materialize the array before a HOF" rule: a projection
+    # alias is NOT a materialization barrier when the consumer is
+    # collapsible); (b) explode(array_distinct(s)) + per-term
+    # size(filter(s, x = term)) keeps the arrays bound post-Generate
+    # (no re-split) but is 1.21s vs 0.61s same-run warm min-of-3 — the
+    # O(L*U) per-doc filter work exceeds the exchange it removes.  The
+    # registered 3-stage plan stands; its bench cost story lives in
+    # bench.py ABS_TIME_NOTES (small-oracle regime).
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
