@@ -196,3 +196,48 @@ def test_survival_curve_monotone_and_bounded(spark, sf_dir):
         e.filter(F.col("event_type") == "purchase").select("user_id").distinct().count()
     )
     assert abs(fracs[-1] - (1.0 - n_conv / n_users)) < 1e-12
+
+
+def test_basket_pair_counts_arrow_equals_hof(spark, sf_dir):
+    """The r11 Arrow pair-count rework must be row-for-row equal to the
+    HOF expansion form it replaced in market_basket_pairs — including a
+    tiny maxRecordsPerBatch pass so the cross-batch accumulator carry
+    actually runs, and a planted >=2^31 id so the packed-key fallback
+    path is exercised."""
+    from ub_etl_spark.operators.selection import (
+        basket_pair_counts,
+        basket_pair_counts_arrow,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hof = basket_pair_counts(li, "l_orderkey", "l_partkey")
+    arrow = basket_pair_counts_arrow(li, "l_orderkey", "l_partkey")
+    assert hof.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(hof).count() == 0
+
+    # cross-batch carry: force 2-row Arrow batches on one partition
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        small = li.limit(500).repartition(1)
+        a = sorted(map(tuple, basket_pair_counts_arrow(small, "l_orderkey", "l_partkey").collect()))
+        b = sorted(map(tuple, basket_pair_counts(small, "l_orderkey", "l_partkey").collect()))
+        assert a == b
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    # packed-key guard: ids beyond 2^31 take the pandas-groupby fallback
+    big_ids = spark.createDataFrame(
+        [(1, 1 << 32), (1, (1 << 32) + 1), (1, 5), (2, 1 << 32), (2, 5)],
+        "basket bigint, item bigint",
+    )
+    got = sorted(
+        map(tuple, basket_pair_counts_arrow(big_ids, "basket", "item").collect())
+    )
+    want = sorted(
+        map(tuple, basket_pair_counts(big_ids, "basket", "item").collect())
+    )
+    assert got == want and len(got) == 3

@@ -450,6 +450,13 @@ EXPECT = {
     # streaming batch twins
     "stream_sliding_agg": ["Expand", "HashAggregate"],
     "stream_session_window": ["Window", "HashAggregate"],
+    # the Arrow sessionization lever: one exchange on user_id, in-partition
+    # sort, one mapInPandas scan — NO WindowExec anywhere in the plan
+    "session_window_arrow": [
+        "MapInPandas",
+        "Exchange hashpartitioning(user_id",
+        "!Window",
+    ],
     "stream_dedup_upsert": ["WindowGroupLimit", "Window"],
     "stream_session_native": ["HashAggregate"],
     "stream_interval_join_outer": ["LeftOuter", "BroadcastHashJoin", "!CartesianProduct"],

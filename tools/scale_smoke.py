@@ -195,6 +195,19 @@ def queries(spark, d: str):
         # sliding-lower-bound scan after the sort.
         "running_distinct_2window": _registered(spark, d, "window_running_distinct"),
         "burst_range_frame": _registered(spark, d, "events_burst_detection"),
+        # r11 (r10 verdict task 7): the as-of family's amplification
+        # cells — the only multi-member operator family (B75/B80/B158)
+        # with no cell yet, and its one-window-pass claim (union-tag
+        # merged stream: ONE hash exchange on user_id + in-partition
+        # sort, never a range cross-join — operators/asof.py) is
+        # load-bearing for all three.  Per-user event counts grow by K
+        # under the events amplification, so these measure the keyed
+        # window-sort growth term of the merged stream directly;
+        # `nearest` is the worst family member (backward AND forward
+        # carry passes + the tie-break), `tolerance` the backward pass
+        # with the post-join conditional.
+        "asof_nearest": _registered(spark, d, "join_asof_nearest"),
+        "asof_tolerance": _registered(spark, d, "join_asof_tolerance"),
     }
 
 
@@ -726,6 +739,42 @@ def _inverted(docs):
 # Interpretation of the cells that are EXPECTED to flag — kept in the
 # generator so a re-run can't silently drop the analysis (it used to be
 # hand-appended to SCALING.md and one regeneration away from loss).
+def sf1_section() -> list[str]:
+    """Fold the one-off sf1 ratio pass (tools/sf1_bench.py, r10 verdict
+    task 4) into SCALING.md so a full regeneration preserves it.  Reads
+    the committed sf1_bench.json; returns [] when absent."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "sf1_bench.json")
+    if not os.path.exists(path):
+        return []
+    with open(path) as fh:
+        doc = json.load(fh)
+    lines = [
+        "\n## sf1.0 ratio pass (tools/sf1_bench.py — one-off, r11)\n",
+        f"Spark vs DuckDB over {doc['amplification']}; oracle convention:",
+        f"{doc['oracle_convention']}; spark: {doc['spark_convention']};",
+        f"job floor {doc['spark_job_floor_s']}s.  The 26 meaningful-oracle",
+        "queries of the r10 sidecar + the two held-weak entries.\n",
+        "| query | spark sec | oracle sec | ratio | floor-adj | oracle mode |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, r in sorted(
+        doc["queries"].items(), key=lambda kv: -(kv[1].get("ratio") or 0)
+    ):
+        lines.append(
+            f"| {name} | {r.get('spark_s', 'err')} | {r.get('oracle_s', 'err')} "
+            f"| {r.get('ratio', '-')} | {r.get('floor_adj_ratio', '-')} "
+            f"| {r.get('oracle_mode', '-')} |"
+        )
+    lines.append(
+        f"\n>2x floor-adjusted at sf1: {', '.join(doc.get('over_2x_floor_adjusted', [])) or 'none'}"
+        " — see the sf1 note in the notes section below.\n"
+    )
+    return lines
+
+
 NOTES = """Notes on the flagged cells:
 - `bfs_nation_hops` (r7): level-synchronous BFS over the trade graph.
   The 25-nation vertex set and the diameter are INVARIANT under fact
@@ -820,6 +869,21 @@ NOTES = """Notes on the flagged cells:
   lower bound is O(n) after the sort, and neither shape demands an
   Arrow rework.  burst's higher ratio is its tiny 1x base (~0.2s,
   mostly floor), not a super-linear term.
+- `asof_nearest` / `asof_tolerance` (r11, r10 verdict task 7): the
+  as-of family's amplification cells (B75/B80/B158 — previously the
+  only multi-member family without one).  Both are events-on-events
+  backward as-of joins via the union-tag merged stream (ONE hash
+  exchange on user_id + in-partition window sort, never a range
+  cross-join — operators/asof.py); per-user event counts grow by K, so
+  the cells measure the claimed one-window-pass growth term directly.
+  Controlled r11 measurement (fresh session, min-of-2, load-avg ~1.0):
+  nearest 0.54s -> 6.74s (12.4x@100x — the worst family member:
+  backward AND forward carry passes over the same unioned frame plus
+  the per-row distance pick), tolerance 0.29s -> 5.97s (20.3x@100x —
+  one carry pass + a post-join conditional).  Both far inside the
+  per-key sort envelope (~139x) and in family with session_window_keyed
+  23.5x / gapfill 36.4x: the merged-stream window sort is the whole
+  cost, no rework indicated.
 - `tfidf_score` / `keyphrase_topk` / `hybrid_rrf_3q` (r10): the text /
   search shapes whose bench ratios are sanctioned by
   DOCUMENTED_EXCEPTIONS / ABS_TIME_NOTES stories claiming corpus
@@ -959,6 +1023,7 @@ def main() -> None:
         " plan (the failure mode this smoke exists to catch).  knn_exact_10q"
         " holds |Q| fixed, so its ratio tracks corpus growth only.\n"
     )
+    lines.extend(sf1_section())
     lines.append(NOTES)
     with open("/root/repo/SCALING.md", "w") as f:
         f.write("\n".join(lines))

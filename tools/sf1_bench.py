@@ -1,0 +1,248 @@
+"""One-off sf1.0 ratio pass (r10 verdict task 4): adjudicate the
+floor-dominance claim with data the 0.08 s job floor cannot dominate.
+
+The per-round bench runs at sf0.1, where 153/260 oracles sit below
+Spark's ~0.08 s per-job scheduling floor and the plan-quality ratios are
+machinery arithmetic by construction (PLANS.md floor analysis).  This
+tool amplifies sf0.1 by 10x (~6 M lineitem rows — TPC-H sf1 scale) with
+the SAME key-shifted machinery SCALING.md's cells use (tools/
+scale_smoke.amplify + amplify_corpus: key spaces offset per copy so
+distinct counts, join fan-out and group cardinality all scale by K;
+dims pass through), then measures Spark vs DuckDB per query over the
+identical parquet files.
+
+Query set: the 26 meaningful-oracle queries of the committed r10 driver
+sidecar (oracle >= SMALL_ORACLE_FLOORS * floor = 0.30 s — the set the
+bench's median_ratio_meaningful_oracle is computed over), PLUS the two
+held-weak small-oracle queries whose adjudication hinges on this pass
+(text_tfidf, window_analytic).  Pinned as a constant so the run is
+reproducible after the sidecar is regenerated.
+
+Measurement convention: SAME as bench.py (DuckDB fetchall, min-of-2;
+Spark build+noop-write) so the sf1 ratios are like-for-like with the
+sf0.1 sidecar and a ratio change is attributable to floor amortization,
+not a convention switch.  EXCEPT: when a COUNT(*) probe says the
+oracle's output exceeds 20 M rows (join_spatial_grid's ~270 M pairs at
+sf1), fetchall's Python-tuple materialization is infeasible and the
+oracle runs as SELECT sum(hash(t)) FROM (<oracle>) t instead — hash(t)
+references every output column so DuckDB cannot projection-prune any
+computed expression (verified: a 3 M-row ln() subquery costs 23 ms
+hash-wrapped vs 7 ms count-wrapped-and-pruned vs 1.17 s fetchall);
+such rows carry oracle_mode="hash_wrapped" and their ratio is
+conservative for Spark (the oracle skips materialization, the bench
+convention does not).
+
+Output: sf1_bench.json at the repo root (committed) with per-query
+spark_s / oracle_s / ratio / floor-context; tools/scale_smoke.py folds
+the table into SCALING.md on its next regeneration.
+
+Usage:
+  python tools/sf1_bench.py              # build /tmp/sf1_10x if absent, run all
+  python tools/sf1_bench.py text_tfidf   # subset (appends into existing json)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BIG_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1_10x")
+K = 10
+OUT = os.path.join(ROOT, "sf1_bench.json")
+
+# 26 meaningful-oracle queries of the committed r10 driver sidecar
+# (oracle >= 0.30 s = 4 job-floors), descending sf0.1 oracle cost,
+# + the two held-weak entries this pass adjudicates.
+MEANINGFUL_26 = [
+    "join_spatial_grid",
+    "graph_triangle_count",
+    "skyline_pareto_frontier",
+    "graph_jaccard_link_prediction",
+    "text_lang_confusion",
+    "graph_bfs_distance",
+    "text_lang_id",
+    "pipeline_corpus_prepare",
+    "scalar_math_case",
+    "cast_types",
+    "map_advanced_funcs",
+    "array_advanced_funcs",
+    "text_quality_score",
+    "storage_zorder_cluster",
+    "agg_weighted_median",
+    "explode_array_struct",
+    "text_containment_dedup",
+    "text_chunk_sliding",
+    "dim_scd2_point_in_time",
+    "market_basket_pairs",
+    "lineitem_otif_rate",
+    "orders_active_episodes",
+    "orders_active_episodes_arrow",
+    "join_skew_salted",
+    "tpch_q18_large_orders",
+    "scan_parquet",
+]
+WEAK_HELD = ["text_tfidf", "window_analytic"]
+QUERIES = MEANINGFUL_26 + WEAK_HELD
+
+
+def ensure_big_dir(spark) -> None:
+    marker = os.path.join(BIG_DIR, "_AMPLIFIED_OK")
+    if os.path.exists(marker):
+        return
+    from scale_smoke import amplify, amplify_corpus
+
+    src = "/root/testdata/sf0.1"
+    print(f"[sf1] amplifying {src} x{K} -> {BIG_DIR}", flush=True)
+    t0 = time.time()
+    amplify(spark, src, BIG_DIR, K)
+    amplify_corpus(spark, src, BIG_DIR, K)
+    # tables the amplifiers leave out pass through unchanged (fixed dims)
+    from ub_etl_spark.sources.tables import TABLES
+
+    for t in TABLES:
+        dst = os.path.join(BIG_DIR, f"{t}.parquet")
+        if not os.path.exists(dst):
+            spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(dst)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    print(f"[sf1] amplified in {time.time() - t0:.1f}s", flush=True)
+
+
+def main() -> None:
+    import duckdb
+
+    from ub_etl_spark.registry import load_all
+    from ub_etl_spark.session import get_spark, release_persisted
+    from ub_etl_spark.sources.tables import TABLES
+
+    subset = set(sys.argv[1:]) or set(QUERIES)
+    registry = load_all()
+    spark = get_spark("sf1-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_big_dir(spark)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        # Spark writes each table as a DIRECTORY of part files
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{BIG_DIR}/{t}.parquet/*.parquet'"
+        )
+
+    def floor_once() -> float:
+        t0 = time.perf_counter()
+        spark.range(1).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    floor_once()  # warm codegen/classloading
+    floor_s = round(min(floor_once() for _ in range(5)), 4)
+
+    doc: dict = {}
+    if os.path.exists(OUT):
+        try:
+            with open(OUT) as fh:
+                doc = json.load(fh)
+        except Exception:  # noqa: BLE001
+            doc = {}
+    doc.setdefault("queries", {})
+    doc.update(
+        {
+            "sf": 1.0,
+            "amplification": f"sf0.1 x{K} key-shifted (tools/scale_smoke.amplify)",
+            "oracle_convention": (
+                "bench-identical fetchall min-of-2; hash-wrapped when the "
+                "output probe exceeds 20M rows (oracle_mode flags it)"
+            ),
+            "spark_convention": "min-of-3 build+noop-write (min-of-2 over 15s, 1 over 60s)",
+            "spark_job_floor_s": floor_s,
+            "cpus": os.cpu_count(),
+        }
+    )
+
+    def spark_time(name: str) -> float:
+        spec = registry[name]
+
+        def once() -> float:
+            t0 = time.perf_counter()
+            spec.fn(spark, BIG_DIR).write.mode("overwrite").format("noop").save()
+            return time.perf_counter() - t0
+
+        t1 = once()
+        release_persisted()
+        if t1 > 60:
+            return t1
+        best = t1
+        for _ in range(1 if t1 > 15 else 2):
+            best = min(best, once())
+            release_persisted()
+        return best
+
+    OUTPUT_ROW_CAP = 20_000_000
+
+    def oracle_time(sql: str) -> tuple[float, str]:
+        n_out = con.execute(f"SELECT count(*) FROM ({sql}) t").fetchall()[0][0]
+        if n_out > OUTPUT_ROW_CAP:
+            mode, to_run = "hash_wrapped", f"SELECT sum(hash(t)) FROM ({sql}) t"
+        else:
+            mode, to_run = "fetchall", sql
+
+        def once() -> float:
+            t0 = time.perf_counter()
+            con.execute(to_run).fetchall()
+            return time.perf_counter() - t0
+
+        t1 = once()
+        return (t1 if t1 > 60 else min(t1, once())), mode
+
+    for name in QUERIES:
+        if name not in subset:
+            continue
+        spec = registry[name]
+        prev_row = doc["queries"].get(name, {})
+        row: dict = {}
+        t0 = time.time()
+        try:
+            s = spark_time(name)
+            # re-runs keep the BEST of all runs (min-of-N across sessions:
+            # the box's own 32-thread load pollutes later samples)
+            row["spark_s"] = round(min(s, prev_row.get("spark_s", s)), 3)
+        except Exception as exc:  # noqa: BLE001
+            row["spark_err"] = str(exc)[:200]
+        try:
+            o, mode = oracle_time(spec.oracle)
+            row["oracle_s"] = round(min(o, prev_row.get("oracle_s", o)), 3)
+            row["oracle_mode"] = mode
+        except Exception as exc:  # noqa: BLE001
+            row["oracle_err"] = str(exc)[:200]
+        if "spark_s" in row and "oracle_s" in row and row["oracle_s"] > 0:
+            row["ratio"] = round(row["spark_s"] / row["oracle_s"], 2)
+            row["floor_adj_ratio"] = round(
+                max(row["spark_s"] - floor_s, 0.0) / row["oracle_s"], 2
+            )
+        row["load_avg_1m"] = round(os.getloadavg()[0], 2)
+        doc["queries"][name] = row
+        with open(OUT, "w") as fh:
+            json.dump(doc, fh, indent=1, sort_keys=True)
+        print(
+            f"[sf1] {name:34s} {json.dumps(row)}  ({time.time() - t0:.1f}s elapsed)",
+            flush=True,
+        )
+
+    over = sorted(
+        n
+        for n, r in doc["queries"].items()
+        if r.get("floor_adj_ratio", 0) is not None and r.get("floor_adj_ratio", 0) >= 2
+    )
+    doc["over_2x_floor_adjusted"] = over
+    with open(OUT, "w") as fh:
+        json.dump(doc, fh, indent=1, sort_keys=True)
+    print(f"[sf1] done; >2x floor-adjusted at sf1: {over}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -87,19 +87,23 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence (top-3 'bought with' partners per
     part): the recommendation-candidate primitive.  NO self-join: each
     order's basket collects once (collect_set dedups duplicate part
-    lines; sort_array orders it), and the ordered pairs are generated
-    map-side by array HOFs inside codegen — the oracle's self-join
-    formulation materializes every joined row through a second exchange
-    (measured 2.5x slower at sf0.1) and its join output is
-    basket-squared wide.  Pair counts aggregate map-side; the per-part
-    top-3 is a rank-limited window (WindowGroupLimit: partial top-k per
-    partition).  Scale lever: baskets are bounded (lines per order ~
-    O(10)), so the pair explosion is linear in orders, never quadratic
-    in the catalog."""
-    from ub_etl_spark.operators.selection import basket_pair_counts
+    lines; sort_array orders it); pair COUNTS then come out of one
+    vectorized Arrow pass that pre-aggregates inside the worker
+    (operators/selection.basket_pair_counts_arrow — r11 rework, sf1
+    profiling: 17.6 s -> 9.7 s at 6 M lineitem, 4.1 s -> ~3.0 s at
+    bench sf0.1; row-for-row equality with the HOF form pinned in
+    tests/test_selection.py), so the count exchange moves distinct-pair
+    counts, never pair instances.  The oracle's self-join formulation
+    materializes every joined row through a second exchange (measured
+    2.5x slower than the HOF form at sf0.1, 15.8 s at sf1) and its join
+    output is basket-squared wide.  The per-part top-3 is a rank-limited
+    window (WindowGroupLimit: partial top-k per partition).  Scale
+    lever: baskets are bounded (lines per order ~ O(10)), so pair work
+    is linear in orders, never quadratic in the catalog."""
+    from ub_etl_spark.operators.selection import basket_pair_counts_arrow
 
     li = T(spark, sf_dir, "lineitem")
-    counted = basket_pair_counts(li, "l_orderkey", "l_partkey")
+    counted = basket_pair_counts_arrow(li, "l_orderkey", "l_partkey")
     w = Window.partitionBy("part_a").orderBy(F.desc("n_orders"), F.asc("part_b"))
     return (
         counted.withColumn("rn", F.row_number().over(w))

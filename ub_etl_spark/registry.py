@@ -123,7 +123,10 @@ _LOADED = False
 # timeseries_autocorrelation timeseries_cusum_changepoint
 # timeseries_rolling_median tpch_q15_top_supplier udf_cogrouped_map.
 # Projected r12 window: session_window_arrow (rule a, window 1 of 2) +
-# those 10 r5 + 39 oldest-r6 refreshes.
+# market_basket_pairs (rule a: REWORKED r11 — pair counts now one
+# vectorized Arrow pass, operators/selection.basket_pair_counts_arrow;
+# equality + carry + fallback pinned in tests/test_behavior.py) +
+# those 10 r5 + 38 oldest-r6 refreshes.
 DRIVER_PRIORITY = [
     # --- rule (b): the 10 r4-evidence queries deferred from the r10 window
     "agg_bitwise_flags",
