@@ -593,8 +593,11 @@ ABS_TIME_NOTES = {
         "(the O(L*U) per-doc filter work costs more than the "
         "(doc_id,term) exchange it removes).  Per-stage scheduling "
         "latency is the residue; the plan is linear in corpus bytes and "
-        "the join never exceeds vocab size; the sf1 pass (SCALING.md "
-        "sf1 ratio table) adjudicates the floor-amortization claim"
+        "the join never exceeds vocab size.  ADJUDICATED r11: the sf1 "
+        "pass measured 1.92 floor-adjusted (SCALING.md sf1 ratio table "
+        "— 2.23s vs oracle 1.11s at 10x the corpus), under the 2x gate; "
+        "the weak flag is RETIRED — the bench-scale ratio was floor "
+        "arithmetic, as this note claimed"
     ),
     "window_analytic": (
         "canonical minimal plan: ONE exchange by o_custkey + one sort + "
@@ -604,7 +607,11 @@ ABS_TIME_NOTES = {
         "0.42s vs oracle 0.146s — the floor-adjusted ratio (~2.4) is "
         "row-materialization + scheduling machinery on a full-table "
         "window, the same constant-factor regime as the multi-stage "
-        "small-oracle entries in DOCUMENTED_EXCEPTIONS"
+        "small-oracle entries in DOCUMENTED_EXCEPTIONS.  ADJUDICATED "
+        "r11: the sf1 pass measured 1.35 floor-adjusted (SCALING.md sf1 "
+        "ratio table — 2.75s vs oracle 1.97s at 10x the rows), under "
+        "the 2x gate; the weak flag is RETIRED — the machinery "
+        "amortizes exactly as claimed"
     ),
     "quantile_bucket_equidepth_2phase": (
         "the registered SCALE form of quantile_bucket_equidepth (r8): "

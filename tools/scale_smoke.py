@@ -776,6 +776,32 @@ def sf1_section() -> list[str]:
 
 
 NOTES = """Notes on the flagged cells:
+- sf1.0 adjudication (r11, closing r10 verdict task 4): at ~6M lineitem
+  rows the per-job floor amortizes and 20/28 measured queries land
+  at-or-under 2x floor-adjusted — the floor-dominance claim
+  (PLANS.md) holds, so the bench's sf0.1 ratios for small-oracle
+  queries are machinery arithmetic, not plan defects.  Both held-weak
+  entries heal and their flags are RETIRED (bench.py ABS_TIME_NOTES
+  cites this table): `text_tfidf` 1.92 floor-adjusted at sf1 (vs ~4.5x
+  at sf0.1 — the 3-stage tokenize/tf-agg/df-join plan amortizes
+  exactly as its note claims) and `window_analytic` 1.35 (vs ~2.4-2.9x
+  — one exchange + one WindowExec; the row-materialization machinery
+  amortizes).  The 8 rows still over 2x at sf1 are named r11 perf
+  tasks; per-query profiled dispositions follow in the bullet below.
+- sf1 perf-task profiles (r11): measured per-query on the sf1 box
+  (stage decomposition via spark.sparkContext.statusTracker + plan
+  timing; each disposition names the dominant term):
+  * `market_basket_pairs` (22.1x, 9.2s): profiled AND reworked this
+    round — the Arrow pre-agg pass cut 17.6s -> 9.2s; the residual is
+    the per-orderkey basket shuffle + Arrow round-trip of the 6M-row
+    fact, which DuckDB's in-process hash self-join never pays (Spark's
+    own self-join form measured 15.8s at sf1 — the Arrow form is the
+    right Spark plan; the gap is engine constant factors on a
+    shuffle-mandatory shape).
+  * remaining seven: profiles in progress this round — each currently
+    carries its sf0.1 stage-count story in bench.py ABS_TIME_NOTES /
+    DOCUMENTED_EXCEPTIONS; this bullet is updated per task as the
+    profile lands.
 - `bfs_nation_hops` (r7): level-synchronous BFS over the trade graph.
   The 25-nation vertex set and the diameter are INVARIANT under fact
   amplification, so hop-round count is constant and the cell isolates
@@ -955,7 +981,38 @@ def main() -> None:
     ap.add_argument("--corpus-k", type=int, default=10, help="documents/embeddings amplification")
     ap.add_argument("--graph-k", type=int, default=10, help="co-purchase graph amplification (disjoint copies)")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--fold-sf1",
+        action="store_true",
+        help=(
+            "splice the committed sf1_bench.json table + NOTES into the "
+            "existing SCALING.md without re-measuring any cell (the full "
+            "regeneration emits the identical tail, so this is a no-op "
+            "after one)"
+        ),
+    )
     args = ap.parse_args()
+    if args.fold_sf1:
+        # The measured tables above the sf1 section are preserved verbatim;
+        # everything from the sf1 header (or, before the first fold, from
+        # the NOTES header) down is regenerated from sf1_bench.json + NOTES
+        # — the same join("\n") tail main() writes, so fold-then-regenerate
+        # and regenerate-then-fold produce identical bytes.
+        with open("/root/repo/SCALING.md") as f:
+            text = f.read()
+        for marker in ("\n## sf1.0 ratio pass", "Notes on the flagged cells:"):
+            cut = text.find(marker)
+            if cut != -1:
+                break
+        if cut == -1:
+            raise SystemExit("SCALING.md: neither sf1 nor NOTES header found")
+        # drop exactly the one "\n" the join() below re-adds (the prefix's
+        # other trailing newline belongs to the paragraph element itself)
+        prefix = text[:cut].removesuffix("\n")
+        with open("/root/repo/SCALING.md", "w") as f:
+            f.write("\n".join([prefix] + sf1_section() + [NOTES]))
+        print("folded sf1 section into SCALING.md")
+        return
     spark = get_spark("scale_smoke")
     big_dir = os.path.join(tempfile.gettempdir(), f"ub_etl_scale_{args.k}x")
     shutil.rmtree(big_dir, ignore_errors=True)
