@@ -399,10 +399,13 @@ def basket_pair_counts_arrow(
     15.4 s at sf1 — better than nested-slice, still pair-instance-bound).
     Here each partition's baskets are length-grouped and the pairs come
     out of two numpy fancy-index gathers (np.triu_indices), then
-    PRE-AGGREGATE inside the Arrow worker (packed-key np.unique + a
-    cross-batch dict carried to iterator end), so the exchange moves
-    pair COUNTS, not pair instances — the same score-before-shuffle
-    discipline as the simhash/LSH reworks.
+    PRE-AGGREGATE inside the Arrow worker (packed int64 keys buffered
+    across batches, ONE vectorized np.unique per flush — the r11.2
+    profile showed the earlier per-batch unique + Python dict-update
+    loop costing one interpreted dict op per distinct pair per batch;
+    the buffered drain removed it, sf1 9.2 s -> 8.2 s same-session), so
+    the exchange moves pair COUNTS, not pair instances — the same
+    score-before-shuffle discipline as the simhash/LSH reworks.
 
     Scale shape: identical to the HOF form — the basket exchange is the
     one full-data shuffle, pair work is basket-bounded (linear in
@@ -422,18 +425,27 @@ def basket_pair_counts_arrow(
     def pair_counts(batches):
         import numpy as np
 
-        flush_cap = 2_000_000
-        acc: dict = {}
+        # Buffer packed pair INSTANCES (int64) and collapse with one
+        # vectorized np.unique per flush — the r11.2 profile showed the
+        # per-batch unique + Python dict-update loop (one dict op per
+        # distinct pair per batch) dominating the worker; buffering
+        # defers ALL key collapsing to numpy.  The flush cap bounds
+        # worker memory at flush_cap * 8 bytes (~32 MB); flush
+        # boundaries only affect how much combining happens before the
+        # exchange, not the result — the downstream sum re-aggregates.
+        flush_cap = 4_000_000
+        bufs: list = []
+        buffered = 0
 
         def drain():
-            nonlocal acc
-            if not acc:
+            nonlocal bufs, buffered
+            if not bufs:
                 return None
-            k = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
-            v = np.fromiter(acc.values(), dtype=np.int64, count=len(acc))
-            acc = {}
+            packed = bufs[0] if len(bufs) == 1 else np.concatenate(bufs)
+            bufs, buffered = [], 0
+            uniq, cnt = np.unique(packed, return_counts=True)
             return pd.DataFrame(
-                {"part_a": k >> 32, "part_b": k & 0xFFFFFFFF, "n": v}
+                {"part_a": uniq >> 32, "part_b": uniq & 0xFFFFFFFF, "n": cnt}
             )
 
         fallback: list = []
@@ -451,10 +463,9 @@ def basket_pair_counts_arrow(
                 if m.min() < 0 or m.max() >= (1 << 31):
                     fallback.append(pd.DataFrame({"part_a": a, "part_b": b}))
                     continue
-                uniq, cnt = np.unique((a << 32) | b, return_counts=True)
-                for u, c in zip(uniq.tolist(), cnt.tolist()):
-                    acc[u] = acc.get(u, 0) + c
-            if len(acc) > flush_cap:
+                bufs.append((a << 32) | b)
+                buffered += a.size
+            if buffered > flush_cap:
                 out = drain()
                 if out is not None:
                     yield out

@@ -198,14 +198,32 @@ def text_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one double division of two exact counts.  The gram subplan uses the
     shingle_rows posexplode+element_at shape (pure codegen expressions —
     measured 1.25x faster end-to-end than the transform() HOF
-    formulation here) and is deliberately NOT persisted: its three
-    consumers re-run the codegen tokenize+distinct, which measures 1.7x
-    FASTER than caching (the exploded gram strings are ~20x the input
-    bytes — materializing them costs more than recomputing; the
-    persist-and-branch lever only pays when the shared frame is small,
-    e.g. market_basket_lift's basket arrays).  Scale levers: shingle
-    hashing instead of raw strings for the join key, and banding (as in
+    formulation here).
+
+    r11 sf1 perf pass (the named-task profile): grams are keyed by
+    xxhash64 BEFORE the distinct — gram STRINGS never enter any
+    exchange (the distinct, the self-join and the sized agg all move
+    8-byte longs) — and the hashed distinct frame IS persisted for its
+    three consumers.  Measured same-session at sf1 (6 MB corpus, 2.56 M
+    distinct grams): string-keyed no-persist (the pre-r11 form) 9.0-11.0
+    s; hash-first no-persist 6.0 s; hash-first + persist 3.3 s
+    (materialization paid inside the measurement; the sf0.1 finding
+    that persist is 1.7x SLOWER reverses once the corpus outgrows the
+    per-stage floor — persisting 8-byte keys is not persisting ~20x
+    string bytes).  Collision budget for the 64-bit key: a count is
+    corrupted only when two DISTINCT grams collide AND co-occur in a
+    compared pair; expected colliding gram pairs ~ (2.56e6)^2 / 2^65 ~
+    2e-7 at sf1 (zero in any run we can observe), and at a 1e12-gram
+    corpus ~3e4 colliding pairs against ~5e23 candidate pairs — a
+    sub-ppm perturbation of one count in one containment ratio, named
+    acceptable for a 0.8-threshold dedup gate; the paranoia lever is a
+    2x64-bit composite key (xxhash64(gram, seed 0), xxhash64(gram,
+    seed 1)), which keeps the exchange at 16 bytes/row.  The output
+    never exposes the gram, so the hash is invisible to the oracle
+    absent a collision.  Scale lever beyond this: banding (as in
     minhash) when the corpus outgrows the gram join."""
+    from ub_etl_spark.session import tracked_persist
+
     d = T(spark, sf_dir, "documents")
     # posexplode+element_at gram generation (shingle_rows' codegen shape,
     # inlined because short docs here contribute NO grams — the filter
@@ -213,19 +231,22 @@ def text_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select(
         "doc_id", F.split(F.lower(F.col("text")), " ").alias("__toks")
     )
-    grams = (
+    grams = tracked_persist(
         base.select(
             "doc_id", "__toks", F.posexplode("__toks").alias("__pos", "__tok")
         )
         .filter(F.col("__pos") <= F.size("__toks") - 4)
         .select(
             "doc_id",
-            F.concat_ws(
-                " ",
-                *[
-                    F.element_at("__toks", F.col("__pos") + j + 1)
-                    for j in range(4)
-                ],
+            # hash-first: the string exists only inside this projection
+            F.xxhash64(
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at("__toks", F.col("__pos") + j + 1)
+                        for j in range(4)
+                    ],
+                )
             ).alias("gram"),
         )
         .distinct()
