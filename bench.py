@@ -350,15 +350,27 @@ DOCUMENTED_EXCEPTIONS = {
     ),
     "graph_jaccard_link_prediction": (
         "probe-seeded wedge aggregate O(|probes|*deg^2); the oracle's "
-        "flat join benefits from single-node constant factors"
+        "flat join benefits from single-node constant factors.  r11 "
+        "sf1 perf pass: edges build via the Arrow pair-count pass "
+        "(distinct pairs through the exchange, never pair instances — "
+        "operators/graph.basket_edges, 18.6s -> 7.1s edge build) and a "
+        "broadcast semi filter drops probe-disjoint wedge centers "
+        "map-side; sidecar 10.3s -> 7.3s (4.5x -> 3.2x floor-adjusted)"
     ),
     "market_basket_pairs": (
         "basket-bounded pair COUNTS via one vectorized Arrow pass that "
-        "pre-aggregates inside the worker (r11 rework: sf1 17.6s -> "
-        "9.2s, sf0.1 4.1s -> ~3.0s; the exchange moves counts, never "
-        "pair instances) — no self-join (the join form measured 15.8s "
-        "at sf1); oracle keeps the join form; boundedness measured by "
-        "orders_lines_per_order_hist"
+        "pre-aggregates inside the worker (r11 rework + r11.2 buffered "
+        "np.unique drain: sf1 17.6s -> 8.3s, sf0.1 4.1s -> ~3.0-3.6s; "
+        "the exchange moves counts, never pair instances) — no "
+        "self-join (the join form measured 15.8s at sf1, and a "
+        "repartition+sortWithinPartitions worker-grouping kernel "
+        "measured 11.8s vs 8.8s same-session: the sort costs more than "
+        "the collect_set agg it replaces).  Residual at sf1 is the "
+        "basket exchange (3.1s) plus a count exchange that key-shifted "
+        "amplification keeps near pair-instance cardinality (copies "
+        "don't share pairs, so pre-aggregation can't shrink it below "
+        "distinct-pair count); oracle keeps the join form in-process.  "
+        "Boundedness measured by orders_lines_per_order_hist"
     ),
     "market_basket_lift": (
         "embeds the same sanctioned HOF pair-expansion core as "
@@ -407,12 +419,18 @@ DOCUMENTED_EXCEPTIONS = {
     # the constant-factor regime, not a plan defect ------------------
     "text_containment_dedup": (
         "4-shuffle inverted-index pipeline (gram distinct, sized agg, "
-        "gram self-join, overlap agg) on a 580KB corpus: per-stage "
-        "scheduling latency dominates.  r5 perf pass: posexplode gram "
-        "shape cut 1.95s -> 1.63s; repartition measured no-gain "
-        "(data too small to parallelize), gram-frame persist measured "
-        "1.7x SLOWER (docstring).  Plan is the LSH-family probe shape — "
-        "never all-pairs — and linear in SCALING.md"
+        "gram self-join, overlap agg); r11 sf1 perf pass re-keys grams "
+        "by xxhash64 BEFORE the distinct and persists the hashed frame "
+        "for its three consumers — sf1 same-session 9.0-11.0s -> 3.3s, "
+        "sidecar 10.2s -> 4.1s (15.9x -> 6.3x floor-adjusted; collision "
+        "budget in the docstring).  At bench sf0.1 the lever INVERTS "
+        "(~2.4s string / ~3.1-4.1s hashed+persist same-session — hash "
+        "compute + persist materialization cost more than the tiny "
+        "string shuffles they replace), so expect the bench cell ~1.3-"
+        "1.9x above r10: the registered form is the SCALE form, same "
+        "policy as equidepth_2phase / episodes_arrow.  Plan is the "
+        "LSH-family probe shape — never all-pairs — and linear in "
+        "SCALING.md"
     ),
     "orders_active_episodes": (
         "join + 2 keyed window sorts + agg = 4 stages; r5 perf pass "

@@ -788,20 +788,54 @@ NOTES = """Notes on the flagged cells:
   — one exchange + one WindowExec; the row-materialization machinery
   amortizes).  The 8 rows still over 2x at sf1 are named r11 perf
   tasks; per-query profiled dispositions follow in the bullet below.
-- sf1 perf-task profiles (r11): measured per-query on the sf1 box
-  (stage decomposition via spark.sparkContext.statusTracker + plan
-  timing; each disposition names the dominant term):
-  * `market_basket_pairs` (22.1x, 9.2s): profiled AND reworked this
-    round — the Arrow pre-agg pass cut 17.6s -> 9.2s; the residual is
-    the per-orderkey basket shuffle + Arrow round-trip of the 6M-row
-    fact, which DuckDB's in-process hash self-join never pays (Spark's
-    own self-join form measured 15.8s at sf1 — the Arrow form is the
-    right Spark plan; the gap is engine constant factors on a
-    shuffle-mandatory shape).
-  * remaining seven: profiles in progress this round — each currently
-    carries its sf0.1 stage-count story in bench.py ABS_TIME_NOTES /
-    DOCUMENTED_EXCEPTIONS; this bullet is updated per task as the
-    profile lands.
+- sf1 perf-task profiles (r11): each task got a same-session stage
+  decomposition at sf1 (intermediate-frame noop timing) and either a
+  landed rework or a measured-accept disposition.  Table values above
+  are the POST-rework sidecar re-measurements; pre-rework values in
+  the text.  Three reworks landed:
+  * `text_containment_dedup` 15.9x/10.2s -> 6.3x/4.1s: grams re-keyed
+    by xxhash64 BEFORE the distinct (strings never enter an exchange)
+    + the hashed frame persisted for its three consumers (same-session
+    shootout 9.0-11.0s string / 6.0s hash-first / 3.3s hash+persist —
+    the sf0.1 persist-is-slower finding reverses at sf1).  Residual:
+    gram-generation compute + the candidate join itself; next named
+    lever is banding (minhash family).
+  * `graph_jaccard_link_prediction` 4.5x/10.3s -> 3.2x/7.3s: edge set
+    now built by the Arrow pair-count pass (basket_edges: distinct
+    pairs through the exchange, never pair instances — 18.6s -> 7.1s
+    edge build) plus a broadcast semi filter dropping probe-disjoint
+    wedge centers before the wedge exchange (17.9s -> 13.7s full,
+    same-session).  Residual: the wedge join's deg^2 work, which the
+    oracle (2.28s, growing with probe fan-out) also pays.  The same
+    basket_edges lever dropped `graph_triangle_count` to 0.81 (3.7s vs
+    oracle 4.5s) — Spark now BEATS the oracle there.
+  * `market_basket_pairs` 22.1x/17.6s (pre-round) -> 19.8x/8.3s: Arrow
+    pre-agg pair pass + the r11.2 buffered np.unique drain.  Two
+    measured non-changes close the search: the self-join form 15.8s,
+    and a repartition+sortWithinPartitions worker-grouping kernel
+    11.8s vs 8.8s (the sort costs more than the collect_set agg it
+    replaces).  Residual: the basket exchange (3.1s) + a count
+    exchange that key-shifted amplification keeps near pair-instance
+    cardinality — shuffle-mandatory shape; DuckDB's in-process hash
+    self-join pays neither exchange.
+  Five accepted with measured decompositions (absolute seconds small;
+  every plan already has its scale story):
+  * `orders_active_episodes` 15.3x/6.3s: the exact GLOBAL windowed
+    form, retained deliberately as the oracle-shaped reference — the
+    registered scale default is `orders_active_episodes_arrow`
+    (14.0x@100x vs 115.7x windowed, cells above).
+  * `orders_active_episodes_arrow` 6.7x/2.7s: Arrow round-trip tax on
+    a full fact scan; the tax buys the 100x headroom above — accepted.
+  * `lineitem_otif_rate` 9.8x/2.5s: decomposition — per-order MAX
+    pre-agg 1.55s (~60%), orders join +0.5s, rate agg the rest; one
+    fact agg + one join is already minimal, accepted.
+  * `agg_weighted_median` 5.4x/1.3s: two fact scans BY DESIGN (the
+    2-phase selection contract that avoids the global sort —
+    11.8x@100x cell above); accepted.
+  * `tpch_q18_large_orders` 4.5x/1.7s: the heavy-order lineitem agg is
+    ~60% of the cost (1.59s of 2.86s same-session) and the joins see
+    only qualifying keys — the aggregate-before-join shape is the
+    scale plan; accepted.
 - `bfs_nation_hops` (r7): level-synchronous BFS over the trade graph.
   The 25-nation vertex set and the diameter are INVARIANT under fact
   amplification, so hop-round count is constant and the cell isolates
