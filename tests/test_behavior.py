@@ -241,3 +241,22 @@ def test_basket_pair_counts_arrow_equals_hof(spark, sf_dir):
         map(tuple, basket_pair_counts(big_ids, "basket", "item").collect())
     )
     assert got == want and len(got) == 3
+
+
+def test_basket_edges_equals_canonical_hof_edges(spark, sf_dir):
+    """operators/graph.basket_edges (the r11 Arrow edge build behind
+    graph_jaccard/graph_triangle_count) must produce exactly the
+    canonical edge set the HOF-expansion + distinct route produced:
+    u < v, distinct, no self-loops."""
+    from ub_etl_spark.operators.graph import basket_edges, canonical_edges
+    from ub_etl_spark.operators.selection import basket_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    old = canonical_edges(
+        basket_pairs(li, "l_orderkey", "l_partkey"), "part_a", "part_b"
+    )
+    new = basket_edges(li, "l_orderkey", "l_partkey")
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+    bad = new.filter(F.col("u") >= F.col("v")).count()
+    assert bad == 0

@@ -126,7 +126,13 @@ _LOADED = False
 # market_basket_pairs (rule a: REWORKED r11 — pair counts now one
 # vectorized Arrow pass, operators/selection.basket_pair_counts_arrow;
 # equality + carry + fallback pinned in tests/test_behavior.py) +
-# those 10 r5 + 38 oldest-r6 refreshes.
+# text_containment_dedup (rule a: REWORKED r11 — xxhash64 gram keys +
+# persisted gram frame; its r10 evidence predates the plan change, and
+# the r11 window had no slack left; sf0.001+sf0.01 parity re-run green
+# at rework time) + those 10 r5 + 37 oldest-r6 refreshes.  The other
+# two r11-reworked queries (graph_jaccard_link_prediction,
+# graph_triangle_count) get their first post-rework window THIS round
+# — both sit in the rule-(c) list below.
 DRIVER_PRIORITY = [
     # --- rule (b): the 10 r4-evidence queries deferred from the r10 window
     "agg_bitwise_flags",
