@@ -423,14 +423,16 @@ DOCUMENTED_EXCEPTIONS = {
         "by xxhash64 BEFORE the distinct and persists the hashed frame "
         "for its three consumers — sf1 same-session 9.0-11.0s -> 3.3s, "
         "sidecar 10.2s -> 4.1s (15.9x -> 6.3x floor-adjusted; collision "
-        "budget in the docstring).  At bench sf0.1 the lever INVERTS "
-        "(~2.4s string / ~3.1-4.1s hashed+persist same-session — hash "
-        "compute + persist materialization cost more than the tiny "
-        "string shuffles they replace), so expect the bench cell ~1.3-"
-        "1.9x above r10: the registered form is the SCALE form, same "
-        "policy as equidepth_2phase / episodes_arrow.  Plan is the "
-        "LSH-family probe shape — never all-pairs — and linear in "
-        "SCALING.md"
+        "budget in the docstring).  At bench sf0.1 the lever is a wash "
+        "in suite conditions: a cold single-query session measured the "
+        "hashed+persist form ~1.3-1.7x over the string form (~2.4s vs "
+        "~3.1-4.1s — persist materialization is floor-priced there), "
+        "but the r11 quiet-box SUITE pass measured 1.71s vs r10's "
+        "1.63s (~1.05x) — the registered form is the SCALE form, same "
+        "policy as equidepth_2phase / episodes_arrow, and costs "
+        "nothing measurable at bench scale in bench conditions.  Plan "
+        "is the LSH-family probe shape — never all-pairs — and linear "
+        "in SCALING.md"
     ),
     "orders_active_episodes": (
         "join + 2 keyed window sorts + agg = 4 stages; r5 perf pass "
