@@ -524,13 +524,72 @@ def amplify_graph(spark, src: str, out: str, k: int) -> None:
 
 
 def graph_queries(spark, d: str, table: str):
-    from ub_etl_spark.operators.graph import canonical_edges, count_triangles
-    from ub_etl_spark.operators.selection import basket_pairs
+    # both cells measure the REGISTERED r11 plans: edges via the Arrow
+    # pair-count pass (basket_edges), never HOF expansion + distinct
+    from ub_etl_spark.operators.graph import basket_edges, count_triangles
 
     li = spark.read.parquet(f"{d}/{table}")
-    pairs = basket_pairs(li, "l_orderkey", "l_partkey")
-    edges = canonical_edges(pairs, "part_a", "part_b")
-    return {"triangle_count": count_triangles(edges)}
+    return {
+        "triangle_count": count_triangles(
+            basket_edges(li, "l_orderkey", "l_partkey")
+        ),
+        "jaccard_probes": _jaccard_probes(li),
+    }
+
+
+def _jaccard_probes(li):
+    """The registered graph_jaccard_link_prediction plan inlined against
+    the disjoint-copy graph table (the registered fn reads lineitem.parquet,
+    whose orderkey-only amplification would densify the graph): arrow
+    edges + probe-seeded wedges + broadcast center semi filter.  Probes
+    are partkeys % 100 == 0 — ~1% of every disjoint copy, so the probe
+    set grows with K and the cell measures the claimed
+    O(|probes| x deg^2) term under constant density."""
+    from ub_etl_spark.operators.graph import basket_edges
+    from ub_etl_spark.session import tracked_persist
+
+    edges = tracked_persist(basket_edges(li, "l_orderkey", "l_partkey"))
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("u").alias("node"), "d"
+    )
+    s1 = sym.select(F.col("u").alias("c"), F.col("v").alias("x")).filter(
+        F.col("x") % 100 == 0
+    )
+    s2 = sym.select(F.col("u").alias("c"), F.col("v").alias("y")).join(
+        F.broadcast(s1.select("c").distinct()), "c", "left_semi"
+    )
+    cand = (
+        s1.join(s2, "c")
+        .filter(F.col("x") != F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .join(
+            edges.select(F.col("u").alias("eu"), F.col("v").alias("ev")),
+            (F.least(F.col("x"), F.col("y")) == F.col("eu"))
+            & (F.greatest(F.col("x"), F.col("y")) == F.col("ev")),
+            "left_anti",
+        )
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))
+    return (
+        cand.join(F.broadcast(dx), "x")
+        .join(F.broadcast(dy), "y")
+        .select(
+            "x",
+            "y",
+            "cn",
+            (
+                F.col("cn").cast("double")
+                / (F.col("dx") + F.col("dy") - F.col("cn"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "x", "y")
+        .limit(50)
+    )
 
 
 def amplify_corpus(spark, src: str, out: str, k: int) -> None:
@@ -654,6 +713,12 @@ def corpus_queries(spark, d: str):
         "tfidf_score": _registered(spark, d, "text_tfidf"),
         "keyphrase_topk": _registered(spark, d, "text_keyphrase_topk"),
         "hybrid_rrf_3q": _registered(spark, d, "hybrid_search_rrf"),
+        # r11: the containment query's "linear in corpus bytes" note gets
+        # its own cell (the r11 rework changed the plan: xxhash64 gram
+        # keys + persisted gram frame) — expect byte-linear-ish like the
+        # other salt-inflated corpus cells, with the candidate join
+        # bounded by shared-gram pairs
+        "containment_dedup": _registered(spark, d, "text_containment_dedup"),
     }
 
 
@@ -960,20 +1025,30 @@ NOTES = """Notes on the flagged cells:
   above K by construction: the per-copy `c{i}_` token prefix inflates
   text bytes ~1.55x (measured on sf0.1), so K=10 copies carry ~15.5x
   the bytes — a ratio near 15 is byte-linear, not super-linear.
-- `triangle_count`: a controlled re-measurement of both adjacency-attach
-  paths on the 10x disjoint-copy graph (r7, FRESH session, cache cleared
-  per cell): broadcast 3.4s -> 11.0s (3.2x), co-partitioned shuffle
-  6.6s -> 34.5s (5.2x) — both well under K; broadcast stays the faster
-  path while the |V|-row adjacency fits executor memory, and
-  `count_triangles(broadcast_adjacency=False)` is the switch beyond.
-  The full-table cell above rides higher (~25x@10x) because it runs
-  late in the single smoke session AND the box sees sustained external
-  load windows (r7 controlled: a 30-query polluted session inflated
-  triangle only 1.24x, while its absolute time swung 2.6-9.2s with
-  host load-avg ~6 from outside the process tree; GCLocker allocation
-  retries were also logged during the 100x relational cells) —
-  artifacts of the measurement environment, not of the plan; the
-  fresh-session controlled numbers are the plan-quality signal.
+- `triangle_count` (cell refreshed r11 — it now measures the shipped
+  r11 plan, Arrow basket_edges + degree-oriented wedge join): 3.1s ->
+  8.4s (2.7x@10x, controlled one-off) vs the retired HOF-edge cell's
+  2.4s -> 60.8s — the 10x side collapses 7x because the edge build's
+  distinct exchange no longer moves pair instances.  History: the r7
+  controlled re-measurement of both adjacency-attach paths (broadcast
+  3.4s -> 11.0s / 3.2x, co-partitioned shuffle 6.6s -> 34.5s / 5.2x)
+  still governs the adjacency choice — broadcast while the |V|-row
+  adjacency fits executor memory, `count_triangles(
+  broadcast_adjacency=False)` beyond; the old cell's ~25x@10x reading
+  was dominated by external load windows the r7 controlled runs
+  isolated (load-avg ~6 from outside the process tree, GCLocker
+  retries), an environment artifact the refreshed cell no longer
+  carries.
+- `jaccard_probes` / `containment_dedup` (cells added r11, measuring
+  the two r11-reworked plans): probe-seeded Jaccard 8.7s -> 10.7s
+  (1.2x@10x — probes grow with K at constant density, but at this
+  volume fixed machinery still dominates the |probes| x deg^2 wedge
+  term; flat-ish certifies nothing super-linear hides in the arrow
+  edge build or the broadcast center filter), containment 3.6s ->
+  10.3s (2.9x@10x against the ~15.5x salt-inflated byte-linear mark —
+  the hashed-gram join is bounded by shared-gram pairs and the gram
+  frame persists once; the claim "linear in corpus bytes" in the bench
+  note now carries this number).
 - `spatial_grid` (added r5, measuring the r4 directed-half-ring plan):
   part amplifies into DISJOINT price bands (constant local density), so
   a linear ratio certifies the equi-join-on-cell plan; the 5x B-side
