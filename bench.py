@@ -373,9 +373,10 @@ DOCUMENTED_EXCEPTIONS = {
         "Boundedness measured by orders_lines_per_order_hist"
     ),
     "market_basket_lift": (
-        "embeds the same sanctioned HOF pair-expansion core as "
-        "market_basket_pairs (one persisted basket_arrays shuffle feeds "
-        "pairs + supports + basket count)"
+        "embeds the same Arrow pre-agg pair-count kernel as "
+        "market_basket_pairs (r11.3 — counts through the exchange, "
+        "never pair instances) over one persisted basket_arrays "
+        "shuffle that also feeds supports + basket count"
     ),
     "graph_pagerank_trade": (
         "5 fixed power iterations = 5 chained Spark jobs over a "

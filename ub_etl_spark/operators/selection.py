@@ -418,9 +418,19 @@ def basket_pair_counts_arrow(
     requires ids in [0, 2^31); batches outside that range fall back to a
     pandas two-column groupby, bit-identical, so the operator is correct
     at any id range."""
-    import pandas as pd
+    return basket_pair_counts_arrow_from_arrays(
+        basket_arrays(df, basket_col, item_col)
+    )
 
-    baskets = basket_arrays(df, basket_col, item_col)
+
+def basket_pair_counts_arrow_from_arrays(baskets: DataFrame) -> DataFrame:
+    """The Arrow pair-count pass over an existing basket_arrays frame —
+    the entry point for consumers that persist and branch from the
+    arrays (market_basket_lift shares one persisted basket shuffle
+    between pair counts, item supports and the basket count; r11.3
+    moves its pair branch from HOF instance expansion to this kernel).
+    Output: (part_a, part_b, n_orders)."""
+    import pandas as pd
 
     def pair_counts(batches):
         import numpy as np

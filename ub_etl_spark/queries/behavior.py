@@ -903,11 +903,11 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (P(ab)/(P(a)P(b))) and confidence — the actual recommendation
     scores market_basket_pairs' raw counts feed (count-ranked partners
     are just popular items; lift-ranked partners are genuinely
-    associated).  The pair counts come from the map-side basket
-    expansion (never a fact self-join — the oracle keeps the textbook
-    join form).  The per-order collect_set is the ONE shuffle the whole
-    query pays: pair expansion, item supports (explode of the arrays),
-    and the basket count all branch from the same persisted
+    associated).  The pair counts come from the Arrow pre-agg kernel
+    (never a fact self-join — the oracle keeps the textbook join
+    form).  The per-order collect_set is the ONE shuffle the whole
+    query pays: the pair-count kernel, item supports (explode of the
+    arrays), and the basket count all branch from the same persisted
     basket_arrays frame instead of re-aggregating the fact three times.
     Support >= 3 prunes noise pairs BEFORE the lift join; item supports
     are |parts|-sized and broadcast; every ratio is a shared-order
@@ -917,7 +917,7 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the support joins co-key on the pair columns (AQE)."""
     from ub_etl_spark.operators.selection import (
         basket_arrays,
-        basket_pairs_from_arrays,
+        basket_pair_counts_arrow_from_arrays,
     )
     from ub_etl_spark.session import tracked_persist
 
@@ -932,10 +932,13 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("ni"))
     )
+    # r11.3: the pair branch uses the Arrow pre-agg kernel over the SAME
+    # persisted arrays frame (counts through the exchange, never pair
+    # instances — the market_basket_pairs rework applied to the shared-
+    # frame plan; equality pinned in tests/test_behavior.py)
     pairs = (
-        basket_pairs_from_arrays(arrays)
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("nab"))
+        basket_pair_counts_arrow_from_arrays(arrays)
+        .withColumnRenamed("n_orders", "nab")
         .filter(F.col("nab") >= 3)
     )
     ia = item.select(F.col("l_partkey").alias("part_a"), F.col("ni").alias("ni_a"))
