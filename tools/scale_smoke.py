@@ -377,10 +377,13 @@ def _spatial_grid(pt):
 
 
 def _basket_lift(li):
-    # the shipped shared-basket plan (queries/behavior.market_basket_lift):
-    # ONE collect_set shuffle persisted, pair expansion + item supports +
-    # basket count all branch from it
-    from ub_etl_spark.operators.selection import basket_arrays, basket_pairs_from_arrays
+    # the shipped shared-basket plan (queries/behavior.market_basket_lift,
+    # r11.3 form): ONE collect_set shuffle persisted; the Arrow pair-count
+    # kernel + item supports + basket count all branch from it
+    from ub_etl_spark.operators.selection import (
+        basket_arrays,
+        basket_pair_counts_arrow_from_arrays,
+    )
     from ub_etl_spark.session import tracked_persist
 
     arrays = tracked_persist(basket_arrays(li, "l_orderkey", "l_partkey"))
@@ -391,9 +394,8 @@ def _basket_lift(li):
         .agg(F.count(F.lit(1)).alias("ni"))
     )
     pairs = (
-        basket_pairs_from_arrays(arrays)
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("nab"))
+        basket_pair_counts_arrow_from_arrays(arrays)
+        .withColumnRenamed("n_orders", "nab")
         .filter(F.col("nab") >= 3)
     )
     ia = item.select(F.col("l_partkey").alias("part_a"), F.col("ni").alias("ni_a"))
@@ -422,9 +424,11 @@ def _trade_balance(spark, d: str):
 
 
 def _basket_pairs(li):
-    from ub_etl_spark.operators.selection import basket_pair_counts
+    # the shipped r11 plan (queries/behavior.market_basket_pairs): the
+    # Arrow pre-agg pair kernel, counts through the exchange
+    from ub_etl_spark.operators.selection import basket_pair_counts_arrow
 
-    counted = basket_pair_counts(li, "l_orderkey", "l_partkey")
+    counted = basket_pair_counts_arrow(li, "l_orderkey", "l_partkey")
     w = W.partitionBy("part_a").orderBy(F.desc("n_orders"), F.asc("part_b"))
     return counted.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
 
@@ -1055,11 +1059,18 @@ NOTES = """Notes on the flagged cells:
   explode is a constant factor, not a growth term.  Overlaid copies
   would square the qualifying pairs by construction — a data property,
   not a plan property.
-- `basket_lift` (added r5, measuring the r4 shared-basket plan): one
-  persisted collect_set shuffle feeds pairs + supports + basket count;
+- `basket_pairs` / `basket_lift` (cells refreshed r11 — they now
+  measure the shipped Arrow pair-count plans): one persisted
+  collect_set shuffle feeds pairs + supports + basket count;
   orderkey-offset amplification grows baskets by K over a fixed part
   vocabulary, so pair CARDINALITY is ~flat while counts grow — the
   expected shape is ~linear in basket rows with a flat broadcast side.
+  The kernel swap moved lift's 100x side 29.4s -> 10.2s (13.1x ->
+  4.3x@100x: with pairs repeating ~K times under a fixed vocabulary,
+  in-worker pre-aggregation collapses the count exchange by ~K — the
+  regime where the kernel wins MOST, complementing the key-shifted sf1
+  regime where pairs barely repeat and the win is smaller); pairs
+  7.2x@100x (26.2s), ratio-stable vs the retired HOF cell.
 - `active_episodes` re-measured r5 after the fact pre-aggregation
   (per-order MAX(shipdate) before the orders join): the join now moves
   |orders| rows, not |lineitem| rows.
