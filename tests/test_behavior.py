@@ -77,6 +77,54 @@ def test_containment_registered_query_short_doc_safe(spark, sf_dir):
     assert all(0.8 <= r.containment <= 1.0 for r in rows)
 
 
+def test_containment_hashed_keys_equal_string_keys(spark, sf_dir):
+    """The r11 hash-first rework (xxhash64 gram keys, strings never
+    enter an exchange) must produce the same (id_a, id_b, containment)
+    rows as a string-keyed reference build — the collision budget says
+    equality is certain at any testable scale, so a mismatch here means
+    the plan rework broke semantics, not that a collision happened."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("t"))
+    grams = (
+        base.select("doc_id", "t", F.posexplode("t").alias("p", "tok"))
+        .filter(F.col("p") <= F.size("t") - 4)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", *[F.element_at("t", F.col("p") + j + 1) for j in range(4)]
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    sized = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.select(F.col("doc_id").alias("id_a"), "gram")
+    b = grams.select(F.col("doc_id").alias("id_b"), "gram")
+    overlap = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ref = (
+        overlap.join(
+            sized.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na")),
+            "id_a",
+        )
+        .join(
+            sized.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb")),
+            "id_b",
+        )
+        .withColumn(
+            "containment", F.col("n_shared").cast("double") / F.least("na", "nb")
+        )
+        .filter(F.col("containment") >= 0.8)
+        .select("id_a", "id_b", "containment")
+    )
+    got = sorted(map(tuple, text_containment_dedup(spark, sf_dir).collect()))
+    want = sorted(map(tuple, ref.collect()))
+    assert got == want
+
+
 def test_sequence_match_superset_of_strict_funnel(spark, sf_dir):
     """Every user completing the strict funnel (signup < first view <
     first purchase) must ALSO match the regex pattern; the match count
