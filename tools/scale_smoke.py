@@ -208,6 +208,15 @@ def queries(spark, d: str):
         # with the post-join conditional.
         "asof_nearest": _registered(spark, d, "join_asof_nearest"),
         "asof_tolerance": _registered(spark, d, "join_asof_tolerance"),
+        # r11 (sf1 adjudication follow-through): the two measured-accept
+        # sf1 perf tasks whose dispositions claim minimal scale-correct
+        # plans get amplification cells backing the claim — otif is one
+        # per-order MAX pre-agg + one join + a 5-row agg (the pre-agg is
+        # the |lines|/|orders| exchange reduction), q18 aggregates
+        # lineitem BEFORE any join so the HAVING prunes to the rare
+        # heavy keys first.  Expect ~linear for both.
+        "otif_rate": _registered(spark, d, "lineitem_otif_rate"),
+        "q18_heavy_orders": _registered(spark, d, "tpch_q18_large_orders"),
     }
 
 
@@ -998,6 +1007,15 @@ NOTES = """Notes on the flagged cells:
   lower bound is O(n) after the sort, and neither shape demands an
   Arrow rework.  burst's higher ratio is its tiny 1x base (~0.2s,
   mostly floor), not a super-linear term.
+- `otif_rate` / `q18_heavy_orders` (cells added r11, backing the two
+  measured-accept sf1 dispositions with amplification data): otif
+  0.78s -> 18.4s (23.5x@100x — per-order MAX pre-agg + join + 5-row
+  agg; the keyed agg/join exchanges absorb 100x rows at ~K/4) and q18
+  0.56s -> 4.9s (8.8x@100x — strongly sub-linear because the HAVING
+  prune after the aggregate-before-join leaves the joins only the rare
+  heavy keys, and heavy-key COUNT grows slower than rows under
+  key-shifted amplification).  Both far inside linear: the sf1 ratios
+  on these two were DuckDB-constant-factor gaps, not growth terms.
 - `asof_nearest` / `asof_tolerance` (r11, r10 verdict task 7): the
   as-of family's amplification cells (B75/B80/B158 — previously the
   only multi-member family without one).  Both are events-on-events
