@@ -906,14 +906,16 @@ NOTES = """Notes on the flagged cells:
     a full fact scan; the tax buys the 100x headroom above — accepted.
   * `lineitem_otif_rate` 9.8x/2.5s: decomposition — per-order MAX
     pre-agg 1.55s (~60%), orders join +0.5s, rate agg the rest; one
-    fact agg + one join is already minimal, accepted.
+    fact agg + one join is already minimal, accepted (backed by the
+    otif_rate 23.5x@100x cell above).
   * `agg_weighted_median` 5.4x/1.3s: two fact scans BY DESIGN (the
     2-phase selection contract that avoids the global sort —
     11.8x@100x cell above); accepted.
   * `tpch_q18_large_orders` 4.5x/1.7s: the heavy-order lineitem agg is
     ~60% of the cost (1.59s of 2.86s same-session) and the joins see
     only qualifying keys — the aggregate-before-join shape is the
-    scale plan; accepted.
+    scale plan; accepted (backed by the q18_heavy_orders 8.8x@100x
+    cell above).
 - `bfs_nation_hops` (r7): level-synchronous BFS over the trade graph.
   The 25-nation vertex set and the diameter are INVARIANT under fact
   amplification, so hop-round count is constant and the cell isolates
