@@ -101,91 +101,84 @@ _LOADED = False
 #   (c) the deferred residue is NAMED here each round so the next window
 #       is decidable without re-deriving the evidence map.
 #
-# ROUND-10 WINDOW (rotated; see git history for the list): 10 r3-evidence
-# Catalyst-surface single-shapes + 40 oldest-r4 — came back 50/50 green
-# (CORRECTNESS_r10), oldest evidence then r4.
+# ROUND-11 WINDOW (rotated; see git history for the list): 10 r4-evidence
+# TPC-H/aggregate deferrals + 40 oldest-r5 — came back 50/50 green
+# (CORRECTNESS_r11), oldest evidence then r5.
 #
-# ROUND-11 WINDOW (this list — r10 verdict task 1, byte-for-byte the set
-# `python tools/evidence_map.py --window 50` prints): (a) no rule-a
-# slots consumed by the window — session_window_arrow registers THIS
-# round (see the r11 registry decision above) but its two consecutive
-# windows are scheduled r12+r13: rule (a)'s purpose is two consecutive
-# windows of evidence for changed code, and its first window starts the
-# round after registration when the registration round's window has
-# zero slack, which r11's does (all 50 slots owed to the staleness
-# backlog the r10 verdict names).  evidence_map ranks a never-checked
-# query first, so the r12 window picks it up automatically.  (b) the 10
-# r4-evidence queries deferred from r10 (8 TPC-H multi-join shapes + 2
-# single-aggregate shapes); (c) 40 of the 50 r5-evidence queries,
-# oldest-first alphabetical.  The 10 r5 queries deferred to ROUND 12
-# (rule c, named residue): supplier_concentration_hhi text_keyphrase_topk
-# text_lexical_diversity text_unigram_logprob text_zipf_rank_fit
-# timeseries_autocorrelation timeseries_cusum_changepoint
-# timeseries_rolling_median tpch_q15_top_supplier udf_cogrouped_map.
-# Projected r12 window: session_window_arrow (rule a, window 1 of 2) +
-# market_basket_pairs (rule a: REWORKED r11 — pair counts now one
-# vectorized Arrow pass, operators/selection.basket_pair_counts_arrow;
-# equality + carry + fallback pinned in tests/test_behavior.py) +
-# text_containment_dedup (rule a: REWORKED r11 — xxhash64 gram keys +
-# persisted gram frame; its r10 evidence predates the plan change, and
-# the r11 window had no slack left; sf0.001+sf0.01 parity re-run green
-# at rework time) + those 10 r5 + 37 oldest-r6 refreshes.  The other
-# two r11-reworked queries (graph_jaccard_link_prediction,
-# graph_triangle_count) get their first post-rework window THIS round
-# — both sit in the rule-(c) list below.
+# ROUND-12 WINDOW (this list — r11 verdict task 1): (a) three rule-a
+# slots: session_window_arrow (registered r11, FIRST of its two
+# consecutive windows — the second is r13, verdict task 5) +
+# market_basket_pairs (REWORKED r11: pair counts in one vectorized
+# Arrow pass, operators/selection.basket_pair_counts_arrow; its r10
+# driver evidence predates that plan change) + text_containment_dedup
+# (REWORKED r11: xxhash64 gram keys + persisted gram frame; r10
+# evidence predates the change).  market_basket_lift owes NOTHING —
+# its r11 driver evidence (04:37) postdates the f29df56 rework (03:04),
+# verified by the r11 judge.  (b) the 10 r5-evidence queries deferred
+# from the r11 window (named in the r11 residue note, git history).
+# (c) 37 oldest-r6 refreshes, alphabetical.  The 12 r6 queries deferred
+# to ROUND 13 (rule c, named residue): tpch_q14_promo_revenue
+# tpch_q16_supplier_count tpch_q17_small_qty_revenue
+# tpch_q19_disjunctive_filter tpch_q20_promotion_suppliers
+# tpch_q4_priority_check tpch_q6_forecast_revenue upsert_merge
+# window_analytic window_ntile_dist window_range_frame window_rank.
+# Projected r13 window: session_window_arrow (rule a, window 2 of 2)
+# + any query whose plan changes in r12 (rule a) + those 12 r6 + the
+# remaining oldest-r7 refreshes.
 DRIVER_PRIORITY = [
-    # --- rule (b): the 10 r4-evidence queries deferred from the r10 window
-    "agg_bitwise_flags",
-    "stat_crosstab_segments",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q12_late_lines",
-    "tpch_q22_dormant_customers",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    # --- rule (c): 40 of the 50 r5-evidence queries (10 named above defer to r12)
-    "agg_benford_first_digit",
-    "agg_theil_inequality",
-    "agg_winsorized_mean",
-    "dim_date_generate",
-    "dim_scd2_apply_changes",
-    "dq_schema_contract",
-    "events_attribution_last_touch",
-    "events_bounce_rate",
-    "events_cohort_ltv",
-    "events_dow_hour_heatmap",
-    "events_funnel_any_order",
-    "events_funnel_windowed",
-    "events_impact_diff_in_diff",
-    "events_new_vs_returning",
-    "events_survival_curve",
-    "feature_target_encode",
-    "feature_trailing_windows",
-    "feature_woe_iv",
-    "graph_bfs_distance",
-    "graph_jaccard_link_prediction",
-    "graph_triangle_count",
-    "io_csv_malformed_quarantine",
-    "join_asof_tolerance",
-    "join_spatial_grid",
-    "lineitem_otif_rate",
-    "market_basket_lift",
-    "multimodal_dedup_exact",
-    "nation_trade_balance",
-    "orders_backlog_aging",
-    "orders_lines_per_order_hist",
-    "orders_repeat_purchase_rate",
-    "pipeline_churn_training_set",
-    "pipeline_media_prepare",
-    "privacy_l_diversity",
-    "skyline_pareto_frontier",
-    "split_group_aware",
-    "storage_gdpr_delete",
-    "storage_stats_pruned_read",
-    "storage_time_travel",
-    "stream_static_enrich",
+    # --- rule (a): never-checked + r11-reworked plans
+    "session_window_arrow",
+    "market_basket_pairs",
+    "text_containment_dedup",
+    # --- rule (b): the 10 r5-evidence queries deferred from the r11 window
+    "supplier_concentration_hhi",
+    "text_keyphrase_topk",
+    "text_lexical_diversity",
+    "text_unigram_logprob",
+    "text_zipf_rank_fit",
+    "timeseries_autocorrelation",
+    "timeseries_cusum_changepoint",
+    "timeseries_rolling_median",
+    "tpch_q15_top_supplier",
+    "udf_cogrouped_map",
+    # --- rule (c): 37 oldest-r6 refreshes (12 named above defer to r13)
+    "agg_count_distinct",
+    "agg_cube_grouping",
+    "agg_groupby",
+    "agg_hll_intersection",
+    "agg_kmv_distinct",
+    "agg_percentile",
+    "agg_rollup_cube",
+    "agg_stats_exact",
+    "array_map_funcs",
+    "bridge_join",
+    "count_running_total",
+    "dedup_cluster_cc",
+    "dedup_exact",
+    "dedup_fuzzy",
+    "dedup_get_or_insert",
+    "explode_array_scalar",
+    "explode_array_struct",
+    "explode_map",
+    "filter_null_guard",
+    "filter_predicate",
+    "insert_ignore_antijoin",
+    "join_broadcast",
+    "join_full_outer",
+    "join_inner_equi",
+    "join_left_outer",
+    "join_semi_anti",
+    "multimodal_phash_dedup",
+    "project_struct_access",
+    "quantile_bucket_approx",
+    "scalar_date_funcs",
+    "scalar_json_funcs",
+    "scalar_math_case",
+    "scalar_string_funcs",
+    "scan_parquet",
+    "set_union_distinct",
+    "sort_limit_topk",
+    "tpch_q13_customer_distribution",
 ]
 
 def load_all() -> dict[str, QuerySpec]:
