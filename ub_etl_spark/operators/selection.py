@@ -388,7 +388,7 @@ def basket_pair_counts_arrow(
     basket_arrays frame — the measured fast path for the counts-only
     consumer (r11 sf1 profiling).  Output: (part_a, part_b, n_orders),
     row-for-row equal to basket_pair_counts (pinned in
-    tests/test_selection.py).
+    tests/test_behavior.py).
 
     Why: the HOF expansion (nested transform + slice + flatten + explode
     + count agg) is interpreted expression evaluation per pair and ships
@@ -411,10 +411,13 @@ def basket_pair_counts_arrow(
     one full-data shuffle, pair work is basket-bounded (linear in
     baskets for bounded basket size, never catalog-quadratic), and the
     count exchange is at most the distinct-pair count.  The in-worker
-    accumulator is flushed whenever it exceeds ~2 M entries, bounding
-    worker memory at any corpus size (flush boundaries only affect how
+    accumulator buffers packed pair INSTANCES and is flushed whenever it
+    exceeds 4 M entries — the check runs inside the per-length-group
+    loop, so peak memory is the cap plus ONE length group's expansion
+    (r12 fix; the earlier per-batch check let peak reach cap + a whole
+    batch's quadratic pair expansion).  Flush boundaries only affect how
     much combining happens, not the result — the downstream sum
-    re-aggregates).  Packing guard: the int64 (a << 32) | b fast key
+    re-aggregates.  Packing guard: the int64 (a << 32) | b fast key
     requires ids in [0, 2^31); batches outside that range fall back to a
     pandas two-column groupby, bit-identical, so the operator is correct
     at any id range."""
@@ -439,10 +442,15 @@ def basket_pair_counts_arrow_from_arrays(baskets: DataFrame) -> DataFrame:
         # vectorized np.unique per flush — the r11.2 profile showed the
         # per-batch unique + Python dict-update loop (one dict op per
         # distinct pair per batch) dominating the worker; buffering
-        # defers ALL key collapsing to numpy.  The flush cap bounds
-        # worker memory at flush_cap * 8 bytes (~32 MB); flush
-        # boundaries only affect how much combining happens before the
-        # exchange, not the result — the downstream sum re-aggregates.
+        # defers ALL key collapsing to numpy.  The flush cap bounds the
+        # packed buffer at flush_cap * 8 bytes (~32 MB) plus one length
+        # group's expansion — the cap check runs inside the per-group
+        # loop (r12), not once per Arrow batch, so a batch of large
+        # baskets can no longer pile a whole batch's quadratic pair
+        # expansion on top of the cap.  Out-of-range-id fallback frames
+        # drain under the same cap.  Flush boundaries only affect how
+        # much combining happens before the exchange, not the result —
+        # the downstream sum re-aggregates.
         flush_cap = 4_000_000
         bufs: list = []
         buffered = 0
@@ -459,6 +467,17 @@ def basket_pair_counts_arrow_from_arrays(baskets: DataFrame) -> DataFrame:
             )
 
         fallback: list = []
+        fallback_rows = 0
+
+        def drain_fallback():
+            nonlocal fallback, fallback_rows
+            if not fallback:
+                return None
+            allp = pd.concat(fallback, ignore_index=True)
+            fallback, fallback_rows = [], 0
+            g = allp.groupby(["part_a", "part_b"], sort=False).size()
+            return g.rename("n").reset_index()
+
         for pdf in batches:
             by_len: dict = {}
             for arr in pdf["parts"]:
@@ -472,20 +491,24 @@ def basket_pair_counts_arrow_from_arrays(baskets: DataFrame) -> DataFrame:
                 b = m[:, ju].ravel()
                 if m.min() < 0 or m.max() >= (1 << 31):
                     fallback.append(pd.DataFrame({"part_a": a, "part_b": b}))
+                    fallback_rows += a.size
+                    if fallback_rows > flush_cap:
+                        out = drain_fallback()
+                        if out is not None:
+                            yield out
                     continue
                 bufs.append((a << 32) | b)
                 buffered += a.size
-            if buffered > flush_cap:
-                out = drain()
-                if out is not None:
-                    yield out
+                if buffered > flush_cap:
+                    out = drain()
+                    if out is not None:
+                        yield out
         out = drain()
         if out is not None:
             yield out
-        if fallback:
-            allp = pd.concat(fallback, ignore_index=True)
-            g = allp.groupby(["part_a", "part_b"], sort=False).size()
-            yield g.rename("n").reset_index()
+        out = drain_fallback()
+        if out is not None:
+            yield out
 
     partial = baskets.mapInPandas(
         pair_counts, "part_a bigint, part_b bigint, n bigint"

@@ -203,25 +203,32 @@ def text_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     r11 sf1 perf pass (the named-task profile): grams are keyed by
     xxhash64 BEFORE the distinct — gram STRINGS never enter any
     exchange (the distinct, the self-join and the sized agg all move
-    8-byte longs) — and the hashed distinct frame IS persisted for its
-    three consumers.  Measured same-session at sf1 (6 MB corpus, 2.56 M
-    distinct grams): string-keyed no-persist (the pre-r11 form) 9.0-11.0
-    s; hash-first no-persist 6.0 s; hash-first + persist 3.3 s
+    fixed-width longs) — and the hashed distinct frame IS persisted for
+    its three consumers.  Measured same-session at sf1 (6 MB corpus,
+    2.56 M distinct grams): string-keyed no-persist (the pre-r11 form)
+    9.0-11.0 s; hash-first no-persist 6.0 s; hash-first + persist 3.3 s
     (materialization paid inside the measurement; the sf0.1 finding
     that persist is 1.7x SLOWER reverses once the corpus outgrows the
     per-stage floor — persisting 8-byte keys is not persisting ~20x
-    string bytes).  Collision budget for the 64-bit key: a count is
-    corrupted only when two DISTINCT grams collide AND co-occur in a
-    compared pair; expected colliding gram pairs ~ (2.56e6)^2 / 2^65 ~
-    2e-7 at sf1 (zero in any run we can observe), and at a 1e12-gram
-    corpus ~3e4 colliding pairs against ~5e23 candidate pairs — a
-    sub-ppm perturbation of one count in one containment ratio, named
-    acceptable for a 0.8-threshold dedup gate; the paranoia lever is a
-    2x64-bit composite key (xxhash64(gram, seed 0), xxhash64(gram,
-    seed 1)), which keeps the exchange at 16 bytes/row.  The output
-    never exposes the gram, so the hash is invisible to the oracle
-    absent a collision.  Scale lever beyond this: banding (as in
-    minhash) when the corpus outgrows the gram join."""
+    string bytes).
+
+    r12 (ADVICE close): the key is a 2x64-bit COMPOSITE —
+    (xxhash64(gram), xxhash64(gram, lit(1))) — so a count perturbation
+    needs the same gram pair to collide under BOTH independent hashes
+    (~2^-128 per pair; ~1e-14 expected colliding pairs even at a
+    1e12-gram corpus), restoring by-construction hash_match with the
+    string-keyed oracle at any conceivable scale while keeping the
+    exchange at 16 fixed-width bytes/row (vs ~80-byte gram strings).
+    Same-session sf1 A/B at the promotion: single-key 3.10 s vs
+    composite 3.94 s min-of-3 (+27%, the second hash evaluation plus
+    the wider exchange), accepted for the exactness guarantee on a
+    hash-checked oracle query.  The output never exposes the gram, so the hash is
+    invisible to the oracle absent a double collision.  Scale lever
+    beyond this: banding when the corpus outgrows the gram join — built
+    as the registered twin text_containment_banded (see below), which
+    minhash-bands doc gram-sets to candidate pairs and verifies exact
+    containment on candidates only; this exact gram-join form is its
+    recall reference."""
     from ub_etl_spark.session import tracked_persist
 
     d = T(spark, sf_dir, "documents")
@@ -238,7 +245,9 @@ def text_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__pos") <= F.size("__toks") - 4)
         .select(
             "doc_id",
-            # hash-first: the string exists only inside this projection
+            # hash-first: the string exists only inside this projection;
+            # 2x64-bit composite key (second hash salted with lit(1)) —
+            # exact-by-construction vs the string oracle, 16 bytes/row
             F.xxhash64(
                 F.concat_ws(
                     " ",
@@ -248,14 +257,24 @@ def text_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ],
                 )
             ).alias("gram"),
+            F.xxhash64(
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at("__toks", F.col("__pos") + j + 1)
+                        for j in range(4)
+                    ],
+                ),
+                F.lit(1),
+            ).alias("gram2"),
         )
         .distinct()
     )
     sized = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    a = grams.select(F.col("doc_id").alias("id_a"), "gram")
-    b = grams.select(F.col("doc_id").alias("id_b"), "gram")
+    a = grams.select(F.col("doc_id").alias("id_a"), "gram", "gram2")
+    b = grams.select(F.col("doc_id").alias("id_b"), "gram", "gram2")
     overlap = (
-        a.join(b, "gram")
+        a.join(b, ["gram", "gram2"])
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))

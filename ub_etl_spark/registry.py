@@ -123,7 +123,10 @@ _LOADED = False
 # tpch_q4_priority_check tpch_q6_forecast_revenue upsert_merge
 # window_analytic window_ntile_dist window_range_frame window_rank.
 # Projected r13 window: session_window_arrow (rule a, window 2 of 2)
-# + any query whose plan changes in r12 (rule a) + those 12 r6 + the
+# + rule-a slots for plans that changed in r12 — text_containment_dedup
+# (2x64-bit composite gram key, ADVICE close), market_basket_pairs and
+# market_basket_lift (shared Arrow kernel's flush check moved inside
+# the per-length-group loop, ADVICE close) — + those 12 r6 + the
 # remaining oldest-r7 refreshes.
 DRIVER_PRIORITY = [
     # --- rule (a): never-checked + r11-reworked plans
