@@ -125,6 +125,28 @@ def test_containment_hashed_keys_equal_string_keys(spark, sf_dir):
     assert got == want
 
 
+def test_containment_banded_recall_and_precision(spark, sf_dir):
+    """The banded twin (r12, B102 scale path) vs the registered exact
+    form: precision must be 1.0 by construction (verified candidates
+    only, so banded ⊆ exact), recall pinned >= 0.9 at the registered
+    operating point (the corpus's true pairs are near-identical twins,
+    where the S-curve sits at ~1.0), and scores on recalled pairs must
+    be bit-equal (both sides divide the same two exact counts)."""
+    from ub_etl_spark.queries.behavior import text_containment_banded
+
+    exact = {
+        (r.id_a, r.id_b): r.containment
+        for r in text_containment_dedup(spark, sf_dir).collect()
+    }
+    banded = {
+        (r.id_a, r.id_b): r.containment
+        for r in text_containment_banded(spark, sf_dir).collect()
+    }
+    assert set(banded) <= set(exact)  # precision 1.0
+    assert len(banded) / max(len(exact), 1) >= 0.9  # recall
+    assert all(banded[k] == exact[k] for k in banded)  # exact scores
+
+
 def test_sequence_match_superset_of_strict_funnel(spark, sf_dir):
     """Every user completing the strict funnel (signup < first view <
     first purchase) must ALSO match the regex pattern; the match count

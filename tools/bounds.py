@@ -259,6 +259,31 @@ def bound_minhash(spark, sf) -> dict:
     }
 
 
+def bound_containment_banded(spark, sf) -> dict:
+    """Pair recall of the banded containment twin vs the registered
+    exact gram-join form (text_containment_dedup) at threshold 0.8.
+    Precision is 1.0 by construction (exact verify on candidates);
+    `pass` also requires the banded pair set to be a subset of exact."""
+    from ub_etl_spark.queries.behavior import (
+        text_containment_banded,
+        text_containment_dedup,
+    )
+    from ub_etl_spark.session import release_persisted
+
+    exact = {(r.id_a, r.id_b) for r in text_containment_dedup(spark, sf).collect()}
+    release_persisted()
+    banded = {(r.id_a, r.id_b) for r in text_containment_banded(spark, sf).collect()}
+    release_persisted()
+    rec = len(banded & exact) / max(len(exact), 1)
+    return {
+        "pinned_bound": 0.9,
+        "measured": round(rec, 4),
+        "unit": "pair_recall_vs_exact_containment@0.8 (precision 1.0 by construction)",
+        "op_point": f"registered: n=4 perm=16 bands=8 threshold=0.8; {len(exact)} true pairs",
+        "pass": rec >= 0.9 and banded <= exact,
+    }
+
+
 def bound_simhash(spark, sf) -> dict:
     docs = load_table(spark, sf, "documents")
     exact = {
@@ -428,6 +453,7 @@ MEASURES = {
     "sim_rerank_mmr": bound_mmr,
     "dedup_minhash_lsh": bound_minhash,
     "dedup_simhash": bound_simhash,
+    "text_containment_banded": bound_containment_banded,
     "agg_kmv_distinct": bound_kmv,
     "quantile_bucket_approx": bound_equidepth_approx,
     "sim_ann_pq": bound_ann_pq,

@@ -297,6 +297,25 @@ def text_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# B102 scale path (r11 verdict task 2): banded candidate generation +
+# exact containment verify over the FULL corpus — the twin pattern the
+# repo uses when the oracle-shaped exact form stops scaling
+# (equidepth_2phase, episodes_arrow).  Rows-only: xxhash64 band seeds
+# have no portable oracle and recall is probabilistic; the quantitative
+# claim lives in BOUNDS.json (pair recall vs the registered exact form
+# at threshold 0.8, precision 1.0 by construction) and is pinned in
+# tests/test_behavior.py.  The exact gram-join form above stays
+# registered as the recall reference.
+@register("text_containment_banded", tier="B", oracle=None)
+def text_containment_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ub_etl_spark.operators.dedup import containment_banded_pairs
+
+    docs = T(spark, sf_dir, "documents")
+    return containment_banded_pairs(
+        docs, "doc_id", "text", n=4, num_perm=16, bands=8, threshold=0.8
+    )
+
+
 @register(
     "events_sequence_match",
     tier="B",
