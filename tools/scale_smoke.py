@@ -732,6 +732,13 @@ def corpus_queries(spark, d: str):
         # other salt-inflated corpus cells, with the candidate join
         # bounded by shared-gram pairs
         "containment_dedup": _registered(spark, d, "text_containment_dedup"),
+        # r12 (r11 verdict task 2): the banded containment twin beside
+        # its exact reference.  Expect flatter-than-exact growth: the
+        # full-corpus work is one doc-keyed aggregate + a band join with
+        # S-curve-capped buckets; verification is candidate-bounded
+        # (array_intersect on compact per-doc sets), where the exact
+        # form's gram join pays a row per co-occurring gram pair
+        "containment_banded": _registered(spark, d, "text_containment_banded"),
     }
 
 
