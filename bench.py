@@ -1054,6 +1054,36 @@ def main() -> None:
         else:
             ratio[name] = None
     oracle_s = {n: v for n, v in oracle_s.items() if n in timings}
+    # Rolling oracle floor (r11 verdict task 6): the sum/median ratio
+    # aggregates swung 2.0 -> 2.59 between sidecars purely on
+    # oracle-SESSION speed (63.1s vs 83.4s for the same SQL on the same
+    # data) — DuckDB wall-clock on this shared VM moves with box load
+    # just like Spark's.  ORACLE_FLOOR.json persists, per sf and query,
+    # the fastest oracle second ever observed (merge-min: floors only
+    # ratchet down, so a loaded session can never loosen them; the data
+    # per sf is immutable, so the min is a property of the query, not
+    # the session).  The *_vs_rolling_floor aggregates divide this run's
+    # Spark seconds by those floors — they move only when the ENGINE
+    # moves.  CONVENTION: read cross-round ratio trends from the
+    # rolling-floor aggregates; the same-session aggregates remain for
+    # single-artifact auditability (ratio pairs measured minutes apart).
+    floor_file = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "ORACLE_FLOOR.json"
+    )
+    floor_doc: dict = {}
+    if os.path.exists(floor_file):
+        try:
+            with open(floor_file) as fh:
+                floor_doc = json.load(fh)
+        except Exception:  # noqa: BLE001
+            floor_doc = {}
+    sf_key = f"sf{sf}"
+    stored_floors = floor_doc.get(sf_key, {})
+    rolling = {n: round(min(stored_floors.get(n, o), o), 4) for n, o in oracle_s.items()}
+    floor_doc[sf_key] = {**stored_floors, **rolling}
+    with open(floor_file, "w") as fh:
+        json.dump(floor_doc, fh, indent=1, sort_keys=True)
+        fh.write("\n")
     total = round(sum(timings.values()), 4)
     oracle_total = round(sum(oracle_s.values()), 4)
     spark_with_oracle = round(sum(timings[n] for n in oracle_s), 4)
@@ -1115,6 +1145,26 @@ def main() -> None:
             timings[n] / max(oracle_s[n], 1e-9)
             for n in above
             if oracle_s[n] >= SMALL_ORACLE_FLOORS * floor_s
+        ]
+    )
+    # Rolling-floor twins of the two headline ratio aggregates (see the
+    # ORACLE_FLOOR.json comment above): same sets and cutoffs, oracle
+    # side replaced by the per-query rolling floor.
+    above_roll = [n for n in rolling if rolling[n] >= floor_s]
+    agg_ratio_excl_rolling = (
+        round(
+            sum(timings[n] for n in above_roll)
+            / max(sum(rolling[n] for n in above_roll), 1e-9),
+            2,
+        )
+        if above_roll
+        else None
+    )
+    median_ratio_meaningful_rolling = _median(
+        [
+            timings[n] / max(rolling[n], 1e-9)
+            for n in above_roll
+            if rolling[n] >= SMALL_ORACLE_FLOORS * floor_s
         ]
     )
     # Floor-adjusted ratio: plan time net of the fixed per-job machinery
@@ -1306,6 +1356,13 @@ def main() -> None:
         # trends from this one
         "median_ratio_meaningful_oracle": median_ratio_meaningful,
         "aggregate_ratio_excl_subfloor_and_exceptions": agg_ratio_plan,
+        # rolling-floor twins (r11 verdict task 6): oracle side is the
+        # per-query min over ALL recorded runs (ORACLE_FLOOR.json), so
+        # these move only when the engine moves — read cross-round
+        # trends from these two
+        "oracle_floor_rolling": rolling,
+        "aggregate_ratio_excl_subfloor_vs_rolling_floor": agg_ratio_excl_rolling,
+        "median_ratio_meaningful_vs_rolling_floor": median_ratio_meaningful_rolling,
         # 1-min/5-min load average + uptime captured before each pass:
         # the evidence that exonerates (or indicts) a wall-clock delta
         # on this shared VM (r7: external load ~6 swung graph cells 3x)
@@ -1374,6 +1431,8 @@ def main() -> None:
         "aggregate_ratio_excl_subfloor": agg_ratio_excl,
         "median_ratio_meaningful_oracle": median_ratio_meaningful,
         "aggregate_ratio_excl_subfloor_and_exceptions": agg_ratio_plan,
+        "aggregate_ratio_excl_subfloor_vs_rolling_floor": agg_ratio_excl_rolling,
+        "median_ratio_meaningful_vs_rolling_floor": median_ratio_meaningful_rolling,
         "n_subfloor": len(sub_floor),
         "n_floor_adjacent": len(floor_adjacent),
         "n_small_oracle_cap_only": len(small_oracle_cap_only),

@@ -92,7 +92,7 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/selection.basket_pair_counts_arrow — r11 rework, sf1
     profiling: 17.6 s -> 9.7 s at 6 M lineitem, 4.1 s -> ~3.0 s at
     bench sf0.1; row-for-row equality with the HOF form pinned in
-    tests/test_selection.py), so the count exchange moves distinct-pair
+    tests/test_behavior.py), so the count exchange moves distinct-pair
     counts, never pair instances.  The oracle's self-join formulation
     materializes every joined row through a second exchange (measured
     2.5x slower than the HOF form at sf0.1, 15.8 s at sf1) and its join
