@@ -370,6 +370,17 @@ DOCUMENTED_EXCEPTIONS = {
         "amplification keeps near pair-instance cardinality (copies "
         "don't share pairs, so pre-aggregation can't shrink it below "
         "distinct-pair count); oracle keeps the join form in-process.  "
+        "ADJUDICATED DONE r12 (third measured non-change closes the "
+        "perf task): fusing the count exchange into the window's "
+        "part_a exchange — repartition(part_a) satisfies clustering "
+        "for BOTH the (part_a,part_b) agg and the top-3 window, 6 -> 4 "
+        "exchanges, bit-equal output — measured 7.4s vs the shipped "
+        "6.0s min-of-3 same-session at sf1: the exchanges are NOT the "
+        "bottleneck, per-worker kernel + agg/sort work is, and that "
+        "work is already minimal (one vectorized np.unique over packed "
+        "int64 keys).  The remaining sf1 gap vs DuckDB's in-process "
+        "join is single-node constant factor; the 100x SCALING cell "
+        "(8.5x@100x, sub-linear) is the scale evidence.  "
         "Boundedness measured by orders_lines_per_order_hist"
     ),
     "market_basket_lift": (
