@@ -355,7 +355,14 @@ DOCUMENTED_EXCEPTIONS = {
         "(distinct pairs through the exchange, never pair instances — "
         "operators/graph.basket_edges, 18.6s -> 7.1s edge build) and a "
         "broadcast semi filter drops probe-disjoint wedge centers "
-        "map-side; sidecar 10.3s -> 7.3s (4.5x -> 3.2x floor-adjusted)"
+        "map-side; sidecar 10.3s -> 7.3s (4.5x -> 3.2x floor-adjusted). "
+        "ADJUDICATED DONE r12: the documented degree-cap lever measured "
+        "as a non-change at sf1 (12.6s uncapped vs 17.6s p99-capped "
+        "min-of-3 same-session — the co-purchase graph has no hubs: "
+        "degree p50=119/p99=182/max=222, so the cap's semi filters cost "
+        "more than the uniform wedge work they skip and perturb 6 of "
+        "the true top-50).  Residual is the deg^2 wedge work both "
+        "engines pay; the lever stays documented for power-law graphs"
     ),
     "market_basket_pairs": (
         "basket-bounded pair COUNTS via one vectorized Arrow pass that "

@@ -186,7 +186,19 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     runs); existing edges anti-join out on the canonical orientation;
     degrees attach broadcast; the Jaccard denominator is inclusion-
     exclusion (dx + dy − cn), no second intersection pass.  Batch-mode
-    all-pairs variants degree-cap hubs first — the documented lever."""
+    all-pairs variants degree-cap hubs first — the documented lever.
+
+    Degree-cap lever MEASURED r12 (r11 verdict task 4), non-change:
+    same-session sf1 A/B of the registered plan vs a p99-degree-capped
+    wedge build (cap=182, two broadcast semi filters on the low-degree
+    center set) read 12.6s uncapped vs 17.6s capped min-of-3 — the
+    co-purchase graph has NO hubs to cap (degree p50=119, p99=182,
+    max=222: under 2x spread), so the filter's extra semi-joins cost
+    more than the uniform wedge work they skip, while perturbing 6 of
+    the true top-50.  The lever stays documented for power-law graphs,
+    where hub degree — not corpus size — drives the deg² term; on this
+    graph the residual vs DuckDB is the deg² wedge work both engines
+    pay, adjudicated as the plan's honest cost."""
     li = T(spark, sf_dir, "lineitem")
     edges = tracked_persist(basket_edges(li, "l_orderkey", "l_partkey"))
     sym = edges.unionAll(
