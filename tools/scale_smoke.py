@@ -873,6 +873,21 @@ NOTES = """Notes on the flagged cells:
   — one exchange + one WindowExec; the row-materialization machinery
   amortizes).  The 8 rows still over 2x at sf1 are named r11 perf
   tasks; per-query profiled dispositions follow in the bullet below.
+- r12 adjudication: the three flags the r11 verdict held open are all
+  resolved with same-session sf1 data.  `market_basket_pairs` DONE on
+  a third measured non-change (exchange fusion via repartition(part_a)
+  — 6 -> 4 exchanges, bit-equal output — 7.4s vs the shipped 6.0s:
+  exchanges aren't the bottleneck; sidecar row refreshed 8.3s -> 6.1s
+  post kernel-cap-fix, 14.7 floor-adjusted).  `text_containment_dedup`
+  DONE: the banded corpus-scale twin is built and registered
+  (text_containment_banded — see its 10x cell and BOUNDS.json recall
+  1.0) with the exact form as recall reference; the exact form's
+  sidecar row refreshed for the r12 composite-key plan, 4.1s -> 3.4s /
+  5.2 floor-adjusted.  `graph_jaccard_link_prediction` DONE: the
+  documented degree-cap lever measured as a non-change (12.6s uncapped
+  vs 17.6s p99-capped — no hubs on this graph: degree p50=119/p99=182/
+  max=222, under 2x spread; cap also perturbs 6 of the true top-50);
+  residual is the deg^2 wedge work both engines pay.
 - sf1 perf-task profiles (r11): each task got a same-session stage
   decomposition at sf1 (intermediate-frame noop timing) and either a
   landed rework or a measured-accept disposition.  Table values above
@@ -1080,6 +1095,20 @@ NOTES = """Notes on the flagged cells:
   the hashed-gram join is bounded by shared-gram pairs and the gram
   frame persists once; the claim "linear in corpus bytes" in the bench
   note now carries this number).
+- `containment_dedup` cell REFRESHED r12 (the registered plan changed:
+  2x64-bit composite gram key, ADVICE close) and `containment_banded`
+  added beside it (r11 verdict task 2 — the banded twin): exact 1.2s ->
+  5.1s (4.2x@10x), banded 0.43s -> 3.6s (8.3x@10x; the higher ratio is
+  a floor artifact of its small 1x side, not a growth term — both sit
+  far under the ~15.5x byte-linear mark, and the banded form is
+  absolutely faster at BOTH scales: 2.8x at 1x, 1.4x at 10x).  The
+  banded plan's full-corpus work is one doc-keyed aggregate plus an
+  S-curve-capped band join; verification is candidate-bounded
+  array_intersect — the shape that keeps working when hot grams make
+  the exact join's co-occurring-pair count super-linear.  Recall vs
+  the exact form at threshold 0.8: 1.0 at sf0.001/sf0.01/sf0.1
+  corpora (BOUNDS.json; the true pairs are near-identical twins), with
+  the size-skew recall decay documented in the operator docstring.
 - `spatial_grid` (added r5, measuring the r4 directed-half-ring plan):
   part amplifies into DISJOINT price bands (constant local density), so
   a linear ratio certifies the equi-join-on-cell plan; the 5x B-side
@@ -1097,7 +1126,14 @@ NOTES = """Notes on the flagged cells:
   in-worker pre-aggregation collapses the count exchange by ~K — the
   regime where the kernel wins MOST, complementing the key-shifted sf1
   regime where pairs barely repeat and the win is smaller); pairs
-  7.2x@100x (26.2s), ratio-stable vs the retired HOF cell.
+  7.2x@100x (26.2s), ratio-stable vs the retired HOF cell.  Cells
+  REFRESHED again r12 (the kernel's flush-cap check moved inside the
+  per-length-group loop and the fallback drain became incremental —
+  ADVICE close; flush boundaries don't change results, only worker
+  memory pacing): pairs 2.3s -> 19.6s (8.5x@100x), lift 3.6s -> 16.5s
+  (4.6x@100x) — ratios within the r11 cell's band, absolutes inside
+  the documented cross-session swing, confirming the cap fix is
+  memory-bound-only.
 - `active_episodes` re-measured r5 after the fact pre-aggregation
   (per-order MAX(shipdate) before the orders join): the join now moves
   |orders| rows, not |lineitem| rows.
