@@ -169,6 +169,7 @@ HEADLINE = [
     "market_basket_pairs",
     "stream_late_data_accounting",
     "text_containment_dedup",
+    "text_containment_banded",
     "udaf_grouped_agg",
     # round-3: warehouse-modeling tier (queries/warehouse.py)
     "dim_date_generate",
