@@ -1086,6 +1086,14 @@ def main() -> None:
     # moves.  CONVENTION: read cross-round ratio trends from the
     # rolling-floor aggregates; the same-session aggregates remain for
     # single-artifact auditability (ratio pairs measured minutes apart).
+    # Demonstrated at introduction (r12, two same-day quiet-box runs of
+    # identical code): aggregate_ratio_excl_subfloor read 0.93 vs 1.32
+    # (42% spread — both sides of the division moved with the session),
+    # while aggregate_ratio_excl_subfloor_vs_rolling_floor read 1.37 vs
+    # 1.38 (0.7%).  The MEDIAN-vs-rolling twin stays set-sensitive (the
+    # meaningful-oracle cutoff scales with the per-run spark job floor),
+    # so the sum form is the stable one here — the reverse of the
+    # session-measured pair.
     floor_file = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "ORACLE_FLOOR.json"
     )
