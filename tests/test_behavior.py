@@ -147,6 +147,36 @@ def test_containment_banded_recall_and_precision(spark, sf_dir):
     assert all(banded[k] == exact[k] for k in banded)  # exact scores
 
 
+def test_containment_banded_skew_limitation_pinned(spark):
+    """Pin the operator docstring's recall-decay claim with planted
+    high-skew fixtures: a 20-token prefix of a 200-token doc has
+    containment 1.0 but pair-jaccard ~0.086 (17 shared of 197 grams),
+    so each band collides only when that seed's min-gram of the BIG doc
+    falls inside the 17 shared grams (P ~ 0.086/seed, ~6% over 8
+    bands).  xxhash64 is deterministic, so per-fixture outcomes are
+    pinnable: vocabulary seed 1 MISSES (the documented limitation made
+    visible), vocabulary seed 7 catches (the collision is luck, not
+    correctness — which is why recall is claimed only where measured:
+    BOUNDS.json pins 1.0 on the near-identical-twin corpora, and the
+    exact gram-join form remains the reference for skewed corpora)."""
+    import random
+
+    from ub_etl_spark.operators.dedup import containment_banded_pairs
+
+    def planted(vocab_seed):
+        rng = random.Random(vocab_seed)
+        words = [f"w{rng.randrange(10**6)}" for _ in range(200)]
+        docs = spark.createDataFrame(
+            [(1, " ".join(words)), (2, " ".join(words[:20]))],
+            "doc_id long, text string",
+        )
+        return containment_banded_pairs(docs, "doc_id", "text").collect()
+
+    assert planted(1) == []  # the S-curve miss, pinned
+    caught = planted(7)
+    assert [(r.id_a, r.id_b, r.containment) for r in caught] == [(1, 2, 1.0)]
+
+
 def test_sequence_match_superset_of_strict_funnel(spark, sf_dir):
     """Every user completing the strict funnel (signup < first view <
     first purchase) must ALSO match the regex pattern; the match count
