@@ -223,6 +223,17 @@ EXPECT = {
     "market_basket_pairs": ["WindowGroupLimit", "HashAggregate"],
     "stream_late_data_accounting": ["Window", "HashAggregate", "Exchange hashpartitioning(user_id"],
     "text_containment_dedup": ["Generate", "HashAggregate", "codegen id :"],
+    # banded twin (r12): the signature frame is persisted for the band
+    # explode + both verify joins; candidate generation is an EQUI band
+    # join (never a cross product); the wide gram-set arrays ride only
+    # doc_id-keyed exchanges
+    "text_containment_banded": [
+        "InMemoryTableScan",
+        "Generate",
+        "HashAggregate",
+        "!CartesianProduct",
+        "!BroadcastNestedLoopJoin",
+    ],
     # pandas GROUPED_AGG UDAF plans as a real aggregate (ArrowAggregatePython
     # over one group-key exchange) with the scan pruned to the 2 used columns
     "udaf_grouped_agg": [
