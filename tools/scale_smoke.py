@@ -1017,6 +1017,15 @@ NOTES = """Notes on the flagged cells:
   query pinned row-for-row in tests/test_intervals.py) — 0.97s at 1x
   (Arrow fixed overhead loses below ~1M events) but 6.0s at 100x,
   1.6x faster absolute, with the gap growing as per-key counts do.
+  An Arrow gapfill twin was measured r12 and REJECTED with data
+  (applyInPandas per-user searchsorted forward fill, row-equal):
+  0.35s vs 3.6s at 1x and 11.9s vs 18.0s at 100x same-session — the
+  many-small-groups regime (thousands of users, small per-user grids)
+  pays a per-group pandas construction cost the session twin's
+  mapInPandas batch shape never does, and the windowed form's per-user
+  sorts stay tiny.  The keyed window IS the right plan here; the
+  "neither shape demands a rework" conclusion carries a direct A/B,
+  not just the envelope argument.
 - `running_distinct_2window` / `burst_range_frame` (r10, r8 verdict
   task 4): the last two per-key-growth window shapes under the events
   amplification (per-user rows grow by K).  The expanding-distinct
