@@ -1082,11 +1082,13 @@ def main() -> None:
     # ratchet down, so a loaded session can never loosen them; the data
     # per sf is immutable, so the min is a property of the query, not
     # the session).  The *_vs_rolling_floor aggregates divide this run's
-    # Spark seconds by those floors — they move only when the ENGINE
-    # moves.  CONVENTION: read cross-round ratio trends from the
+    # Spark seconds by those floors — the ORACLE-session noise term is
+    # removed (the numerator still moves with box load like any Spark
+    # wall-clock, so the quiet-box convention still applies to the run
+    # itself).  CONVENTION: read cross-round ratio trends from the
     # rolling-floor aggregates; the same-session aggregates remain for
     # single-artifact auditability (ratio pairs measured minutes apart).
-    # Demonstrated at introduction (r12, two same-day quiet-box runs of
+    # Demonstrated at introduction (r12, two same-day QUIET-BOX runs of
     # identical code): aggregate_ratio_excl_subfloor read 0.93 vs 1.32
     # (42% spread — both sides of the division moved with the session),
     # while aggregate_ratio_excl_subfloor_vs_rolling_floor read 1.37 vs
@@ -1094,6 +1096,17 @@ def main() -> None:
     # meaningful-oracle cutoff scales with the per-run spark job floor),
     # so the sum form is the stable one here — the reverse of the
     # session-measured pair.
+    # Floor entries carry the sha1 of the oracle SQL they were measured
+    # under: an oracle REWRITE invalidates its stale floor (a cheap-SQL
+    # floor must not survive a move to a more expensive formulation, or
+    # the trend aggregate reports a phantom engine regression forever).
+    # Legacy bare-float entries (the r12 seed) adopt the current sha on
+    # first contact — no oracle text changed between the seeding runs
+    # and the sha stamping.  The write is atomic (temp + rename) so a
+    # killed run can't truncate the history; a corrupt file is loudly
+    # reset, not silently.
+    import hashlib
+
     floor_file = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "ORACLE_FLOOR.json"
     )
@@ -1102,15 +1115,32 @@ def main() -> None:
         try:
             with open(floor_file) as fh:
                 floor_doc = json.load(fh)
-        except Exception:  # noqa: BLE001
+        except Exception as exc:  # noqa: BLE001
+            print(
+                f"WARNING: ORACLE_FLOOR.json unreadable ({exc}); "
+                "resetting floor history from this run",
+                file=sys.stderr,
+            )
             floor_doc = {}
     sf_key = f"sf{sf}"
     stored_floors = floor_doc.get(sf_key, {})
-    rolling = {n: round(min(stored_floors.get(n, o), o), 4) for n, o in oracle_s.items()}
-    floor_doc[sf_key] = {**stored_floors, **rolling}
-    with open(floor_file, "w") as fh:
+    rolling: dict[str, float] = {}
+    new_stored: dict[str, dict] = {}
+    for n, o in oracle_s.items():
+        sha = hashlib.sha1(registry[n].oracle.encode()).hexdigest()[:12]
+        prev_entry = stored_floors.get(n)
+        if isinstance(prev_entry, dict):
+            prev_floor = prev_entry.get("s") if prev_entry.get("sha") == sha else None
+        else:
+            prev_floor = prev_entry  # legacy bare float: adopt, stamp sha
+        rolling[n] = round(o if prev_floor is None else min(prev_floor, o), 4)
+        new_stored[n] = {"s": rolling[n], "sha": sha}
+    floor_doc[sf_key] = {**stored_floors, **new_stored}
+    tmp_floor = floor_file + ".tmp"
+    with open(tmp_floor, "w") as fh:
         json.dump(floor_doc, fh, indent=1, sort_keys=True)
         fh.write("\n")
+    os.replace(tmp_floor, floor_file)
     total = round(sum(timings.values()), 4)
     oracle_total = round(sum(oracle_s.values()), 4)
     spark_with_oracle = round(sum(timings[n] for n in oracle_s), 4)
@@ -1385,8 +1415,9 @@ def main() -> None:
         "aggregate_ratio_excl_subfloor_and_exceptions": agg_ratio_plan,
         # rolling-floor twins (r11 verdict task 6): oracle side is the
         # per-query min over ALL recorded runs (ORACLE_FLOOR.json), so
-        # these move only when the engine moves — read cross-round
-        # trends from these two
+        # the oracle-session noise term is removed (the Spark numerator
+        # still tracks box load — quiet-box convention applies) — read
+        # cross-round trends from these two
         "oracle_floor_rolling": rolling,
         "aggregate_ratio_excl_subfloor_vs_rolling_floor": agg_ratio_excl_rolling,
         "median_ratio_meaningful_vs_rolling_floor": median_ratio_meaningful_rolling,

@@ -30,7 +30,7 @@ from ub_etl_spark.queries.sketches import (  # noqa: E402
     agg_cms_term_counts,
     agg_hll_mergeable,
 )
-from ub_etl_spark.session import get_spark  # noqa: E402
+from ub_etl_spark.session import get_spark, release_persisted  # noqa: E402
 from ub_etl_spark.sources.tables import load_table  # noqa: E402
 
 
@@ -472,6 +472,11 @@ def main() -> None:
     ok = True
     for name, fn in MEASURES.items():
         res = fn(spark, args.sf)
+        # free tracked frames AND the raw .persist(_REUSE) caches the
+        # dedup/LSH operators hold — measurements must not run under a
+        # previous measure's resident cache
+        release_persisted()
+        spark.catalog.clearCache()
         out["bounds"][name] = res
         ok &= res["pass"]
         print(f"[{'PASS' if res['pass'] else 'FAIL'}] {name}: "

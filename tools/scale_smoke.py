@@ -1115,9 +1115,13 @@ NOTES = """Notes on the flagged cells:
   S-curve-capped band join; verification is candidate-bounded
   array_intersect — the shape that keeps working when hot grams make
   the exact join's co-occurring-pair count super-linear.  Recall vs
-  the exact form at threshold 0.8: 1.0 at sf0.001/sf0.01/sf0.1
-  corpora (BOUNDS.json; the true pairs are near-identical twins), with
-  the size-skew recall decay documented in the operator docstring.
+  the exact form at threshold 0.8 is 1.0 at all three corpora, sourced
+  per scale: sf0.001 pinned in tests/test_behavior.py, sf0.01 in
+  BOUNDS.json (25 true pairs), sf0.1 measured r12 same-session
+  (256/256 pairs, banded subset-of-exact — this note is its record).
+  The true pairs are near-identical twins; the size-skew recall decay
+  is documented in the operator docstring and pinned on deterministic
+  planted fixtures (test_containment_banded_skew_limitation_pinned).
 - `spatial_grid` (added r5, measuring the r4 directed-half-ring plan):
   part amplifies into DISJOINT price bands (constant local density), so
   a linear ratio certifies the equi-join-on-cell plan; the 5x B-side

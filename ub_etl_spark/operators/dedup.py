@@ -91,7 +91,13 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 
 def shingle_rows(
-    docs: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    distinct: bool = True,
+    lower: bool = False,
+    short_docs: bool = True,
 ) -> DataFrame:
     """Distinct (doc_id, shingle) rows, codegen-friendly and shuffle-free.
 
@@ -102,14 +108,21 @@ def shingle_rows(
     transform() formulation on the documents corpus.
 
     Short texts (< n tokens) contribute the whole text as one shingle,
-    matching word_shingles().
+    matching word_shingles() — UNLESS short_docs=False, the containment
+    family's convention (their oracle's empty generate_series drops
+    sub-n docs entirely; r12 makes this helper the single source of the
+    gram subplan for BOTH containment forms so the banded twin's
+    bit-equal-score guarantee cannot drift from the exact form's
+    tokenization).
 
     distinct=False skips the (doc_id, shingle) dedup shuffle — for
     consumers whose downstream aggregate is duplicate-insensitive (min)
     or deduplicates inside the agg (collect_set), paying that shuffle
-    twice is pure waste.
+    twice is pure waste.  lower=True folds case before tokenizing
+    (inside the same projection — no extra pass).
     """
-    toks = F.split(F.col(text_col), " ")
+    text = F.lower(F.col(text_col)) if lower else F.col(text_col)
+    toks = F.split(text, " ")
     base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
     grams = (
         base.select("doc_id", "__toks", F.posexplode("__toks").alias("__pos", "__tok"))
@@ -121,11 +134,12 @@ def shingle_rows(
             ).alias("shingle"),
         )
     )
-    short = base.filter(F.size("__toks") < n).select(
-        "doc_id", F.concat_ws(" ", "__toks").alias("shingle")
-    )
-    out = grams.unionByName(short)
-    return out.dropDuplicates(["doc_id", "shingle"]) if distinct else out
+    if short_docs:
+        short = base.filter(F.size("__toks") < n).select(
+            "doc_id", F.concat_ws(" ", "__toks").alias("shingle")
+        )
+        grams = grams.unionByName(short)
+    return grams.dropDuplicates(["doc_id", "shingle"]) if distinct else grams
 
 
 def exact_jaccard_pairs(
@@ -317,30 +331,24 @@ def containment_banded_pairs(
     Output: (id_a, id_b, containment) with id_a < id_b, the exact
     form's schema."""
     rows_per = num_perm // bands
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
-    grams = (
-        base.select(
-            "doc_id", "__toks", F.posexplode("__toks").alias("__pos", "__tok")
-        )
-        .filter(F.col("__pos") <= F.size("__toks") - n)
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                *[F.element_at("__toks", F.col("__pos") + j + 1) for j in range(n)],
-            ).alias("gram"),
-        )
-    )
+    # the SHARED gram subplan (shingle_rows with the containment
+    # family's conventions: lowercase fold, sub-n docs contribute
+    # nothing) — single source with the exact form, so tokenization
+    # cannot drift between the twins
+    grams = shingle_rows(
+        docs, id_col, text_col, n=n, distinct=False, lower=True, short_docs=False
+    ).withColumnRenamed("shingle", "gram")
+    from ub_etl_spark.session import tracked_persist
+
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("gram"))).alias(f"h{i}")
         for i in range(num_perm)
     ] + [F.collect_set(F.xxhash64(F.col("gram"))).alias("gs")]
-    sig = (
-        grams.groupBy("doc_id")
-        .agg(*aggs)
-        .withColumn("n_grams", F.size("gs"))
-        .persist(_REUSE)  # consumed by the band explode and both verify joins
+    # tracked_persist (not raw .persist) so release_persisted() frees the
+    # widest frame in this plan between harness measurements — consumed
+    # by the band explode and both verify joins
+    sig = tracked_persist(
+        grams.groupBy("doc_id").agg(*aggs).withColumn("n_grams", F.size("gs"))
     )
     band_cols = [
         F.struct(

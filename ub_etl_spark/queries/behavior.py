@@ -236,44 +236,26 @@ def text_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash-bands doc gram-sets to candidate pairs and verifies exact
     containment on candidates only; this exact gram-join form is its
     recall reference."""
+    from ub_etl_spark.operators.dedup import shingle_rows
     from ub_etl_spark.session import tracked_persist
 
     d = T(spark, sf_dir, "documents")
-    # posexplode+element_at gram generation (shingle_rows' codegen shape,
-    # inlined because short docs here contribute NO grams — the filter
-    # mirrors the oracle's empty generate_series for len(t) < 4)
-    base = d.select(
-        "doc_id", F.split(F.lower(F.col("text")), " ").alias("__toks")
-    )
+    # the SHARED gram subplan (operators/dedup.shingle_rows with the
+    # containment conventions: lowercase fold, short docs contribute NO
+    # grams — mirroring the oracle's empty generate_series for
+    # len(t) < 4).  r12: single-sourced with the banded twin so the
+    # twins' tokenization cannot drift; Catalyst collapses the hash
+    # projection into the generate stage, so the physical plan is the
+    # inlined form's (verified at the refactor).  hash-first: the gram
+    # string exists only inside this stage; the 2x64-bit composite key
+    # (second hash salted with lit(1)) is exact-by-construction vs the
+    # string oracle at 16 bytes/row.
     grams = tracked_persist(
-        base.select(
-            "doc_id", "__toks", F.posexplode("__toks").alias("__pos", "__tok")
-        )
-        .filter(F.col("__pos") <= F.size("__toks") - 4)
+        shingle_rows(d, "doc_id", "text", n=4, distinct=False, lower=True, short_docs=False)
         .select(
             "doc_id",
-            # hash-first: the string exists only inside this projection;
-            # 2x64-bit composite key (second hash salted with lit(1)) —
-            # exact-by-construction vs the string oracle, 16 bytes/row
-            F.xxhash64(
-                F.concat_ws(
-                    " ",
-                    *[
-                        F.element_at("__toks", F.col("__pos") + j + 1)
-                        for j in range(4)
-                    ],
-                )
-            ).alias("gram"),
-            F.xxhash64(
-                F.concat_ws(
-                    " ",
-                    *[
-                        F.element_at("__toks", F.col("__pos") + j + 1)
-                        for j in range(4)
-                    ],
-                ),
-                F.lit(1),
-            ).alias("gram2"),
+            F.xxhash64(F.col("shingle")).alias("gram"),
+            F.xxhash64(F.col("shingle"), F.lit(1)).alias("gram2"),
         )
         .distinct()
     )

@@ -87,6 +87,19 @@ _LOADED = False
 # are r12+r13 (see the r11 window note below — r11's 50 slots are all
 # owed to the staleness backlog the r10 verdict names byte-for-byte).
 #
+# REGISTRY DECISION (r12, executing the r11 verdict task 2): REGISTER
+# text_containment_banded — 260 -> 261.  It IS a scale lever (the
+# banded corpus-scale twin of text_containment_dedup: minhash-banded
+# candidate generation + exact containment verify, 8.3x@10x and
+# absolutely faster than the exact form at both measured scales —
+# SCALING.md containment_banded cell), satisfying the growth principle.
+# Rows-only by construction (xxhash64 band seeds have no portable
+# oracle; recall is probabilistic): the quantitative claim is recall
+# 1.0 vs the registered exact form in BOUNDS.json plus the pinned
+# skew-limitation fixtures in tests/test_behavior.py.  Its rule-(a)
+# two consecutive windows are r13+r14 (the r12 window was rotated and
+# fully owed before registration).
+#
 # ROTATION POLICY (r7 verdict task 6 — the arithmetic for r9+): with 259
 # registered queries and a 50-slot window, full staleness rotation takes
 # ceil(259/50) = 6 rounds, so steady-state evidence age is bounded at 6
@@ -123,7 +136,9 @@ _LOADED = False
 # tpch_q4_priority_check tpch_q6_forecast_revenue upsert_merge
 # window_analytic window_ntile_dist window_range_frame window_rank.
 # Projected r13 window: session_window_arrow (rule a, window 2 of 2)
-# + rule-a slots for plans that changed in r12 — text_containment_dedup
+# + text_containment_banded (rule a, window 1 of 2 — REGISTERED r12,
+# never driver-checked; see the r12 registry decision above) + rule-a
+# slots for plans that changed in r12 — text_containment_dedup
 # (2x64-bit composite gram key, ADVICE close), market_basket_pairs and
 # market_basket_lift (shared Arrow kernel's flush check moved inside
 # the per-length-group loop, ADVICE close) — + those 12 r6 + the
