@@ -858,6 +858,24 @@ ABS_TIME_NOTES = {
         "1.0 pinned in BOUNDS.json, 1.2x@10x in SCALING.md — the cost "
         "is the signature build, linear in corpus bytes"
     ),
+    # --- r13 (r12 verdict task 2 / ADVICE medium): the one r12 entry
+    # that shipped over the gate with note None --------------------------
+    "text_containment_banded": (
+        "rows-only (no oracle; recall 1.0 vs the exact registered form "
+        "pinned in BOUNDS.json at sf0.01 AND sf0.1, plus a deterministic "
+        "size-skew-limitation fixture test): same stage decomposition as "
+        "dedup_minhash_lsh — gram explode -> 16-perm minhash signature "
+        "agg (persisted, tracked) -> 8-band bucket self-join for "
+        "candidates -> exact per-pair containment verify on candidates "
+        "only, never all-pairs.  The persisted signature aggregate plus "
+        "the band join are the absolute cost at sf0.1 (~1.85s, "
+        "BENCH_r12); per-band stage floors dominate on a 580KB corpus.  "
+        "Scale story: SCALING.md containment_banded 8.3x@10x on a "
+        "byte-dominated small cell, and absolutely FASTER than the "
+        "exact inverted-index twin at both measured scales — the "
+        "banding exists to bound candidates at corpus scale, which "
+        "bench-scale stage machinery cannot show"
+    ),
 }
 
 
@@ -1100,11 +1118,23 @@ def main() -> None:
     # under: an oracle REWRITE invalidates its stale floor (a cheap-SQL
     # floor must not survive a move to a more expensive formulation, or
     # the trend aggregate reports a phantom engine regression forever).
-    # Legacy bare-float entries (the r12 seed) adopt the current sha on
-    # first contact — no oracle text changed between the seeding runs
-    # and the sha stamping.  The write is atomic (temp + rename) so a
-    # killed run can't truncate the history; a corrupt file is loudly
-    # reset, not silently.
+    # r13 (r12 ADVICE): entries ALSO carry the DuckDB version and a
+    # dataset fingerprint (sorted relpath/size/mtime of the sf_dir's
+    # parquet files) and are invalidated when either changes — a DuckDB
+    # upgrade or a dataset regeneration that legitimately slows oracles
+    # must not leave stale fast floors inflating the trend aggregates
+    # (the same phantom-regression failure mode the SQL sha guards, on
+    # the environment axis).  RESEED CONVENTION: no manual reseed is
+    # ever needed — deleting ORACLE_FLOOR.json, bumping DuckDB, or
+    # regenerating the dataset all cause the next run to re-seed floors
+    # from its own session oracle times; the *_vs_rolling_floor
+    # aggregates then equal the session-measured ones for one run and
+    # re-tighten from there.
+    # Legacy entries (the r12 seed / pre-stamp rounds) adopt the current
+    # stamps on first contact — no oracle text, DuckDB build, or dataset
+    # changed between the seeding runs and the stamping.  The write is
+    # atomic (temp + rename) so a killed run can't truncate the history;
+    # a corrupt file is loudly reset, not silently.
     import hashlib
 
     floor_file = os.path.join(
@@ -1124,17 +1154,37 @@ def main() -> None:
             floor_doc = {}
     sf_key = f"sf{sf}"
     stored_floors = floor_doc.get(sf_key, {})
+    duck_ver = duckdb.__version__
+    data_fp = hashlib.sha1(
+        "\n".join(
+            f"{os.path.relpath(p, sf_dir)}:{st.st_size}:{st.st_mtime_ns}"
+            for p in sorted(
+                os.path.join(root, f)
+                for root, _dirs, files in os.walk(sf_dir)
+                for f in files
+                if f.endswith(".parquet")
+            )
+            for st in (os.stat(p),)
+        ).encode()
+    ).hexdigest()[:12]
     rolling: dict[str, float] = {}
     new_stored: dict[str, dict] = {}
     for n, o in oracle_s.items():
         sha = hashlib.sha1(registry[n].oracle.encode()).hexdigest()[:12]
         prev_entry = stored_floors.get(n)
         if isinstance(prev_entry, dict):
-            prev_floor = prev_entry.get("s") if prev_entry.get("sha") == sha else None
+            prev_floor = (
+                prev_entry.get("s")
+                if prev_entry.get("sha") == sha
+                # legacy entries without env stamps adopt the current ones
+                and prev_entry.get("duckdb", duck_ver) == duck_ver
+                and prev_entry.get("data", data_fp) == data_fp
+                else None
+            )
         else:
             prev_floor = prev_entry  # legacy bare float: adopt, stamp sha
         rolling[n] = round(o if prev_floor is None else min(prev_floor, o), 4)
-        new_stored[n] = {"s": rolling[n], "sha": sha}
+        new_stored[n] = {"s": rolling[n], "sha": sha, "duckdb": duck_ver, "data": data_fp}
     floor_doc[sf_key] = {**stored_floors, **new_stored}
     tmp_floor = floor_file + ".tmp"
     with open(tmp_floor, "w") as fh:

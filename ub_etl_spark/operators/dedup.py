@@ -324,12 +324,18 @@ def containment_banded_pairs(
     (min observed pair-jaccard 0.89 at sf0.01), where recall is ~1.0;
     measured recall vs the exact form is pinned in BOUNDS.json and
     tests/test_behavior.py.  Precision is 1.0 by construction (every
-    candidate is verified with exact set intersection; hashed-gram
-    intersection can over-count only on an intra-pair 64-bit collision,
-    P ~ |set|^2 / 2^64).
+    candidate is verified with exact set intersection over the SAME
+    2x64-bit composite gram key the exact form promoted to in r12 —
+    over-counting needs both 64-bit halves to collide on an intra-pair
+    gram, P ~ |set|^2 / 2^128, so the twins share one collision budget).
 
     Output: (id_a, id_b, containment) with id_a < id_b, the exact
     form's schema."""
+    if num_perm % bands:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands}): "
+            "a remainder would silently truncate the signature"
+        )
     rows_per = num_perm // bands
     # the SHARED gram subplan (shingle_rows with the containment
     # family's conventions: lowercase fold, sub-n docs contribute
@@ -340,10 +346,19 @@ def containment_banded_pairs(
     ).withColumnRenamed("shingle", "gram")
     from ub_etl_spark.session import tracked_persist
 
+    # verify-set element: the SAME 2x64-bit composite key the exact form
+    # uses (seed-0 + seed-1 xxhash64 as a struct — a collision needs both
+    # 64-bit halves to collide, P ~ |set|^2 / 2^128), so the banded twin's
+    # "precision 1.0 / bit-equal scores" guarantee carries the exact
+    # form's collision budget, not a weaker single-hash one (r12 ADVICE)
+    gram_key = F.struct(
+        F.xxhash64(F.col("gram")).alias("k1"),
+        F.xxhash64(F.col("gram"), F.lit(1)).alias("k2"),
+    )
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("gram"))).alias(f"h{i}")
         for i in range(num_perm)
-    ] + [F.collect_set(F.xxhash64(F.col("gram"))).alias("gs")]
+    ] + [F.collect_set(gram_key).alias("gs")]
     # tracked_persist (not raw .persist) so release_persisted() frees the
     # widest frame in this plan between harness measurements — consumed
     # by the band explode and both verify joins

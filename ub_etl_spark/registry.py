@@ -118,85 +118,88 @@ _LOADED = False
 # TPC-H/aggregate deferrals + 40 oldest-r5 — came back 50/50 green
 # (CORRECTNESS_r11), oldest evidence then r5.
 #
-# ROUND-12 WINDOW (this list — r11 verdict task 1): (a) three rule-a
-# slots: session_window_arrow (registered r11, FIRST of its two
-# consecutive windows — the second is r13, verdict task 5) +
-# market_basket_pairs (REWORKED r11: pair counts in one vectorized
-# Arrow pass, operators/selection.basket_pair_counts_arrow; its r10
-# driver evidence predates that plan change) + text_containment_dedup
-# (REWORKED r11: xxhash64 gram keys + persisted gram frame; r10
-# evidence predates the change).  market_basket_lift owes NOTHING —
-# its r11 driver evidence (04:37) postdates the f29df56 rework (03:04),
-# verified by the r11 judge.  (b) the 10 r5-evidence queries deferred
-# from the r11 window (named in the r11 residue note, git history).
-# (c) 37 oldest-r6 refreshes, alphabetical.  The 12 r6 queries deferred
-# to ROUND 13 (rule c, named residue): tpch_q14_promo_revenue
-# tpch_q16_supplier_count tpch_q17_small_qty_revenue
-# tpch_q19_disjunctive_filter tpch_q20_promotion_suppliers
-# tpch_q4_priority_check tpch_q6_forecast_revenue upsert_merge
-# window_analytic window_ntile_dist window_range_frame window_rank.
-# Projected r13 window: session_window_arrow (rule a, window 2 of 2)
-# + text_containment_banded (rule a, window 1 of 2 — REGISTERED r12,
-# never driver-checked; see the r12 registry decision above) + rule-a
-# slots for plans that changed in r12 — text_containment_dedup
-# (2x64-bit composite gram key, ADVICE close), market_basket_pairs and
-# market_basket_lift (shared Arrow kernel's flush check moved inside
-# the per-length-group loop, ADVICE close) — + those 12 r6 + the
-# remaining oldest-r7 refreshes.
+# ROUND-12 WINDOW (rotated; see git history for the list — r11 verdict
+# task 1): 3 rule-a (session_window_arrow w1/2 + the two r11-reworked
+# plans) + 10 r5 deferrals + 37 oldest-r6 — came back 50/50 green
+# (CORRECTNESS_r12, key set verified by the r12 judge), oldest evidence
+# then r6 (the 12 named deferrals below).
+#
+# ROUND-13 WINDOW (this list — r12 verdict task 1, exactly the
+# projection the r12 registry note named): (a) five rule-a slots:
+# session_window_arrow (window 2 of 2, closing its registration
+# obligation) + text_containment_banded (window 1 of 2 — REGISTERED
+# r12, FIRST-EVER driver check; window 2 of 2 is r14) + rule-a
+# refreshes for the three plans that changed in r12 —
+# text_containment_dedup (2x64-bit composite gram key),
+# market_basket_pairs and market_basket_lift (shared Arrow kernel's
+# flush check moved inside the per-length-group loop).  (b) the 12
+# r6-evidence deferrals named in the r12 residue note (7 TPC-H shapes +
+# upsert_merge + the 4 window_* queries).  (c) the alphabetically-first
+# 33 of the 50 oldest-r7 refreshes (tools/evidence_map.py --window 62;
+# the alphabetical order already includes the similarity module this
+# round's perf work touches — sim_ann_pq/sim_ann_lsh/sim_knn_exact).
+# The 17 r7 queries deferred to ROUND 14 (rule c, named residue):
+# stream_dedup_upsert stream_interval_join stream_session_native
+# stream_session_window stream_sliding_agg stream_tumbling_agg
+# table_diff_reconcile text_ngram_vocab text_pii_redact
+# text_quality_gopher text_tfidf text_tokenize_stats timeseries_gapfill
+# tpch_q1_pricing tpch_q3_priority udf_map_in_pandas unpivot_stack.
+# Projected r14 window: text_containment_banded (rule a, window 2 of 2)
+# + any plans changed in r13 + those 17 r7 + the oldest-r9 refreshes.
 DRIVER_PRIORITY = [
-    # --- rule (a): never-checked + r11-reworked plans
+    # --- rule (a): w2/2 + first-ever check + the three r12-changed plans
     "session_window_arrow",
-    "market_basket_pairs",
+    "text_containment_banded",
     "text_containment_dedup",
-    # --- rule (b): the 10 r5-evidence queries deferred from the r11 window
-    "supplier_concentration_hhi",
-    "text_keyphrase_topk",
-    "text_lexical_diversity",
-    "text_unigram_logprob",
-    "text_zipf_rank_fit",
-    "timeseries_autocorrelation",
-    "timeseries_cusum_changepoint",
-    "timeseries_rolling_median",
-    "tpch_q15_top_supplier",
-    "udf_cogrouped_map",
-    # --- rule (c): 37 oldest-r6 refreshes (12 named above defer to r13)
-    "agg_count_distinct",
-    "agg_cube_grouping",
-    "agg_groupby",
-    "agg_hll_intersection",
-    "agg_kmv_distinct",
-    "agg_percentile",
-    "agg_rollup_cube",
-    "agg_stats_exact",
-    "array_map_funcs",
-    "bridge_join",
-    "count_running_total",
-    "dedup_cluster_cc",
-    "dedup_exact",
-    "dedup_fuzzy",
-    "dedup_get_or_insert",
-    "explode_array_scalar",
-    "explode_array_struct",
-    "explode_map",
-    "filter_null_guard",
-    "filter_predicate",
-    "insert_ignore_antijoin",
-    "join_broadcast",
-    "join_full_outer",
-    "join_inner_equi",
-    "join_left_outer",
-    "join_semi_anti",
-    "multimodal_phash_dedup",
-    "project_struct_access",
-    "quantile_bucket_approx",
-    "scalar_date_funcs",
-    "scalar_json_funcs",
-    "scalar_math_case",
-    "scalar_string_funcs",
-    "scan_parquet",
-    "set_union_distinct",
-    "sort_limit_topk",
-    "tpch_q13_customer_distribution",
+    "market_basket_pairs",
+    "market_basket_lift",
+    # --- rule (b): the 12 r6-evidence deferrals named in the r12 residue
+    "tpch_q14_promo_revenue",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_filter",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q4_priority_check",
+    "tpch_q6_forecast_revenue",
+    "upsert_merge",
+    "window_analytic",
+    "window_ntile_dist",
+    "window_range_frame",
+    "window_rank",
+    # --- rule (c): alphabetically-first 33 oldest-r7 (17 named defer to r14)
+    "agg_approx_distinct",
+    "agg_incremental_refresh",
+    "agg_skew_salted",
+    "contamination_ngram_check",
+    "dedup_apply_canonical",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "dedup_normalized_exact",
+    "dedup_simhash",
+    "dim_scd2_history",
+    "events_funnel",
+    "io_schema_evolution",
+    "join_asof",
+    "join_interval_overlap",
+    "join_range_bucket",
+    "join_skew_salted",
+    "json_schema_drift",
+    "mix_weighted_sources",
+    "multimodal_columns",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "pack_sequences",
+    "pipeline_corpus_prepare",
+    "pipeline_course_normalize",
+    "pipeline_training_manifest",
+    "pipeline_user_activity",
+    "sample_stratified_exact",
+    "sim_ann_lsh",
+    "sim_ann_pq",
+    "sim_knn_exact",
+    "split_train_val_test",
+    "storage_bucketed_merge",
+    "storage_compact_small_files",
 ]
 
 def load_all() -> dict[str, QuerySpec]:
