@@ -773,7 +773,14 @@ ABS_TIME_NOTES = {
         "1.29/1.15/1.22 at load-avg ~1.7-2.2) — the r9 driver's 3.09s "
         "sample rode passes whose machine_state_per_pass showed "
         "load-avg 1.9-2.8, the documented external-load class; the "
-        "1.2-1.5s envelope stands, no rework needed"
+        "1.2-1.5s envelope stands, no rework needed.  RE-PINNED r13 "
+        "(r12 verdict task 3, after the r12 driver regressed it again "
+        "to 3.32s at load-avg 4.3/5.2): fresh-session samples 10.28 "
+        "(training+codegen), then 1.60/1.46/1.44 starting at load-avg "
+        "0.54-0.77 — warm min-of-3 1.441s, envelope re-confirmed third "
+        "time; the _PQ_CACHE train-once path verified hitting across "
+        "passes (only pass 1 pays the 10s training).  Disposition: the "
+        "r12 sample is load-class, not a cache miss or plan change"
     ),
     # --- r10: the recurring heavy floor-adjacent queries (oracles 0.08-
     # 0.17s, own times near or above the in-band machinery cap across the

@@ -841,15 +841,20 @@ def sf1_section() -> list[str]:
         f"Spark vs DuckDB over {doc['amplification']}; oracle convention:",
         f"{doc['oracle_convention']}; spark: {doc['spark_convention']};",
         f"job floor {doc['spark_job_floor_s']}s.  The 26 meaningful-oracle",
-        "queries of the r10 sidecar + the two held-weak entries.\n",
+        "queries of the r10 sidecar + the two held-weak entries + the",
+        "rows-only sf1 adjudications (spark_s only; bounds in BOUNDS.json).\n",
         "| query | spark sec | oracle sec | ratio | floor-adj | oracle mode |",
         "|---|---|---|---|---|---|",
     ]
     for name, r in sorted(
         doc["queries"].items(), key=lambda kv: -(kv[1].get("ratio") or 0)
     ):
+        # rows-only queries carry no oracle by construction — render a
+        # dash, not "err" (the err sentinel marks a FAILED measurement)
+        no_oracle = "rows_only" in str(r.get("oracle_mode", ""))
         lines.append(
-            f"| {name} | {r.get('spark_s', 'err')} | {r.get('oracle_s', 'err')} "
+            f"| {name} | {r.get('spark_s', 'err')} "
+            f"| {r.get('oracle_s', '-' if no_oracle else 'err')} "
             f"| {r.get('ratio', '-')} | {r.get('floor_adj_ratio', '-')} "
             f"| {r.get('oracle_mode', '-')} |"
         )
@@ -1117,8 +1122,15 @@ NOTES = """Notes on the flagged cells:
   the exact join's co-occurring-pair count super-linear.  Recall vs
   the exact form at threshold 0.8 is 1.0 at all three corpora, sourced
   per scale: sf0.001 pinned in tests/test_behavior.py, sf0.01 in
-  BOUNDS.json (25 true pairs), sf0.1 measured r12 same-session
-  (256/256 pairs, banded subset-of-exact — this note is its record).
+  BOUNDS.json `bounds` (25 true pairs), sf0.1 in BOUNDS.json
+  `bounds_sf0.1` (256 true pairs — formalized r13 from the r12
+  same-session note, re-measured on the shipped plan); its sf1 row
+  lives in sf1_bench.json (2.65 s, rows_only — absolutely faster than
+  the exact twin's 3.38 s there too).  r13 also MEASURED-AND-REJECTED
+  a composite 2x64-bit struct verify-set key (same-session interleaved
+  A/B: +7% at 1x, +50% at 10x — struct elements leave array_intersect's
+  primitive-long specialization; the collision-budget asymmetry vs the
+  exact twin is documented in the operator docstring instead).
   The true pairs are near-identical twins; the size-skew recall decay
   is documented in the operator docstring and pinned on deterministic
   planted fixtures (test_containment_banded_skew_limitation_pinned).

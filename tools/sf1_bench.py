@@ -88,7 +88,12 @@ MEANINGFUL_26 = [
     "scan_parquet",
 ]
 WEAK_HELD = ["text_tfidf", "window_analytic"]
-QUERIES = MEANINGFUL_26 + WEAK_HELD
+# Rows-only queries adjudicated at sf1 carry a spark_s-only row (no
+# oracle exists; the correctness claim lives in BOUNDS.json).  r13:
+# text_containment_banded — the r12 verdict task 4 asks its shipped
+# plan for an sf1 row beside its exact twin's.
+ROWS_ONLY_SF1 = ["text_containment_banded"]
+QUERIES = MEANINGFUL_26 + WEAK_HELD + ROWS_ONLY_SF1
 
 
 def ensure_big_dir(spark) -> None:
@@ -213,12 +218,15 @@ def main() -> None:
             row["spark_s"] = round(min(s, prev_row.get("spark_s", s)), 3)
         except Exception as exc:  # noqa: BLE001
             row["spark_err"] = str(exc)[:200]
-        try:
-            o, mode = oracle_time(spec.oracle)
-            row["oracle_s"] = round(min(o, prev_row.get("oracle_s", o)), 3)
-            row["oracle_mode"] = mode
-        except Exception as exc:  # noqa: BLE001
-            row["oracle_err"] = str(exc)[:200]
+        if spec.oracle is None:
+            row["oracle_mode"] = "rows_only (bounds in BOUNDS.json)"
+        else:
+            try:
+                o, mode = oracle_time(spec.oracle)
+                row["oracle_s"] = round(min(o, prev_row.get("oracle_s", o)), 3)
+                row["oracle_mode"] = mode
+            except Exception as exc:  # noqa: BLE001
+                row["oracle_err"] = str(exc)[:200]
         if "spark_s" in row and "oracle_s" in row and row["oracle_s"] > 0:
             row["ratio"] = round(row["spark_s"] / row["oracle_s"], 2)
             row["floor_adj_ratio"] = round(

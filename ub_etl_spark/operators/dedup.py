@@ -324,10 +324,22 @@ def containment_banded_pairs(
     (min observed pair-jaccard 0.89 at sf0.01), where recall is ~1.0;
     measured recall vs the exact form is pinned in BOUNDS.json and
     tests/test_behavior.py.  Precision is 1.0 by construction (every
-    candidate is verified with exact set intersection over the SAME
-    2x64-bit composite gram key the exact form promoted to in r12 —
-    over-counting needs both 64-bit halves to collide on an intra-pair
-    gram, P ~ |set|^2 / 2^128, so the twins share one collision budget).
+    candidate is verified with exact set intersection; hashed-gram
+    intersection can over-count only on an intra-pair 64-bit collision,
+    P ~ |set|^2 / 2^64).  COLLISION-BUDGET ASYMMETRY vs the exact twin —
+    documented deliberately (r12 ADVICE, adjudicated r13 with data): the
+    exact form verifies on a 2x64-bit composite gram key (2^-128); this
+    form keeps a single 64-bit element because the verify sets ride the
+    doc-keyed exchange and array_intersect's primitive-long fast path —
+    the composite-struct variant was BUILT and MEASURED r13
+    (same-session interleaved min-of-3: 1.218s vs 1.309s at 1x, 1.420s
+    vs 2.131s at 10x — struct elements leave primitive specialization
+    and double set bytes, +50% where the corpus term dominates) and
+    rejected.  At the banded form's charter (candidate generation whose
+    output is re-checkable against the exact twin) the 2^-64 budget
+    means ~1e-6 expected spurious score inflations per 1e9 candidate
+    pairs — negligible against the banding's own probabilistic recall,
+    which is the operator's stated error model.
 
     Output: (id_a, id_b, containment) with id_a < id_b, the exact
     form's schema."""
@@ -346,19 +358,10 @@ def containment_banded_pairs(
     ).withColumnRenamed("shingle", "gram")
     from ub_etl_spark.session import tracked_persist
 
-    # verify-set element: the SAME 2x64-bit composite key the exact form
-    # uses (seed-0 + seed-1 xxhash64 as a struct — a collision needs both
-    # 64-bit halves to collide, P ~ |set|^2 / 2^128), so the banded twin's
-    # "precision 1.0 / bit-equal scores" guarantee carries the exact
-    # form's collision budget, not a weaker single-hash one (r12 ADVICE)
-    gram_key = F.struct(
-        F.xxhash64(F.col("gram")).alias("k1"),
-        F.xxhash64(F.col("gram"), F.lit(1)).alias("k2"),
-    )
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("gram"))).alias(f"h{i}")
         for i in range(num_perm)
-    ] + [F.collect_set(gram_key).alias("gs")]
+    ] + [F.collect_set(F.xxhash64(F.col("gram"))).alias("gs")]
     # tracked_persist (not raw .persist) so release_persisted() frees the
     # widest frame in this plan between harness measurements — consumed
     # by the band explode and both verify joins

@@ -295,6 +295,13 @@ def text_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at threshold 0.8, precision 1.0 by construction) and is pinned in
 # tests/test_behavior.py.  The exact gram-join form above stays
 # registered as the recall reference.
+# Evidence (r12 verdict task 4, measured r13): recall 1.0 at BOTH
+# sf0.01 (BOUNDS.json bounds: 25 true pairs) and sf0.1 (BOUNDS.json
+# bounds_sf0.1: 256 true pairs — banding recall is corpus-size-
+# sensitive, so the bench scale carries its own row); sf1 sidecar
+# sf1_bench.json: spark_s 2.65 for this plan vs the exact twin's 3.38
+# — absolutely faster at every measured scale (SCALING.md
+# containment_banded 8.3x@10x cell for the growth story).
 @register("text_containment_banded", tier="B", oracle=None)
 def text_containment_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ub_etl_spark.operators.dedup import containment_banded_pairs
