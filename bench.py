@@ -609,6 +609,12 @@ MACHINERY_CAP_FLOORS = 14
 # three ~1.0-1.1s queries that a 0.074-floor run exempts — boundary
 # flapping from the floor sample, not from the queries.
 MACHINERY_CAP_MIN_S = 1.0
+# Pinned subfloor cut for the *_vs_rolling_floor aggregates (r13; see
+# the adjudication comment at the above_roll computation).  The rolling
+# aggregates exist to be comparable ACROSS runs, so their query set must
+# be a pure function of ORACLE_FLOOR.json, never of one session's floor
+# sample.  0.10 s = top of the observed per-session floor range.
+ROLLING_CUT_S = 0.10
 ABS_TIME_NOTES = {
     # --- r11 (r10 ADVICE): moved here FROM DOCUMENTED_EXCEPTIONS.  Both
     # sit in the small-oracle regime (oracles ~2x floor < cutoff), where
@@ -1117,10 +1123,30 @@ def main() -> None:
     # identical code): aggregate_ratio_excl_subfloor read 0.93 vs 1.32
     # (42% spread — both sides of the division moved with the session),
     # while aggregate_ratio_excl_subfloor_vs_rolling_floor read 1.37 vs
-    # 1.38 (0.7%).  The MEDIAN-vs-rolling twin stays set-sensitive (the
-    # meaningful-oracle cutoff scales with the per-run spark job floor),
-    # so the sum form is the stable one here — the reverse of the
-    # session-measured pair.
+    # 1.38 (0.7%).
+    # SPREAD DEMONSTRATION, 5 restatable same-plan points (r12 verdict
+    # task 5 — r12's three sidecars + r13's surviving two; no registered
+    # plan changed between r12 and r13), restated on the final r13
+    # floors and the PINNED-cut set (49 queries) so only the numerator
+    # varies — tools/rolling_spread.py regenerates this table from the
+    # sidecars on disk:
+    #   r12-a      1.138  (passes at load-avg 0.39/1.67/2.09 — quietest)
+    #   r12-b      1.316  (0.81/3.52/3.59)
+    #   r12-driver 1.395  (2.06/4.33/5.15)
+    #   r13-run2   1.388  (0.26/4.70/4.60)   emitted 1.68 (session cut)
+    #   r13-run3   1.288  (0.30/3.16/4.77)   emitted 1.29 (pinned cut)
+    # (a sixth point, r13-run1, emitted 1.28 under the session cut and
+    # restated 1.397-1.402 beside run2 at the pre-run3 floor vintage —
+    # agreeing to 0.4% — before run3 overwrote its sidecar file.)
+    # max spread ~19% and tracks per-pass load; the comparable-load
+    # points agree within ~1%.  The residual spread is the NUMERATOR's
+    # own load sensitivity (documented above), not the ratio machinery:
+    # r13 runs 1-2 EMITTED 1.28 vs 1.68 (31%) under the old session-cut
+    # set because their floor samples (0.1189 vs 0.0711 s) churned 26
+    # queries in/out — the defect the pinned ROLLING_CUT_S removes
+    # (restated on one floor vintage, those same runs agree to 0.4%).
+    # The MEDIAN-vs-rolling twin is pinned to the same constant for the
+    # same reason.
     # Floor entries carry the sha1 of the oracle SQL they were measured
     # under: an oracle REWRITE invalidates its stale floor (a cheap-SQL
     # floor must not survive a move to a more expensive formulation, or
@@ -1264,7 +1290,18 @@ def main() -> None:
     # Rolling-floor twins of the two headline ratio aggregates (see the
     # ORACLE_FLOOR.json comment above): same sets and cutoffs, oracle
     # side replaced by the per-query rolling floor.
-    above_roll = [n for n in rolling if rolling[n] >= floor_s]
+    # r13: the rolling aggregates cut on a PINNED floor constant, not the
+    # per-session floor sample.  Adjudicated with the two r13 quiet-box
+    # runs: their session floors sampled 0.1189 vs 0.0711 s, which moved
+    # 26 queries in/out of the set and swung the session-cut aggregate
+    # 1.28 -> 1.68 (31%) — while under a fixed cut the same two runs
+    # agree to 0.4% (1.397 vs 1.402 at cut 0.10; 1.592 vs 1.598 at
+    # 0.08).  The rolling DENOMINATOR was already session-free; set
+    # membership was the residual session term.  0.10 s sits at the top
+    # of the observed floor-sample range (0.066-0.119 across sidecars),
+    # same rationale as MACHINERY_CAP_MIN_S: boundaries must not flap
+    # with one sample's luck.
+    above_roll = [n for n in rolling if rolling[n] >= ROLLING_CUT_S]
     agg_ratio_excl_rolling = (
         round(
             sum(timings[n] for n in above_roll)
@@ -1278,7 +1315,7 @@ def main() -> None:
         [
             timings[n] / max(rolling[n], 1e-9)
             for n in above_roll
-            if rolling[n] >= SMALL_ORACLE_FLOORS * floor_s
+            if rolling[n] >= SMALL_ORACLE_FLOORS * ROLLING_CUT_S
         ]
     )
     # Floor-adjusted ratio: plan time net of the fixed per-job machinery
