@@ -178,3 +178,39 @@ def test_detail_sidecar_routing(tmp_path):
     assert p.endswith("bench_detail_r11.json")
     # the unadorned path NEVER names the committed sidecar
     assert os.path.basename(w) != "bench_detail.json"
+
+
+def test_rolling_aggregate_set_is_session_free():
+    """r13: the *_vs_rolling_floor aggregates exist to be comparable
+    across runs, so their query set must be a pure function of
+    ORACLE_FLOOR.json and the pinned ROLLING_CUT_S — never of one
+    session's floor sample (the session-cut set churned 26 queries
+    between the two r13 quiet-box runs and swung the emitted aggregate
+    1.28 -> 1.68 while the ratios agreed to 0.4%; see the spread
+    comment in bench.py).  Recomputes the committed sidecar's emitted
+    aggregate from the pinned constant and the sidecar's own rolling
+    floors: a regression to a session-dependent cut (or a silent cut
+    change) makes the recomputation disagree with what the run emitted."""
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    detail_path = os.path.join(os.path.dirname(__file__), "..", "bench_detail.json")
+    with open(detail_path) as fh:
+        detail = json.load(fh)
+    if detail.get("sf") != 0.1:
+        return
+    timings, rolling = detail["queries"], detail["oracle_floor_rolling"]
+    above = [n for n in rolling if rolling[n] >= mod.ROLLING_CUT_S and n in timings]
+    assert above, "pinned cut selected no queries — cut or floors corrupt"
+    recomputed = round(
+        sum(timings[n] for n in above) / sum(rolling[n] for n in above), 2
+    )
+    emitted = detail["aggregate_ratio_excl_subfloor_vs_rolling_floor"]
+    assert recomputed == emitted, (
+        f"pinned-cut recomputation {recomputed} != emitted {emitted}: the "
+        "rolling aggregate's set is no longer the pinned-cut set"
+    )
