@@ -786,7 +786,9 @@ ABS_TIME_NOTES = {
         "0.54-0.77 — warm min-of-3 1.441s, envelope re-confirmed third "
         "time; the _PQ_CACHE train-once path verified hitting across "
         "passes (only pass 1 pays the 10s training).  Disposition: the "
-        "r12 sample is load-class, not a cache miss or plan change"
+        "r12 sample is load-class, not a cache miss or plan change — "
+        "reinforced by the r13 committed sidecar itself reading 1.464s "
+        "INSIDE a full bench sweep"
     ),
     # --- r10: the recurring heavy floor-adjacent queries (oracles 0.08-
     # 0.17s, own times near or above the in-band machinery cap across the
