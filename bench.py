@@ -894,6 +894,49 @@ ABS_TIME_NOTES = {
 }
 
 
+def merge_rolling_floors(
+    stored: dict,
+    oracle_s: dict,
+    oracle_shas: dict,
+    duck_ver: str,
+    data_fp: str,
+) -> tuple[dict, dict]:
+    """The ORACLE_FLOOR merge rule as a pure function (r13 — extracted so
+    the invalidation semantics are unit-testable): per query, the rolling
+    floor is min(stored floor, this session's oracle time), BUT a stored
+    floor is honored only when its three stamps match — oracle-SQL sha,
+    DuckDB version, dataset fingerprint; any mismatch re-seeds the floor
+    from this session (a floor measured under different SQL, a different
+    DuckDB build, or different data must not survive as a phantom-fast
+    denominator).  Legacy entries missing a stamp (bare floats from the
+    r12 seed; pre-r13 entries without env stamps) adopt the current
+    stamps on first contact.  Returns (rolling floors, re-stamped
+    entries to store)."""
+    rolling: dict[str, float] = {}
+    new_stored: dict[str, dict] = {}
+    for n, o in oracle_s.items():
+        prev_entry = stored.get(n)
+        if isinstance(prev_entry, dict):
+            prev_floor = (
+                prev_entry.get("s")
+                if prev_entry.get("sha") == oracle_shas[n]
+                # legacy entries without env stamps adopt the current ones
+                and prev_entry.get("duckdb", duck_ver) == duck_ver
+                and prev_entry.get("data", data_fp) == data_fp
+                else None
+            )
+        else:
+            prev_floor = prev_entry  # legacy bare float: adopt, stamp sha
+        rolling[n] = round(o if prev_floor is None else min(prev_floor, o), 4)
+        new_stored[n] = {
+            "s": rolling[n],
+            "sha": oracle_shas[n],
+            "duckdb": duck_ver,
+            "data": data_fp,
+        }
+    return rolling, new_stored
+
+
 def machinery_bounds(floor_s: float) -> tuple[float, float]:
     """(small-oracle cutoff, machinery cap) for a measured job floor —
     the two boundaries of the r10 residue rule, in one place."""
@@ -1202,24 +1245,13 @@ def main() -> None:
             for st in (os.stat(p),)
         ).encode()
     ).hexdigest()[:12]
-    rolling: dict[str, float] = {}
-    new_stored: dict[str, dict] = {}
-    for n, o in oracle_s.items():
-        sha = hashlib.sha1(registry[n].oracle.encode()).hexdigest()[:12]
-        prev_entry = stored_floors.get(n)
-        if isinstance(prev_entry, dict):
-            prev_floor = (
-                prev_entry.get("s")
-                if prev_entry.get("sha") == sha
-                # legacy entries without env stamps adopt the current ones
-                and prev_entry.get("duckdb", duck_ver) == duck_ver
-                and prev_entry.get("data", data_fp) == data_fp
-                else None
-            )
-        else:
-            prev_floor = prev_entry  # legacy bare float: adopt, stamp sha
-        rolling[n] = round(o if prev_floor is None else min(prev_floor, o), 4)
-        new_stored[n] = {"s": rolling[n], "sha": sha, "duckdb": duck_ver, "data": data_fp}
+    oracle_shas = {
+        n: hashlib.sha1(registry[n].oracle.encode()).hexdigest()[:12]
+        for n in oracle_s
+    }
+    rolling, new_stored = merge_rolling_floors(
+        stored_floors, oracle_s, oracle_shas, duck_ver, data_fp
+    )
     floor_doc[sf_key] = {**stored_floors, **new_stored}
     tmp_floor = floor_file + ".tmp"
     with open(tmp_floor, "w") as fh:

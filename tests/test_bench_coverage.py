@@ -214,3 +214,46 @@ def test_rolling_aggregate_set_is_session_free():
         f"pinned-cut recomputation {recomputed} != emitted {emitted}: the "
         "rolling aggregate's set is no longer the pinned-cut set"
     )
+
+
+def test_rolling_floor_stamp_invalidation():
+    """r13 (r12 ADVICE): a stored floor survives only when ALL THREE
+    stamps match — oracle-SQL sha, DuckDB version, dataset fingerprint.
+    Any mismatch re-seeds from the session; matching entries ratchet
+    down; legacy entries (bare float / missing env stamps) adopt the
+    current stamps.  Exercises merge_rolling_floors directly so the
+    invalidation semantics can't silently regress."""
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    stored = {
+        "match": {"s": 0.5, "sha": "aaa", "duckdb": "v1", "data": "d1"},
+        "sql_changed": {"s": 0.5, "sha": "OLD", "duckdb": "v1", "data": "d1"},
+        "duck_changed": {"s": 0.5, "sha": "aaa", "duckdb": "v0", "data": "d1"},
+        "data_changed": {"s": 0.5, "sha": "aaa", "duckdb": "v1", "data": "d0"},
+        "legacy_float": 0.5,
+        "legacy_no_env": {"s": 0.5, "sha": "aaa"},
+    }
+    session = {n: 1.0 for n in stored} | {"new_query": 1.0}
+    shas = {n: "aaa" for n in session}
+    rolling, new_stored = mod.merge_rolling_floors(stored, session, shas, "v1", "d1")
+    # matching / legacy entries keep the faster stored floor (ratchet)
+    assert rolling["match"] == 0.5
+    assert rolling["legacy_float"] == 0.5
+    assert rolling["legacy_no_env"] == 0.5
+    # any stamp mismatch re-seeds from the session
+    assert rolling["sql_changed"] == 1.0
+    assert rolling["duck_changed"] == 1.0
+    assert rolling["data_changed"] == 1.0
+    # unseen queries seed from the session
+    assert rolling["new_query"] == 1.0
+    # everything written back carries the full current stamp set
+    for entry in new_stored.values():
+        assert entry.keys() == {"s", "sha", "duckdb", "data"}
+        assert entry["duckdb"] == "v1" and entry["data"] == "d1"
+    # and a session SLOWER than a valid floor never loosens it
+    rolling2, _ = mod.merge_rolling_floors(new_stored, {"match": 2.0},
+                                           {"match": "aaa"}, "v1", "d1")
+    assert rolling2["match"] == 0.5
