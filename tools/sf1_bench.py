@@ -90,9 +90,18 @@ MEANINGFUL_26 = [
 WEAK_HELD = ["text_tfidf", "window_analytic"]
 # Rows-only queries adjudicated at sf1 carry a spark_s-only row (no
 # oracle exists; the correctness claim lives in BOUNDS.json).  r13:
-# text_containment_banded — the r12 verdict task 4 asks its shipped
-# plan for an sf1 row beside its exact twin's.
-ROWS_ONLY_SF1 = ["text_containment_banded"]
+# text_containment_banded per the r12 verdict task 4 (its sf1 row sits
+# beside its exact twin's), then the rest of the banded/blocked
+# dedup+ANN family so the "candidate-bounded at corpus scale" story
+# carries sf1 absolute numbers, not just 10x ratios.
+ROWS_ONLY_SF1 = [
+    "text_containment_banded",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_ann_lsh",
+    "sim_ann_pq",
+    "multimodal_phash_dedup",
+]
 QUERIES = MEANINGFUL_26 + WEAK_HELD + ROWS_ONLY_SF1
 
 
