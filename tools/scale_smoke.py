@@ -1126,7 +1126,8 @@ NOTES = """Notes on the flagged cells:
   `bounds_sf0.1` (256 true pairs — formalized r13 from the r12
   same-session note, re-measured on the shipped plan); its sf1 row
   lives in sf1_bench.json (2.65 s, rows_only — absolutely faster than
-  the exact twin's 3.38 s there too).  r13 also MEASURED-AND-REJECTED
+  the exact twin's 3.69 s there too; the twin's row was re-measured
+  --fresh on its shipped composite-key plan, r13).  r13 also MEASURED-AND-REJECTED
   a composite 2x64-bit struct verify-set key (same-session interleaved
   A/B: +7% at 1x, +50% at 10x — struct elements leave array_intersect's
   primitive-long specialization; the collision-budget asymmetry vs the

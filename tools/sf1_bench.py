@@ -135,7 +135,15 @@ def main() -> None:
     from ub_etl_spark.session import get_spark, release_persisted
     from ub_etl_spark.sources.tables import TABLES
 
-    subset = set(sys.argv[1:]) or set(QUERIES)
+    # --fresh: ignore a query's stored row instead of min-merging into it.
+    # The min-across-sessions convention assumes the PLAN is unchanged —
+    # after a registered plan changes, its old minimum describes a plan
+    # that no longer ships and must be reset (r13: text_containment_dedup
+    # still carried its pre-composite-key 3.378s row while the shipped
+    # r12 plan measures ~3.9s).
+    argv = [a for a in sys.argv[1:] if a != "--fresh"]
+    fresh = "--fresh" in sys.argv[1:]
+    subset = set(argv) or set(QUERIES)
     registry = load_all()
     spark = get_spark("sf1-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -217,7 +225,7 @@ def main() -> None:
         if name not in subset:
             continue
         spec = registry[name]
-        prev_row = doc["queries"].get(name, {})
+        prev_row = {} if fresh else doc["queries"].get(name, {})
         row: dict = {}
         t0 = time.time()
         try:

@@ -299,8 +299,9 @@ def text_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sf0.01 (BOUNDS.json bounds: 25 true pairs) and sf0.1 (BOUNDS.json
 # bounds_sf0.1: 256 true pairs — banding recall is corpus-size-
 # sensitive, so the bench scale carries its own row); sf1 sidecar
-# sf1_bench.json: spark_s 2.65 for this plan vs the exact twin's 3.38
-# — absolutely faster at every measured scale (SCALING.md
+# sf1_bench.json: spark_s 2.65 for this plan vs the exact twin's 3.69
+# (the twin's row re-measured --fresh on its shipped composite-key
+# plan, r13) — absolutely faster at every measured scale (SCALING.md
 # containment_banded 8.3x@10x cell for the growth story).
 @register("text_containment_banded", tier="B", oracle=None)
 def text_containment_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
