@@ -231,7 +231,11 @@ def main() -> None:
         try:
             s = spark_time(name)
             # re-runs keep the BEST of all runs (min-of-N across sessions:
-            # the box's own 32-thread load pollutes later samples)
+            # the box's own 32-thread load pollutes later samples) —
+            # VALID ONLY while the registered plan is unchanged; after a
+            # plan change, re-measure with --fresh or the row silently
+            # keeps the retired plan's minimum (bit r13: the containment
+            # twin carried its pre-composite-key 3.378s for a round)
             row["spark_s"] = round(min(s, prev_row.get("spark_s", s)), 3)
         except Exception as exc:  # noqa: BLE001
             row["spark_err"] = str(exc)[:200]
