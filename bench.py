@@ -1172,9 +1172,11 @@ def main() -> None:
     # SPREAD DEMONSTRATION, 6 restatable same-plan points (r12 verdict
     # task 5 — r12's three sidecars + r13's surviving three; no
     # registered plan changed between r12 and r13), restated on the
-    # final r13 floors and the PINNED-cut set (49 queries) so only the
-    # numerator varies — tools/rolling_spread.py regenerates this table
-    # from the sidecars on disk:
+    # final r13 floors and the PINNED-cut set (48 queries at that floor
+    # vintage — later ratchets can move borderline floors across the
+    # cut, which shifts every point identically and preserves the
+    # comparison) so only the numerator varies — tools/rolling_spread.py
+    # regenerates this table from the sidecars on disk:
     #   r12-a      1.141  (passes at load-avg 0.39/1.67/2.09)
     #   r12-b      1.320  (0.81/3.52/3.59)
     #   r12-driver 1.399  (2.06/4.33/5.15)

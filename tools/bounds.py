@@ -568,9 +568,14 @@ def main() -> None:
         print(f"[{'PASS' if res['pass'] else 'FAIL'}] {name}: "
               f"measured={res['measured']} bound={res['pinned_bound']} ({res['unit']})")
     for name, fn in SF01_MEASURES.items():
-        res = fn(spark, SF01_DIR)
-        release_persisted()
-        spark.catalog.clearCache()
+        if args.sf == SF01_DIR and name in out["bounds"]:
+            # --sf already points at sf0.1: the main loop just measured
+            # this exact (query, scale) — reuse instead of re-collecting
+            res = out["bounds"][name]
+        else:
+            res = fn(spark, SF01_DIR)
+            release_persisted()
+            spark.catalog.clearCache()
         out["bounds_sf0.1"][name] = res
         ok &= res["pass"]
         print(f"[{'PASS' if res['pass'] else 'FAIL'}] {name} @sf0.1: "

@@ -37,6 +37,11 @@ sys.path.insert(0, ROOT)
 # pre-r12 sidecars predate ORACLE_FLOOR.json and are not comparable
 GIT_POINTS = [("r12-a", "2fe5d11"), ("r12-b", "e705999")]
 
+# shown for context but EXCLUDED from the headline spread: numerators
+# measured on plans that no longer ship (r11 predates the r12
+# basket/containment reworks)
+CONTEXT_ONLY = {"r11"}
+
 
 def main() -> None:
     from bench import ROLLING_CUT_S
@@ -65,17 +70,24 @@ def main() -> None:
           "current floors as denominator\n")
     print(f"{'point':12s} {'agg':>6s}  {'as-emitted':>10s}  per-pass load_avg_1m")
     for tag, doc in docs:
+        if doc.get("sf") != 0.1:
+            # a sidecar from an sf0.001/sf0.01 run must not be divided
+            # by sf0.1 floors (same guard the pytest gates apply)
+            print(f"{tag:12s}   (skipped: sf={doc.get('sf')}, not 0.1)")
+            continue
         t = doc["queries"]
         have = [n for n in fixed_set if n in t]
         agg = sum(t[n] for n in have) / sum(floors[n] for n in have)
         load = [m.get("load_avg_1m") for m in doc.get("machine_state_per_pass", [])]
-        pts.append(agg)
+        context = tag in CONTEXT_ONLY
+        if not context:
+            pts.append(agg)
         print(f"{tag:12s} {agg:6.3f}  "
               f"{doc.get('aggregate_ratio_excl_subfloor_vs_rolling_floor', '-'):>10}  "
-              f"{load}")
+              f"{load}{'  (context only — pre-r12 plans)' if context else ''}")
     if len(pts) > 1:
         spread = (max(pts) - min(pts)) / statistics.mean(pts)
-        print(f"\n{len(pts)} points: spread {spread * 100:.1f}% "
+        print(f"\n{len(pts)} same-plan points: spread {spread * 100:.1f}% "
               f"(min {min(pts):.3f}, max {max(pts):.3f}); residual variation is "
               "numerator load (see bench.py's spread comment)")
 

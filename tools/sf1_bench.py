@@ -143,6 +143,12 @@ def main() -> None:
     # r12 plan measures ~3.9s).
     argv = [a for a in sys.argv[1:] if a != "--fresh"]
     fresh = "--fresh" in sys.argv[1:]
+    if fresh and not argv:
+        raise SystemExit(
+            "--fresh requires explicit query names: it discards stored "
+            "cross-session minima for the named queries (plan-change "
+            "reset), and a bare invocation would wipe every row"
+        )
     subset = set(argv) or set(QUERIES)
     registry = load_all()
     spark = get_spark("sf1-bench")
@@ -226,7 +232,13 @@ def main() -> None:
             continue
         spec = registry[name]
         prev_row = {} if fresh else doc["queries"].get(name, {})
-        row: dict = {}
+        # seed from the stored row so a TRANSIENT failure this session
+        # cannot destroy an accumulated cross-session minimum (the error
+        # key is recorded alongside, not instead of, the surviving data);
+        # stale error keys from a previous failed run clear on success
+        row: dict = dict(prev_row)
+        row.pop("spark_err", None)
+        row.pop("oracle_err", None)
         t0 = time.time()
         try:
             s = spark_time(name)
