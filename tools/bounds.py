@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -236,6 +237,17 @@ def bound_mmr(spark, sf) -> dict:
 
 
 def bound_minhash(spark, sf) -> dict:
+    """Recall bound PLUS set-equality promotion (r13 verdict task 2).
+
+    Precision is 1.0 by construction (exact-Jaccard verify on LSH
+    candidates => lsh set is a subset of the exact set), so whenever
+    measured recall is also 1.0 the LSH output pair set EQUALS the exact
+    twin's — a deterministic, hash-grade statement (same method as
+    text_containment_banded's banded-vs-exact check), not a statistical
+    bound.  The set_equality block records that comparison explicitly;
+    where recall < 1.0 at a larger corpus, equal=false and the entry
+    degrades gracefully back to the recall bound.
+    """
     docs = load_table(spark, sf, "documents")
     exact = {
         (r.id_a, r.id_b)
@@ -250,12 +262,25 @@ def bound_minhash(spark, sf) -> dict:
         ).collect()
     }
     rec = len(lsh & exact) / max(len(exact), 1)
+    equal = lsh == exact
     return {
         "pinned_bound": 0.9,
         "measured": round(rec, 4),
         "unit": "pair_recall_vs_exact_jaccard@0.25 (precision 1.0 by construction)",
         "op_point": f"registered: perm=16 bands=8 threshold=0.25; {len(exact)} true pairs",
         "pass": rec >= 0.9 and lsh <= exact,
+        "set_equality": {
+            "n_exact": len(exact),
+            "n_lsh": len(lsh),
+            "n_missed": len(exact - lsh),
+            "n_spurious": len(lsh - exact),
+            "equal": equal,
+            "grade": (
+                "deterministic: LSH pair set == exact-Jaccard pair set"
+                if equal
+                else "statistical only at this scale (recall < 1.0)"
+            ),
+        },
     }
 
 
@@ -285,6 +310,19 @@ def bound_containment_banded(spark, sf) -> dict:
 
 
 def bound_simhash(spark, sf) -> dict:
+    """Recall bound PLUS deterministic pigeonhole-completeness (r13
+    verdict task 2).
+
+    SimHash's Jaccard recall is inherently statistical (a 64-bit sketch
+    cannot pin Jaccard exactly), but the DISTRIBUTED part of the operator
+    — find every pair within Hamming max_hamming via 8-chunk pigeonhole
+    banding — is exact by construction (n_chunks=8 > max_hamming=7).
+    The deterministic_subset block verifies that claim hash-grade: the
+    banded Spark output pair set must EQUAL the brute-force all-pairs
+    Hamming computation over the collected simhash values (same method
+    as multimodal_phash_dedup's bound_phash; numpy XOR+popcount so it
+    stays feasible at sf0.1's 5000 docs = 12.5M pairs).
+    """
     docs = load_table(spark, sf, "documents")
     exact = {
         (r.id_a, r.id_b)
@@ -299,12 +337,35 @@ def bound_simhash(spark, sf) -> dict:
         ).collect()
     }
     rec = len(sim & exact) / max(len(exact), 1)
+
+    # brute-force Hamming<=7 over the same simhash values, vectorized
+    rows = D.simhash64(docs, "doc_id", "text").collect()
+    ids = [r.doc_id for r in rows]
+    h = np.array([r.sh for r in rows], dtype=np.int64).view(np.uint64)
+    brute = set()
+    popcnt = np.array([bin(x).count("1") for x in range(256)], dtype=np.uint8)
+    for i in range(len(h)):
+        x = (h[i] ^ h[i + 1 :]).view(np.uint8).reshape(-1, 8)
+        dist = popcnt[x].sum(axis=1)
+        for j in np.nonzero(dist <= 7)[0]:
+            a, b = ids[i], ids[i + 1 + j]
+            brute.add((min(a, b), max(a, b)))
+    banded_equal = sim == brute
     return {
         "pinned_bound": 0.9,
         "measured": round(rec, 4),
         "unit": "pair_recall_vs_exact_jaccard@0.5",
         "op_point": f"registered: 8x8-bit chunks, hamming<=7; {len(exact)} true pairs",
-        "pass": rec >= 0.9,
+        "pass": rec >= 0.9 and banded_equal,
+        "deterministic_subset": {
+            "n_brute_force": len(brute),
+            "n_banded": len(sim),
+            "n_missed": len(brute - sim),
+            "n_spurious": len(sim - brute),
+            "equal": banded_equal,
+            "grade": "deterministic: banded pair set == brute-force Hamming<=7 set"
+            " (pigeonhole-complete, n_chunks=8 > max_hamming=7)",
+        },
     }
 
 
@@ -340,6 +401,23 @@ def bound_kmv(spark, sf) -> dict:
     # registered query's ENTIRE output — every group including the
     # merged ALL row reports exactly.
     sf_below = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_below):
+        # ADVICE r13: fail the subset row with a reason rather than
+        # letting Spark raise an opaque path error on boxes without the
+        # sf0.001 dataset.
+        return {
+            "pinned_bound": round(bound, 4),
+            "measured": round(worst, 4),
+            "unit": "max_relative_error (groups >= k; below-k groups exact)",
+            "op_point": f"k={_KMV_K}, stderr ~ 1/sqrt(k-1) ~ {1 / (_KMV_K - 1) ** 0.5:.3f}, 3-sigma",
+            "deterministic_subset": {
+                "claim": "below-k groups exact (not measurable here)",
+                "sf_dir": sf_below,
+                "pass": False,
+                "reason": f"{sf_below} not present on this box",
+            },
+            "pass": False,
+        }
     got001 = {
         r.o_orderstatus: r.est_distinct
         for r in agg_kmv_distinct(spark, sf_below).collect()
@@ -544,6 +622,13 @@ MEASURES = {
 # at sf0.1 (the exact containment form runs in seconds there).
 SF01_MEASURES = {
     "text_containment_banded": bound_containment_banded,
+    # r13 verdict task 2: the set-equality / pigeonhole-completeness
+    # promotions are only meaningful if they hold at the bench corpus
+    # size too, so both LSH dedup twins carry sf0.1 rows (exact Jaccard
+    # via the shingle co-occurrence join and the numpy brute-force
+    # Hamming pass are both seconds-feasible at 5000 docs).
+    "dedup_minhash_lsh": bound_minhash,
+    "dedup_simhash": bound_simhash,
 }
 SF01_DIR = "/root/testdata/sf0.1"
 
@@ -568,7 +653,10 @@ def main() -> None:
         print(f"[{'PASS' if res['pass'] else 'FAIL'}] {name}: "
               f"measured={res['measured']} bound={res['pinned_bound']} ({res['unit']})")
     for name, fn in SF01_MEASURES.items():
-        if args.sf == SF01_DIR and name in out["bounds"]:
+        # realpath-normalize before comparing (ADVICE r13: a trailing
+        # slash or symlinked spelling of the same dir must not force a
+        # redundant re-measurement)
+        if os.path.realpath(args.sf) == os.path.realpath(SF01_DIR) and name in out["bounds"]:
             # --sf already points at sf0.1: the main loop just measured
             # this exact (query, scale) — reuse instead of re-collecting
             res = out["bounds"][name]

@@ -124,82 +124,87 @@ _LOADED = False
 # (CORRECTNESS_r12, key set verified by the r12 judge), oldest evidence
 # then r6 (the 12 named deferrals below).
 #
-# ROUND-13 WINDOW (this list — r12 verdict task 1, exactly the
-# projection the r12 registry note named): (a) five rule-a slots:
-# session_window_arrow (window 2 of 2, closing its registration
-# obligation) + text_containment_banded (window 1 of 2 — REGISTERED
-# r12, FIRST-EVER driver check; window 2 of 2 is r14) + rule-a
-# refreshes for the three plans that changed in r12 —
-# text_containment_dedup (2x64-bit composite gram key),
-# market_basket_pairs and market_basket_lift (shared Arrow kernel's
-# flush check moved inside the per-length-group loop).  (b) the 12
-# r6-evidence deferrals named in the r12 residue note (7 TPC-H shapes +
-# upsert_merge + the 4 window_* queries).  (c) the alphabetically-first
-# 33 of the 50 oldest-r7 refreshes (tools/evidence_map.py --window 62;
-# the alphabetical order already includes the similarity module this
-# round's perf work touches — sim_ann_pq/sim_ann_lsh/sim_knn_exact).
-# The 17 r7 queries deferred to ROUND 14 (rule c, named residue):
-# stream_dedup_upsert stream_interval_join stream_session_native
-# stream_session_window stream_sliding_agg stream_tumbling_agg
-# table_diff_reconcile text_ngram_vocab text_pii_redact
-# text_quality_gopher text_tfidf text_tokenize_stats timeseries_gapfill
-# tpch_q1_pricing tpch_q3_priority udf_map_in_pandas unpivot_stack.
-# Projected r14 window: text_containment_banded (rule a, window 2 of 2)
-# + any plans changed in r13 + those 17 r7 + the oldest-r9 refreshes.
+# ROUND-13 WINDOW (rotated; see git history for the list — r12 verdict
+# task 1, exactly the projection the r12 registry note named): 5 rule-a
+# (session_window_arrow w2/2 + text_containment_banded w1/2 + the three
+# r12-changed plans) + 12 r6 deferrals + alphabetically-first 33
+# oldest-r7 — came back 50/50 green (CORRECTNESS_r13, key set verified
+# by the r13 judge), oldest evidence then r7 (the 17 named deferrals
+# below).
+#
+# ROUND-14 WINDOW (this list — r13 verdict task 1, exactly the
+# projection the r13 registry note named): (a) one rule-a slot:
+# text_containment_banded (window 2 of 2, closing its registration
+# obligation; NO registered plan changed in r13 — the composite struct
+# verify key was built, A/B-measured, and reverted same-round — so no
+# further rule-a slots accrue).  (b) the 17 r7-evidence deferrals named
+# in the r13 residue note (six stream_*, table_diff_reconcile, five
+# text_*, timeseries_gapfill, tpch_q1/q3, udf_map_in_pandas,
+# unpivot_stack).  (c) the alphabetically-first 32 of the 50 oldest-r9
+# refreshes (tools/evidence_map.py --window 67).  The 18 r9 queries
+# deferred to ROUND 15 (rule c, named residue):
+# stream_interval_join_outer stream_topk_trending text_bm25_rank
+# text_chunk_sliding text_collocation_pmi text_fingerprint
+# text_inverted_index text_lang_confusion text_lang_id
+# text_quality_score timeseries_multi_rollup tpch_q18_large_orders
+# tpch_q21_waiting_suppliers tpch_q5_local_supplier udf_grouped_map
+# udf_surface udtf_tokenize window_topk_per_group.
+# Projected r15 window: any plans changed in r14 + those 18 r9 + the
+# oldest-r10 refreshes.
 DRIVER_PRIORITY = [
-    # --- rule (a): w2/2 + first-ever check + the three r12-changed plans
-    "session_window_arrow",
+    # --- rule (a): text_containment_banded window 2 of 2
     "text_containment_banded",
-    "text_containment_dedup",
-    "market_basket_pairs",
-    "market_basket_lift",
-    # --- rule (b): the 12 r6-evidence deferrals named in the r12 residue
-    "tpch_q14_promo_revenue",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_filter",
-    "tpch_q20_promotion_suppliers",
-    "tpch_q4_priority_check",
-    "tpch_q6_forecast_revenue",
-    "upsert_merge",
-    "window_analytic",
-    "window_ntile_dist",
-    "window_range_frame",
-    "window_rank",
-    # --- rule (c): alphabetically-first 33 oldest-r7 (17 named defer to r14)
-    "agg_approx_distinct",
-    "agg_incremental_refresh",
-    "agg_skew_salted",
-    "contamination_ngram_check",
-    "dedup_apply_canonical",
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
-    "dedup_normalized_exact",
-    "dedup_simhash",
-    "dim_scd2_history",
-    "events_funnel",
-    "io_schema_evolution",
-    "join_asof",
-    "join_interval_overlap",
-    "join_range_bucket",
-    "join_skew_salted",
-    "json_schema_drift",
-    "mix_weighted_sources",
-    "multimodal_columns",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "pack_sequences",
-    "pipeline_corpus_prepare",
-    "pipeline_course_normalize",
-    "pipeline_training_manifest",
-    "pipeline_user_activity",
-    "sample_stratified_exact",
-    "sim_ann_lsh",
-    "sim_ann_pq",
-    "sim_knn_exact",
-    "split_train_val_test",
-    "storage_bucketed_merge",
-    "storage_compact_small_files",
+    # --- rule (b): the 17 r7-evidence deferrals named in the r13 residue
+    "stream_dedup_upsert",
+    "stream_interval_join",
+    "stream_session_native",
+    "stream_session_window",
+    "stream_sliding_agg",
+    "stream_tumbling_agg",
+    "table_diff_reconcile",
+    "text_ngram_vocab",
+    "text_pii_redact",
+    "text_quality_gopher",
+    "text_tfidf",
+    "text_tokenize_stats",
+    "timeseries_gapfill",
+    "tpch_q1_pricing",
+    "tpch_q3_priority",
+    "udf_map_in_pandas",
+    "unpivot_stack",
+    # --- rule (c): alphabetically-first 32 oldest-r9 (18 named defer to r15)
+    "agg_approx_percentile",
+    "agg_cms_term_counts",
+    "agg_histogram_fixed_width",
+    "agg_hll_mergeable",
+    "cast_timestamp",
+    "cast_types",
+    "cdc_apply_changes",
+    "dedup_cluster_cc_star",
+    "dedup_incremental_batch",
+    "dedup_source_priority",
+    "dim_scd2_point_in_time",
+    "embedding_centroid_per_label",
+    "embedding_quantize",
+    "events_retention_cohort",
+    "events_transition_counts",
+    "hybrid_search_rrf",
+    "io_binary_files",
+    "io_multiformat_roundtrip",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "join_bloom_prefilter",
+    "mix_temperature_sampling",
+    "multimodal_resize",
+    "orders_active_episodes_arrow",
+    "quantile_bucket_equidepth_2phase",
+    "rest_source_scan",
+    "sim_ann_ivf",
+    "sim_rerank_mmr",
+    "storage_bucketed_join",
+    "storage_dpp_join",
+    "storage_partitioned_write",
+    "storage_zorder_cluster",
 ]
 
 def load_all() -> dict[str, QuerySpec]:
