@@ -1596,8 +1596,25 @@ def main() -> None:
         },
         "over_abs_gate_undocumented": over_abs_gate_undocumented,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        # run identity for the archive (r13 verdict task 3): lets
+        # tools/rolling_spread.py dedup an archived copy against the
+        # live sidecar it mirrors
+        "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    # Archive EVERY run's decomposition (r13 verdict task 3): both
+    # committed-path quiet-box runs in a round overwrite the same
+    # bench_detail.json, which cost r13 its run-1 per-query data.  Each
+    # write is mirrored into gitignored bench_archive/ under a
+    # timestamped name, so any two runs stay restatable
+    # (tools/rolling_spread.py enumerates the archive) without manual
+    # copy-aside.
+    archive_dir = os.path.join(os.path.dirname(detail_path), "bench_archive")
+    os.makedirs(archive_dir, exist_ok=True)
+    tag = os.path.splitext(os.path.basename(detail_path))[0]
+    stamp = detail["written_at"].replace(":", "").replace("-", "")
+    with open(os.path.join(archive_dir, f"{tag}.{stamp}.json"), "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:10]

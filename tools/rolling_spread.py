@@ -12,6 +12,10 @@ Sources, oldest first:
   - committed bench_detail.json at the r12 sidecar commits (git show)
   - the round-stamped gitignored sidecars (bench_detail_r*.json)
   - the current committed bench_detail.json
+  - the gitignored per-run archive (bench_archive/*.json — every
+    bench.py write mirrors itself there since r14, so overwritten runs
+    stay restatable; live files' own mirror copies are deduped by
+    written_at)
 
 Caveat: the table includes every sidecar on disk for context, but the
 SAME-PLAN demonstration (the 5-point claim in bench.py's comment) is the
@@ -64,6 +68,19 @@ def main() -> None:
         docs.append((os.path.basename(path)[len("bench_detail_"):-len(".json")],
                      json.load(open(path))))
     docs.append(("committed", json.load(open(os.path.join(ROOT, "bench_detail.json")))))
+    # the per-run archive (r13 verdict task 3): every bench.py write is
+    # mirrored into bench_archive/<tag>.<stamp>.json, so runs that later
+    # overwrote their sidecar are still restatable here.  Entries whose
+    # written_at matches an already-listed doc are the live files' own
+    # mirror copies — skip those.
+    seen_stamps = {d.get("written_at") for _, d in docs if d.get("written_at")}
+    for path in sorted(glob.glob(os.path.join(ROOT, "bench_archive", "*.json"))):
+        doc = json.load(open(path))
+        stamp = doc.get("written_at")
+        if stamp and stamp in seen_stamps:
+            continue
+        seen_stamps.add(stamp)
+        docs.append((os.path.basename(path)[:-len(".json")], doc))
 
     pts = []
     print(f"pinned cut {ROLLING_CUT_S}s -> fixed set of {len(fixed_set)} queries; "
