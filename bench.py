@@ -900,6 +900,7 @@ def merge_rolling_floors(
     oracle_shas: dict,
     duck_ver: str,
     data_fp: str,
+    legacy_data_fps: tuple = (),
 ) -> tuple[dict, dict]:
     """The ORACLE_FLOOR merge rule as a pure function (r13 — extracted so
     the invalidation semantics are unit-testable): per query, the rolling
@@ -909,9 +910,15 @@ def merge_rolling_floors(
     from this session (a floor measured under different SQL, a different
     DuckDB build, or different data must not survive as a phantom-fast
     denominator).  Legacy entries missing a stamp (bare floats from the
-    r12 seed; pre-r13 entries without env stamps) adopt the current
-    stamps on first contact.  Returns (rolling floors, re-stamped
-    entries to store)."""
+    r12 seed; pre-r13 entries without env stamps; dict entries missing
+    any individual stamp key) adopt the current stamps on first contact
+    — absence means "never stamped", only a PRESENT-but-different stamp
+    invalidates.  `legacy_data_fps` lists superseded fingerprints of the
+    same bytes (r14: the fingerprint formula changed from
+    path:size:mtime to a content digest; entries stamped under the old
+    formula for the SAME data migrate instead of re-seeding).  Returns
+    (rolling floors, re-stamped entries to store)."""
+    data_ok = (data_fp, *legacy_data_fps)
     rolling: dict[str, float] = {}
     new_stored: dict[str, dict] = {}
     for n, o in oracle_s.items():
@@ -919,10 +926,12 @@ def merge_rolling_floors(
         if isinstance(prev_entry, dict):
             prev_floor = (
                 prev_entry.get("s")
-                if prev_entry.get("sha") == oracle_shas[n]
-                # legacy entries without env stamps adopt the current ones
+                # entries missing a stamp key adopt the current one
+                # (ADVICE r13: .get with no default made a missing sha
+                # re-seed, unlike the env stamps — docstring now matches)
+                if prev_entry.get("sha", oracle_shas[n]) == oracle_shas[n]
                 and prev_entry.get("duckdb", duck_ver) == duck_ver
-                and prev_entry.get("data", data_fp) == data_fp
+                and prev_entry.get("data", data_fp) in data_ok
                 else None
             )
         else:
@@ -1237,15 +1246,31 @@ def main() -> None:
     sf_key = f"sf{sf}"
     stored_floors = floor_doc.get(sf_key, {})
     duck_ver = duckdb.__version__
-    data_fp = hashlib.sha1(
+    parquet_files = sorted(
+        os.path.join(root, f)
+        for root, _dirs, files in os.walk(sf_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    # Dataset fingerprint = content digest (ADVICE r13: the old
+    # relpath:size:mtime form reseeded every rolling floor on an
+    # mtime-only change — a re-copy or byte-identical regeneration —
+    # even though the data was unchanged).  Hashing the bytes costs
+    # ~20 ms at sf0.1's 17 MB, once per bench run.
+    h = hashlib.sha1()
+    for p in parquet_files:
+        h.update(os.path.relpath(p, sf_dir).encode())
+        with open(p, "rb") as fh:
+            h.update(fh.read())
+    data_fp = h.hexdigest()[:12]
+    # superseded pre-r14 fingerprint of the same files: entries stamped
+    # under it migrate to the content digest instead of re-seeding (the
+    # ratchet survives the formula change; drops out once every stored
+    # entry carries the new stamp)
+    legacy_fp = hashlib.sha1(
         "\n".join(
             f"{os.path.relpath(p, sf_dir)}:{st.st_size}:{st.st_mtime_ns}"
-            for p in sorted(
-                os.path.join(root, f)
-                for root, _dirs, files in os.walk(sf_dir)
-                for f in files
-                if f.endswith(".parquet")
-            )
+            for p in parquet_files
             for st in (os.stat(p),)
         ).encode()
     ).hexdigest()[:12]
@@ -1254,7 +1279,8 @@ def main() -> None:
         for n in oracle_s
     }
     rolling, new_stored = merge_rolling_floors(
-        stored_floors, oracle_s, oracle_shas, duck_ver, data_fp
+        stored_floors, oracle_s, oracle_shas, duck_ver, data_fp,
+        legacy_data_fps=(legacy_fp,),
     )
     floor_doc[sf_key] = {**stored_floors, **new_stored}
     tmp_floor = floor_file + ".tmp"

@@ -235,14 +235,25 @@ def test_rolling_floor_stamp_invalidation():
         "data_changed": {"s": 0.5, "sha": "aaa", "duckdb": "v1", "data": "d0"},
         "legacy_float": 0.5,
         "legacy_no_env": {"s": 0.5, "sha": "aaa"},
+        "legacy_no_sha": {"s": 0.5, "duckdb": "v1", "data": "d1"},
+        "legacy_data_fp": {"s": 0.5, "sha": "aaa", "duckdb": "v1", "data": "dOLD"},
     }
     session = {n: 1.0 for n in stored} | {"new_query": 1.0}
     shas = {n: "aaa" for n in session}
-    rolling, new_stored = mod.merge_rolling_floors(stored, session, shas, "v1", "d1")
+    rolling, new_stored = mod.merge_rolling_floors(
+        stored, session, shas, "v1", "d1", legacy_data_fps=("dOLD",)
+    )
     # matching / legacy entries keep the faster stored floor (ratchet)
     assert rolling["match"] == 0.5
     assert rolling["legacy_float"] == 0.5
     assert rolling["legacy_no_env"] == 0.5
+    # a dict entry missing the sha key adopts the current sha (ADVICE
+    # r13: absence means never-stamped, same as the env stamps)
+    assert rolling["legacy_no_sha"] == 0.5
+    # an entry stamped under a superseded fingerprint of the same bytes
+    # migrates (r14 formula change) instead of re-seeding
+    assert rolling["legacy_data_fp"] == 0.5
+    assert new_stored["legacy_data_fp"]["data"] == "d1"
     # any stamp mismatch re-seeds from the session
     assert rolling["sql_changed"] == 1.0
     assert rolling["duck_changed"] == 1.0

@@ -18,6 +18,7 @@ PAGE_SIZE = 5
 
 class StubHandler(BaseHTTPRequestHandler):
     fail_first_hits: dict[int, int] = {}  # page -> remaining failures
+    n_pages = N_PAGES  # subclasses override for longer chains
 
     def log_message(self, *a):  # silence
         pass
@@ -34,12 +35,13 @@ class StubHandler(BaseHTTPRequestHandler):
         base = (page - 1) * size
         # pages beyond the dataset are empty with no next link — the shape
         # a drained API reports, and what pins the streaming offset
+        n_pages = type(self).n_pages
         results = (
             [{"rec_id": base + i, "name": f"r{base + i}"} for i in range(size)]
-            if page <= N_PAGES
+            if page <= n_pages
             else []
         )
-        nxt = None if page >= N_PAGES else f"?page={page + 1}&page_size={size}"
+        nxt = None if page >= n_pages else f"?page={page + 1}&page_size={size}"
         body = json.dumps({"next": nxt, "results": results}).encode()
         self.send_response(200)
         self.send_header("Content-Type", "application/json")
@@ -251,5 +253,96 @@ def test_rest_cursor_reader_replay_matches_read():
         # pinned offset: no further data, offset unchanged
         again, same = r.read(all_offsets[-1])
         assert list(again) == [] and same == all_offsets[-1]
+    finally:
+        server.shutdown()
+
+
+def _serve(handler_cls):
+    server = HTTPServer(("127.0.0.1", 0), handler_cls)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server
+
+
+def test_rest_cursor_replay_matches_read_long_chain():
+    """replay-equals-read at a 50-link chain (r13 verdict task 6): the
+    toy 7-page tests exercise 3 offset transitions; a 50-page chain at 3
+    pages per batch drives 17 adjacent offset pairs through
+    readBetweenOffsets, pinning the recovery contract where cursor
+    arithmetic (batch boundaries, mid-chain URLs, the pinned done
+    offset) has real room to drift."""
+    from pyspark.sql.types import StructType
+
+    from ub_etl_spark.sources.rest import RestCursorStreamReader
+
+    class LongChainHandler(StubHandler):
+        n_pages = 50
+
+    server = _serve(LongChainHandler)
+    try:
+        url = f"http://127.0.0.1:{server.server_port}/api?page=1&page_size={PAGE_SIZE}"
+        schema = StructType.fromDDL("rec_id long, name string")
+        r = RestCursorStreamReader(schema, {"url": url, "pages_per_batch": "3"})
+        off = r.initialOffset()
+        all_rows, all_offsets = [], [off]
+        for _ in range(25):  # 50 pages / 3 per batch -> 17 productive reads
+            rows, nxt = r.read(off)
+            rows = list(rows)
+            all_rows.append(rows)
+            all_offsets.append(nxt)
+            if nxt == off:
+                break
+            off = nxt
+        flat = [rid for batch in all_rows for rid, _ in batch]
+        assert flat == list(range(50 * PAGE_SIZE))
+        assert all_offsets[-1]["done"] is True
+        assert len([b for b in all_rows if b]) == 17
+        for i, rows in enumerate(all_rows):
+            replay = list(r.readBetweenOffsets(all_offsets[i], all_offsets[i + 1]))
+            assert replay == rows, f"batch {i} replay mismatch"
+    finally:
+        server.shutdown()
+
+
+def test_rest_cursor_stream_restarts_long_chain(spark, tmp_path):
+    """availableNow restart-replay at the 50-link chain: restarting the
+    query mid-chain from the committed cursor keeps exactly-once across
+    restarts at a depth where many offsets commit per run (10 pages per
+    batch, 5 productive restarts)."""
+    class LongChainHandler(StubHandler):
+        n_pages = 50
+
+    server = _serve(LongChainHandler)
+    try:
+        url = f"http://127.0.0.1:{server.server_port}/api?page=1&page_size={PAGE_SIZE}"
+        spark.dataSource.register(RestPaginatedDataSource)
+        sdf = (
+            spark.readStream.format("rest_paginated")
+            .schema("rec_id long, name string")
+            .option("url", url)
+            .option("mode", "cursor")
+            .option("pages_per_batch", 10)
+            .load()
+        )
+        got: list[int] = []
+        n_nonempty: list[int] = []
+
+        def sink(df, batch_id):
+            rows = df.collect()
+            if rows:
+                n_nonempty.append(batch_id)
+            got.extend(r.rec_id for r in rows)
+
+        for _ in range(7):  # 50-link chain / 10 per batch -> 5 productive runs
+            q = (
+                sdf.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", str(tmp_path / "ckpt_cursor50"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        assert sorted(got) == list(range(50 * PAGE_SIZE))
+        assert len(got) == len(set(got))  # exactly once across restarts
+        assert len(n_nonempty) >= 5  # incremental, not one giant pull
     finally:
         server.shutdown()

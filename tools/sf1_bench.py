@@ -102,7 +102,27 @@ ROWS_ONLY_SF1 = [
     "sim_ann_pq",
     "multimodal_phash_dedup",
 ]
-QUERIES = MEANINGFUL_26 + WEAK_HELD + ROWS_ONLY_SF1
+# r13 verdict task 4: every BENCH over-abs-gate (>1.5 s at sf0.1) query
+# carries an sf1 row measured on the shipped plan, so each
+# absolute-cost disposition in bench.py's ABS_TIME_NOTES /
+# DOCUMENTED_EXCEPTIONS cites a same-plan sf1 number.  This is the
+# union of the r12/r13-era over-gate sets not already in the lists
+# above (the gate set breathes a little run-to-run as queries cross
+# 1.5 s under load, hence union).
+OVER_ABS_GATE_SF1 = [
+    "dedup_apply_canonical",
+    "dedup_cluster_cc_star",
+    "dim_scd2_apply_changes",
+    "graph_pagerank_trade",
+    "join_bloom_prefilter",
+    "market_basket_lift",
+    "pipeline_course_normalize",
+    "pipeline_training_manifest",
+    "storage_bucketed_merge",
+    "storage_gdpr_delete",
+    "udf_cogrouped_map",
+]
+QUERIES = MEANINGFUL_26 + WEAK_HELD + ROWS_ONLY_SF1 + OVER_ABS_GATE_SF1
 
 
 def ensure_big_dir(spark) -> None:
@@ -151,6 +171,9 @@ def main() -> None:
         )
     subset = set(argv) or set(QUERIES)
     registry = load_all()
+    unknown = subset - set(registry)
+    if unknown:
+        raise SystemExit(f"unknown query name(s): {sorted(unknown)}")
     spark = get_spark("sf1-bench")
     spark.sparkContext.setLogLevel("ERROR")
     ensure_big_dir(spark)
@@ -227,11 +250,13 @@ def main() -> None:
         t1 = once()
         return (t1 if t1 > 60 else min(t1, once())), mode
 
-    for name in QUERIES:
-        if name not in subset:
-            continue
+    # names explicitly asked for but outside the pinned lists still run
+    # (one-off measurements append rows without editing the constants)
+    to_run = [n for n in QUERIES if n in subset] + sorted(subset - set(QUERIES))
+    for name in to_run:
         spec = registry[name]
-        prev_row = {} if fresh else doc["queries"].get(name, {})
+        stored = doc["queries"].get(name, {})
+        prev_row = {} if fresh else stored
         # seed from the stored row so a TRANSIENT failure this session
         # cannot destroy an accumulated cross-session minimum (the error
         # key is recorded alongside, not instead of, the surviving data);
@@ -239,6 +264,7 @@ def main() -> None:
         row: dict = dict(prev_row)
         row.pop("spark_err", None)
         row.pop("oracle_err", None)
+        row.pop("fresh_err", None)
         t0 = time.time()
         try:
             s = spark_time(name)
@@ -250,7 +276,14 @@ def main() -> None:
             # twin carried its pre-composite-key 3.378s for a round)
             row["spark_s"] = round(min(s, prev_row.get("spark_s", s)), 3)
         except Exception as exc:  # noqa: BLE001
-            row["spark_err"] = str(exc)[:200]
+            if fresh and stored:
+                # ADVICE r13: a crashed --fresh run must not destroy the
+                # accumulated row — keep the stored data and flag the
+                # failed reset so the stale minimum is visibly suspect.
+                row = dict(stored)
+                row["fresh_err"] = str(exc)[:200]
+            else:
+                row["spark_err"] = str(exc)[:200]
         if spec.oracle is None:
             row["oracle_mode"] = "rows_only (bounds in BOUNDS.json)"
         else:
