@@ -893,6 +893,31 @@ NOTES = """Notes on the flagged cells:
   vs 17.6s p99-capped — no hubs on this graph: degree p50=119/p99=182/
   max=222, under 2x spread; cap also perturbs 6 of the true top-50);
   residual is the deg^2 wedge work both engines pay.
+- r14 over-abs-gate completion (r13 verdict task 4): every BENCH
+  over-1.5s query now carries a same-plan sf1 row (sf1_bench.json's
+  pinned OVER_ABS_GATE_SF1 set added the 11 missing), so each
+  absolute-cost disposition in bench.py cites an sf1 number measured
+  on the shipped plan.  The new rows confirm their stories rather than
+  flag new work: graph_pagerank_trade 1.07 and storage_gdpr_delete
+  1.25 floor-adjusted (the iteration/rewrite machinery amortizes,
+  as their notes claim); dim_scd2_apply_changes 19.5x (10.4s) is the
+  documented incremental-maintenance-vs-rebuild asymmetry — the
+  two-phase stitch pays window stages the from-scratch oracle skips,
+  and at scale touches only the delta; pipeline_course_normalize
+  1867x is pure arithmetic (13 noop sink jobs over a FIXED-size dim
+  table against a 2ms oracle — amplification cannot grow its input);
+  udf_cogrouped_map 34x is the documented API-surface proof (Arrow
+  serialization tax; the codegen fast path is join_asof);
+  dedup_apply_canonical 26x / dedup_cluster_cc_star 25x sit on
+  sub-0.07s oracles (iterative-CC job floors, the notes' claim);
+  storage_bucketed_merge 7.3x pays the one-time bucketed LAYOUT WRITE
+  the rows-only oracle skips; pipeline_training_manifest 4.4x is the
+  sum of its three curation stages' sanctioned constants;
+  join_bloom_prefilter 8.5x is 3 chained jobs on a 0.27s oracle; and
+  market_basket_lift comes in at 0.38 floor-adjusted — Spark 8.8s vs
+  DuckDB 22.7s, 2.6x FASTER where the Arrow pair-count kernel's
+  in-worker pre-aggregation meets a pair set big enough to hurt the
+  oracle's hash self-join (the regime the basket cells predicted).
 - sf1 perf-task profiles (r11): each task got a same-session stage
   decomposition at sf1 (intermediate-frame noop timing) and either a
   landed rework or a measured-accept disposition.  Table values above
