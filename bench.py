@@ -788,7 +788,11 @@ ABS_TIME_NOTES = {
         "passes (only pass 1 pays the 10s training).  Disposition: the "
         "r12 sample is load-class, not a cache miss or plan change — "
         "reinforced by the r13 committed sidecar itself reading 1.464s "
-        "INSIDE a full bench sweep"
+        "INSIDE a full bench sweep.  r14 fourth confirmation: the r14 "
+        "quiet-box sweep read 4.56s with load rising 1.2->5.3 across "
+        "passes; the same-day fresh-session envelope check read 16.2 "
+        "(training), then 1.417/1.416 — warm min-of-3 1.416s at "
+        "load-avg 1.7, the tightest pin yet"
     ),
     # --- r10: the recurring heavy floor-adjacent queries (oracles 0.08-
     # 0.17s, own times near or above the in-band machinery cap across the
@@ -1178,26 +1182,31 @@ def main() -> None:
     # (42% spread — both sides of the division moved with the session),
     # while aggregate_ratio_excl_subfloor_vs_rolling_floor read 1.37 vs
     # 1.38 (0.7%).
-    # SPREAD DEMONSTRATION, 6 restatable same-plan points (r12 verdict
-    # task 5 — r12's three sidecars + r13's surviving three; no
-    # registered plan changed between r12 and r13), restated on the
-    # final r13 floors and the PINNED-cut set (48 queries at that floor
-    # vintage — later ratchets can move borderline floors across the
-    # cut, which shifts every point identically and preserves the
-    # comparison) so only the numerator varies — tools/rolling_spread.py
-    # regenerates this table from the sidecars on disk:
-    #   r12-a      1.141  (passes at load-avg 0.39/1.67/2.09)
-    #   r12-b      1.320  (0.81/3.52/3.59)
-    #   r12-driver 1.399  (2.06/4.33/5.15)
-    #   r13-run2   1.393  (0.26/4.70/4.60)   emitted 1.68 (session cut)
-    #   r13-run3   1.292  (0.30/3.16/4.77)   emitted 1.29 (pinned cut)
-    #   r13-run4   1.225  (0.39/3.75/1.78)   emitted 1.22 (pinned cut)
-    # (a seventh point, r13-run1, emitted 1.28 under the session cut and
-    # restated 1.397-1.402 beside run2 at the pre-run3 floor vintage —
-    # agreeing to 0.4% — before run3 overwrote its sidecar file.)
-    # max spread ~19% and tracks per-pass load (the two quietest runs
-    # are the two lowest points); both pinned-cut emissions equal their
-    # restatements exactly.  The residual spread is the NUMERATOR's own
+    # SPREAD DEMONSTRATION, 7 restatable same-plan points (r12 verdict
+    # task 5, extended r14 per r13 task 5 — no registered plan changed
+    # r12->r14), restated on the current floors and the PINNED-cut set
+    # (48 queries at that floor vintage — later ratchets can move
+    # borderline floors across the cut, which shifts every point
+    # identically and preserves the comparison) so only the numerator
+    # varies — tools/rolling_spread.py regenerates this table from the
+    # sidecars on disk, git history, and bench_archive/:
+    #   r12-a      1.142  (passes at load-avg 0.39/1.67/2.09)
+    #   r12-b      1.321  (0.81/3.52/3.59)
+    #   r13-c      1.293  (0.30/3.16/4.77)   emitted 1.29 (pinned cut)
+    #   r12-driver 1.401  (2.06/4.33/5.15)
+    #   r13-driver 1.476  (4.55/5.36/2.58)   emitted 1.47
+    #   r13-run2   1.394  (0.26/4.70/4.60)   emitted 1.68 (session cut)
+    #   r14-run1   1.480  (1.19/3.26/5.28)   emitted 1.48 (pinned cut)
+    # (two further r13 points were overwritten before the bench_archive/
+    # convention existed: run1 emitted 1.28 under the session cut and
+    # restated 1.397-1.402 beside run2 at its floor vintage — agreeing
+    # to 0.4% — and run4 emitted 1.22 / restated 1.225 at the r13
+    # vintage.  Every run since r14 mirrors itself into bench_archive/,
+    # so no future point can be lost this way.)
+    # max spread ~25% and tracks per-pass load (the quietest run, r12-a,
+    # is the lowest point; the two most-loaded, r13-driver and r14-run1,
+    # are the two highest); every pinned-cut emission equals its
+    # restatement exactly.  The residual spread is the NUMERATOR's own
     # load sensitivity (documented above), not the ratio machinery:
     # r13 runs 1-2 EMITTED 1.28 vs 1.68 (31%) under the old session-cut
     # set because their floor samples (0.1189 vs 0.0711 s) churned 26
@@ -1210,8 +1219,10 @@ def main() -> None:
     # floor must not survive a move to a more expensive formulation, or
     # the trend aggregate reports a phantom engine regression forever).
     # r13 (r12 ADVICE): entries ALSO carry the DuckDB version and a
-    # dataset fingerprint (sorted relpath/size/mtime of the sf_dir's
-    # parquet files) and are invalidated when either changes — a DuckDB
+    # dataset fingerprint (r14: a CONTENT digest over the sf_dir's
+    # parquet files — the r13 relpath/size/mtime form reseeded on
+    # mtime-only changes; old-form stamps of the same bytes migrate in
+    # place) and are invalidated when either changes — a DuckDB
     # upgrade or a dataset regeneration that legitimately slows oracles
     # must not leave stale fast floors inflating the trend aggregates
     # (the same phantom-regression failure mode the SQL sha guards, on

@@ -162,6 +162,20 @@ def bound_ann_lsh(spark, sf) -> dict:
         "unit": "recall@5_vs_exact_knn",
         "op_point": "registered: 2 planes x 12 tables, 10 queries",
         "pass": rec >= 0.9,
+        # r14 (continuing the r13-task-2 promotion program): the
+        # candidate re-rank scores exact cosine, so whenever every true
+        # top-5 neighbor lands in some bucket the ANN output EQUALS the
+        # exact top-k set — recorded hash-grade when it holds.
+        "set_equality": {
+            "n_exact": len(exact),
+            "n_ann": len(ann),
+            "equal": ann == exact,
+            "grade": (
+                "deterministic: ANN (query,neighbor) set == exact knn top-5 set"
+                if ann == exact
+                else "statistical only at this scale (recall < 1.0)"
+            ),
+        },
     }
 
 
@@ -542,6 +556,19 @@ def bound_ann_pq(spark, sf) -> dict:
         "unit": "recall@5_vs_exact_knn",
         "op_point": "registered: m=16 ksub=64 shortlist=50 (ADC + exact re-rank), 10 queries",
         "pass": recall >= 0.9,
+        # r14: the shortlist re-rank is exact cosine, so whenever every
+        # true top-5 neighbor survives the ADC shortlist the PQ output
+        # EQUALS the exact top-k set — recorded hash-grade when it holds.
+        "set_equality": {
+            "n_exact": len(exact),
+            "n_pq": len(pq),
+            "equal": pq == exact,
+            "grade": (
+                "deterministic: PQ (query,neighbor) set == exact knn top-5 set"
+                if pq == exact
+                else "statistical only at this scale (recall < 1.0)"
+            ),
+        },
     }
 
 

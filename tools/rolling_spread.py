@@ -38,8 +38,11 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 # historical committed sidecars (r12 rolling-floor era, oldest first);
-# pre-r12 sidecars predate ORACLE_FLOOR.json and are not comparable
-GIT_POINTS = [("r12-a", "2fe5d11"), ("r12-b", "e705999")]
+# pre-r12 sidecars predate ORACLE_FLOOR.json and are not comparable.
+# r13-c is the r13 quiet-box committed sidecar (pinned-cut run 3, agg
+# 1.29) — overwritten in the working tree by the r14 refresh before the
+# bench_archive/ convention existed, so it is restated from git.
+GIT_POINTS = [("r12-a", "2fe5d11"), ("r12-b", "e705999"), ("r13-c", "7c08cf2")]
 
 # shown for context but EXCLUDED from the headline spread: numerators
 # measured on plans that no longer ship (r11 predates the r12
