@@ -656,6 +656,13 @@ SF01_MEASURES = {
     # Hamming pass are both seconds-feasible at 5000 docs).
     "dedup_minhash_lsh": bound_minhash,
     "dedup_simhash": bound_simhash,
+    # r14: the ANN set-equality promotions carried to the bench corpus
+    # (20k vectors) — recall at a fixed operating point is
+    # corpus-size-sensitive, so the equality claim is measured where
+    # the bench runs, not just at sf0.01; the blocks degrade gracefully
+    # to the recall bound if equality stops holding at scale.
+    "sim_ann_lsh": bound_ann_lsh,
+    "sim_ann_pq": bound_ann_pq,
 }
 SF01_DIR = "/root/testdata/sf0.1"
 
