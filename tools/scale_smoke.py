@@ -866,6 +866,13 @@ def sf1_section() -> list[str]:
 
 
 NOTES = """Notes on the flagged cells:
+- r14 full-value parity AT BENCH SCALE: tools/parity.py ran all 261
+  registered queries at sf0.1 — 261/261 passed (246 with full
+  row/schema/value-hash oracles, the rest rows-only by construction).
+  Prior full-parity sweeps ran at sf0.001/sf0.01 (+ the r13 7-way
+  partitioning re-run); this is the first value-hash certification at
+  the 600k-row corpus the bench measures, closing the scale gap
+  between the correctness evidence and the performance evidence.
 - sf1.0 adjudication (r11, closing r10 verdict task 4): at ~6M lineitem
   rows the per-job floor amortizes and 20/28 measured queries land
   at-or-under 2x floor-adjusted — the floor-dominance claim
