@@ -47,6 +47,16 @@ def bound_hll(spark, sf) -> dict:
     }
     exact["ALL"] = o.agg(F.countDistinct("o_custkey")).first()[0]
     err = max(abs(got[k] - exact[k]) / max(exact[k], 1) for k in exact)
+    # r14 MEASURED-AND-REJECTED: a register-exact mergeability pin
+    # (union of per-group sketches estimates EXACTLY what one global
+    # sketch estimates) was built and measured FALSE at sf0.01 — merged
+    # 1488 vs global 1492.  The Datasketches union gadget promotes
+    # sparse/coupon-mode inputs to dense HLL_8, while a directly-built
+    # sketch at this cardinality stays in its more accurate sparse
+    # representation, so the two estimates legitimately differ inside
+    # the error bound.  Mergeability here is a BOUNDED property, not a
+    # deterministic one; the relative-error bound above (which the
+    # ALL row exercises through the union path) is the right claim.
     return {
         "pinned_bound": 0.05,
         "measured": round(err, 4),
@@ -80,6 +90,14 @@ def bound_cms(spark, sf) -> dict:
         "unit": "max_overcount / (eps*N) allowance; undercount forbidden",
         "op_point": f"eps=1e-4 conf=0.99 seed=42, N={total}, probes={PROBE_TERMS}",
         "pass": (worst <= 1.0) and not undercount,
+        # surfaced as its own row (r14): one-sidedness is deterministic
+        # by construction (CMS cells only increment), so "no probe term
+        # undercounts" is a hash-grade claim, not a bound.
+        "deterministic_subset": {
+            "claim": "no probe term undercounts (CMS is one-sided by construction)",
+            "n_probes": len(PROBE_TERMS),
+            "pass": not undercount,
+        },
     }
 
 
@@ -190,12 +208,30 @@ def bound_ann_ivf(spark, sf) -> dict:
         ).collect()
     }
     rec = len(ivf & exact) / len(exact)
+    # r14: with nprobe == nlist every inverted list is probed, so IVF
+    # must EQUAL exact knn by construction — this pins the machinery
+    # (quantizer assignment, candidate join, re-rank) deterministically,
+    # isolating the recall bound above to the bucketing approximation
+    # alone rather than implementation defects.
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in V.knn_ann_ivf(
+            emb, k=5, nlist=16, nprobe=16, query_filter=F.col("vec_id") < 10
+        ).collect()
+    }
     return {
         "pinned_bound": 0.85,
         "measured": round(rec, 4),
         "unit": "recall@5_vs_exact_knn",
         "op_point": "registered: nlist=16 nprobe=12, 10 queries",
-        "pass": rec >= 0.85,
+        "pass": rec >= 0.85 and full == exact,
+        "deterministic_subset": {
+            "claim": "at nprobe == nlist (all lists probed) IVF output "
+            "== exact knn top-5 set by construction",
+            "n_pairs": len(exact),
+            "equal": full == exact,
+            "pass": full == exact,
+        },
     }
 
 
