@@ -873,6 +873,11 @@ NOTES = """Notes on the flagged cells:
   partitioning re-run); this is the first value-hash certification at
   the 600k-row corpus the bench measures, closing the scale gap
   between the correctness evidence and the performance evidence.
+  Also r14, a new independence axis: full 261/261 parity with
+  spark.sql.adaptive.enabled=false (via the session's new
+  SPARK_GRAFT_EXTRA_CONF override, verified taking effect) — results
+  do not depend on AQE replanning, complementing the r13 7-way
+  partition-count certification.
 - sf1.0 adjudication (r11, closing r10 verdict task 4): at ~6M lineitem
   rows the per-job floor amortizes and 20/28 measured queries land
   at-or-under 2x floor-adjusted — the floor-dominance claim

@@ -67,6 +67,14 @@ def get_spark(
     )
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
+    # SPARK_GRAFT_EXTRA_CONF="k=v;k=v" — override any session conf from the
+    # environment without code changes.  Exists for independence sweeps
+    # (e.g. full parity with spark.sql.adaptive.enabled=false certifies
+    # results don't depend on AQE replanning); overrides apply AFTER the
+    # defaults and the caller's extra, so they always win.
+    for pair in filter(None, os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";")):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
