@@ -877,7 +877,13 @@ NOTES = """Notes on the flagged cells:
   spark.sql.adaptive.enabled=false (via the session's new
   SPARK_GRAFT_EXTRA_CONF override, verified taking effect) — results
   do not depend on AQE replanning, complementing the r13 7-way
-  partition-count certification.
+  partition-count certification.  And a third axis: full 261/261
+  parity with spark.sql.execution.arrow.maxRecordsPerBatch=97 — every
+  Arrow kernel (mapInPandas/applyInPandas: the basket pair-count
+  kernel, session windows, PQ encode+ADC, SimHash pack, episode
+  merge, ...) produces identical results when its input arrives in
+  tiny odd-sized batches, pinning batch-flush-boundary independence
+  corpus-wide (the failure class the r12 kernel-cap fix belonged to).
 - sf1.0 adjudication (r11, closing r10 verdict task 4): at ~6M lineitem
   rows the per-job floor amortizes and 20/28 measured queries land
   at-or-under 2x floor-adjusted — the floor-dominance claim
