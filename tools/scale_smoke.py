@@ -884,6 +884,11 @@ NOTES = """Notes on the flagged cells:
   merge, ...) produces identical results when its input arrives in
   tiny odd-sized batches, pinning batch-flush-boundary independence
   corpus-wide (the failure class the r12 kernel-cap fix belonged to).
+  Fourth axis: 261/261 with spark.sql.codegen.wholeStage=false — the
+  interpreted expression path agrees with compiled codegen everywhere.
+  Together: results are invariant to partition count (r13), AQE
+  replanning, Arrow batch sizing, and codegen mode — the four runtime
+  knobs a cluster deployment actually varies.
 - sf1.0 adjudication (r11, closing r10 verdict task 4): at ~6M lineitem
   rows the per-job floor amortizes and 20/28 measured queries land
   at-or-under 2x floor-adjusted — the floor-dominance claim
