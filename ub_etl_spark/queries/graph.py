@@ -198,7 +198,18 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     the true top-50.  The lever stays documented for power-law graphs,
     where hub degree — not corpus size — drives the deg² term; on this
     graph the residual vs DuckDB is the deg² wedge work both engines
-    pay, adjudicated as the plan's honest cost."""
+    pay, adjudicated as the plan's honest cost.
+
+    Arrow pair-count kernel lever MEASURED r14, non-change (worse):
+    routing the wedge through the basket kernel's shape (collect_list
+    neighbors per center, numpy probe x neighbor expansion + packed
+    np.unique pre-agg in the worker) read 13.6-14.0s vs the join form's
+    4.4-7.1s same-session at sf0.1, outputs verified equal (2,057,207
+    pairs).  The kernel wins where pair INSTANCES vastly outnumber
+    distinct pairs (baskets: ~K-fold repetition under amplification);
+    here the probe-restricted wedge emits ~2.8M instances over ~2.06M
+    distinct pairs — nothing to combine, so the Arrow round-trip is
+    pure overhead and codegen'd join+partial-agg is the right plan."""
     li = T(spark, sf_dir, "lineitem")
     edges = tracked_persist(basket_edges(li, "l_orderkey", "l_partkey"))
     sym = edges.unionAll(
