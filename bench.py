@@ -1182,7 +1182,7 @@ def main() -> None:
     # (42% spread — both sides of the division moved with the session),
     # while aggregate_ratio_excl_subfloor_vs_rolling_floor read 1.37 vs
     # 1.38 (0.7%).
-    # SPREAD DEMONSTRATION, 8 restatable same-plan points (r12 verdict
+    # SPREAD DEMONSTRATION, 9 restatable same-plan points (r12 verdict
     # task 5, extended r14 per r13 task 5 — no registered plan changed
     # r12->r14), restated on the current floors and the PINNED-cut set
     # (48 queries at that floor vintage — later ratchets can move
@@ -1198,6 +1198,7 @@ def main() -> None:
     #   r13-run2   1.394  (0.26/4.70/4.60)   emitted 1.68 (session cut)
     #   r14-run1   1.480  (1.19/3.26/5.28)   emitted 1.48 (pinned cut)
     #   r14-run2   1.426  (0.92/5.17/3.42)   emitted 1.43 (pinned cut)
+    #   r14-run3   1.413  (0.73/2.38/2.57)   emitted 1.41 (pinned cut)
     # (two further r13 points were overwritten before the bench_archive/
     # convention existed: run1 emitted 1.28 under the session cut and
     # restated 1.397-1.402 beside run2 at its floor vintage — agreeing
