@@ -888,7 +888,10 @@ NOTES = """Notes on the flagged cells:
   interpreted expression path agrees with compiled codegen everywhere.
   Together: results are invariant to partition count (r13), AQE
   replanning, Arrow batch sizing, and codegen mode — the four runtime
-  knobs a cluster deployment actually varies.
+  knobs a cluster deployment actually varies.  A fifth combined
+  "hostile runtime" sweep (AQE off + codegen off + 97-row Arrow
+  batches + 7 shuffle partitions, all at once) also passes 261/261 —
+  the invariances hold jointly, not just one knob at a time.
 - sf1.0 adjudication (r11, closing r10 verdict task 4): at ~6M lineitem
   rows the per-job floor amortizes and 20/28 measured queries land
   at-or-under 2x floor-adjusted — the floor-dominance claim
