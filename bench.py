@@ -1270,32 +1270,30 @@ def main() -> None:
     # Dataset fingerprint = content digest (ADVICE r13: the old
     # relpath:size:mtime form reseeded every rolling floor on an
     # mtime-only change — a re-copy or byte-identical regeneration —
-    # even though the data was unchanged).  Hashing the bytes costs
-    # ~20 ms at sf0.1's 17 MB, once per bench run.
+    # even though the data was unchanged).  Hashed in 1 MB chunks so a
+    # large SPARK_GRAFT_SF_DIR never materializes whole files in memory
+    # (~20 ms at sf0.1's 17 MB, once per bench run).
     h = hashlib.sha1()
     for p in parquet_files:
         h.update(os.path.relpath(p, sf_dir).encode())
         with open(p, "rb") as fh:
-            h.update(fh.read())
+            while chunk := fh.read(1 << 20):
+                h.update(chunk)
     data_fp = h.hexdigest()[:12]
-    # superseded pre-r14 fingerprint of the same files: entries stamped
-    # under it migrate to the content digest instead of re-seeding (the
-    # ratchet survives the formula change; drops out once every stored
-    # entry carries the new stamp)
-    legacy_fp = hashlib.sha1(
-        "\n".join(
-            f"{os.path.relpath(p, sf_dir)}:{st.st_size}:{st.st_mtime_ns}"
-            for p in parquet_files
-            for st in (os.stat(p),)
-        ).encode()
-    ).hexdigest()[:12]
+    # The pre-r14 size+mtime fingerprint's one-time migration
+    # (legacy_data_fps) was RETIRED in r14 once both ORACLE_FLOOR
+    # sections were verified fully re-stamped with content digests
+    # (sf0.1 and sf0.001, zero reseeds) — a size+mtime match is not
+    # proof of same bytes, so keeping the migration open indefinitely
+    # would launder a byte-different dataset's stale floors under a
+    # fresh content stamp.  merge_rolling_floors keeps the parameter
+    # for any future formula change.
     oracle_shas = {
         n: hashlib.sha1(registry[n].oracle.encode()).hexdigest()[:12]
         for n in oracle_s
     }
     rolling, new_stored = merge_rolling_floors(
-        stored_floors, oracle_s, oracle_shas, duck_ver, data_fp,
-        legacy_data_fps=(legacy_fp,),
+        stored_floors, oracle_s, oracle_shas, duck_ver, data_fp
     )
     floor_doc[sf_key] = {**stored_floors, **new_stored}
     tmp_floor = floor_file + ".tmp"
@@ -1641,6 +1639,10 @@ def main() -> None:
         # tools/rolling_spread.py dedup an archived copy against the
         # live sidecar it mirrors
         "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        # session-conf override audit (r14): a leftover
+        # SPARK_GRAFT_EXTRA_CONF export (invariance sweeps) would
+        # otherwise poison a committed measurement invisibly
+        "extra_conf": os.environ.get("SPARK_GRAFT_EXTRA_CONF") or None,
     }
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
@@ -1655,7 +1657,15 @@ def main() -> None:
     os.makedirs(archive_dir, exist_ok=True)
     tag = os.path.splitext(os.path.basename(detail_path))[0]
     stamp = detail["written_at"].replace(":", "").replace("-", "")
-    with open(os.path.join(archive_dir, f"{tag}.{stamp}.json"), "w") as fh:
+    # second-granularity stamps can collide (two runs finishing in the
+    # same second); uniquify rather than overwrite — losing a run is the
+    # exact failure this archive exists to prevent
+    arch = os.path.join(archive_dir, f"{tag}.{stamp}.json")
+    n_dup = 2
+    while os.path.exists(arch):
+        arch = os.path.join(archive_dir, f"{tag}.{stamp}-{n_dup}.json")
+        n_dup += 1
+    with open(arch, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:10]
@@ -1701,6 +1711,11 @@ def main() -> None:
         "slowest_queries_s": slowest,
         "detail_file": os.path.basename(detail_path),
     }
+    if detail["extra_conf"]:
+        # surfaced in the driver line too: a measurement taken under a
+        # session-conf override must be impossible to mistake for a
+        # convention-clean run
+        line["extra_conf"] = detail["extra_conf"]
     out = json.dumps(line)
     # hard guard: the line MUST fit the driver's 2000-char capture window
     while len(out) > 1900 and line["slowest_queries_s"]:

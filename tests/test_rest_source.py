@@ -278,6 +278,7 @@ def test_rest_cursor_replay_matches_read_long_chain():
     class LongChainHandler(StubHandler):
         n_pages = 50
 
+    StubHandler.fail_first_hits = {}  # shared class state — no order coupling
     server = _serve(LongChainHandler)
     try:
         url = f"http://127.0.0.1:{server.server_port}/api?page=1&page_size={PAGE_SIZE}"
@@ -312,6 +313,7 @@ def test_rest_cursor_stream_restarts_long_chain(spark, tmp_path):
     class LongChainHandler(StubHandler):
         n_pages = 50
 
+    StubHandler.fail_first_hits = {}  # shared class state — no order coupling
     server = _serve(LongChainHandler)
     try:
         url = f"http://127.0.0.1:{server.server_port}/api?page=1&page_size={PAGE_SIZE}"
@@ -340,7 +342,11 @@ def test_rest_cursor_stream_restarts_long_chain(spark, tmp_path):
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(120)
+            # awaitTermination(timeout) returns False WITHOUT raising on
+            # timeout; starting the next query against the same
+            # checkpoint while this one still runs would interleave
+            # sinks — fail loudly instead
+            assert q.awaitTermination(120), "availableNow run timed out"
         assert sorted(got) == list(range(50 * PAGE_SIZE))
         assert len(got) == len(set(got))  # exactly once across restarts
         assert len(n_nonempty) >= 5  # incremental, not one giant pull

@@ -278,12 +278,26 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             if fresh and stored:
                 # ADVICE r13: a crashed --fresh run must not destroy the
-                # accumulated row — keep the stored data and flag the
-                # failed reset so the stale minimum is visibly suspect.
+                # accumulated row — keep the stored row UNCHANGED (its
+                # oracle minimum and ratios included; re-measuring the
+                # oracle here with prev_row={} would overwrite the
+                # accumulated oracle_s with one possibly-loaded sample
+                # and mix a stale spark_s into a fresh ratio) and flag
+                # the failed reset so the stale minimum is visibly
+                # suspect.
                 row = dict(stored)
                 row["fresh_err"] = str(exc)[:200]
-            else:
-                row["spark_err"] = str(exc)[:200]
+                row["load_avg_1m"] = round(os.getloadavg()[0], 2)
+                doc["queries"][name] = row
+                with open(OUT, "w") as fh:
+                    json.dump(doc, fh, indent=1, sort_keys=True)
+                print(
+                    f"[sf1] {name:34s} {json.dumps(row)}  "
+                    f"(fresh reset FAILED, stored row preserved)",
+                    flush=True,
+                )
+                continue
+            row["spark_err"] = str(exc)[:200]
         if spec.oracle is None:
             row["oracle_mode"] = "rows_only (bounds in BOUNDS.json)"
         else:

@@ -71,7 +71,12 @@ def get_spark(
     # environment without code changes.  Exists for independence sweeps
     # (e.g. full parity with spark.sql.adaptive.enabled=false certifies
     # results don't depend on AQE replanning); overrides apply AFTER the
-    # defaults and the caller's extra, so they always win.
+    # defaults and the caller's extra, so they always win.  Caveats:
+    # getOrCreate() ignores builder configs when a session already exists
+    # in-process, so the override only binds on the FIRST get_spark of a
+    # process (all the sweep tools build theirs first); and bench.py
+    # records the variable in its artifacts so a leftover export can
+    # never pass as a convention-clean measurement.
     for pair in filter(None, os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";")):
         k, _, v = pair.partition("=")
         builder = builder.config(k.strip(), v.strip())
