@@ -31,7 +31,7 @@ from ub_etl_spark.queries.sketches import (  # noqa: E402
     agg_cms_term_counts,
     agg_hll_mergeable,
 )
-from ub_etl_spark.session import get_spark, release_persisted  # noqa: E402
+from ub_etl_spark.session import get_spark, refuse_extra_conf, release_persisted  # noqa: E402
 from ub_etl_spark.sources.tables import load_table  # noqa: E402
 
 
@@ -708,8 +708,16 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default="/root/repo/BOUNDS.json")
     args = ap.parse_args()
+    refuse_extra_conf("bounds")
     spark = get_spark("bounds")
-    out = {"sf_dir": args.sf, "bounds": {}, "bounds_sf0.1": {"sf_dir": SF01_DIR}}
+    out = {
+        "sf_dir": args.sf,
+        # always None here -- refuse_extra_conf() aborted otherwise;
+        # recorded so the artifact shows the override was checked
+        "extra_conf": os.environ.get("SPARK_GRAFT_EXTRA_CONF"),
+        "bounds": {},
+        "bounds_sf0.1": {"sf_dir": SF01_DIR},
+    }
     ok = True
     for name, fn in MEASURES.items():
         res = fn(spark, args.sf)

@@ -76,13 +76,21 @@ def main() -> None:
     # overwrote their sidecar are still restatable here.  Entries whose
     # written_at matches an already-listed doc are the live files' own
     # mirror copies — skip those.
-    seen_stamps = {d.get("written_at") for _, d in docs if d.get("written_at")}
+    # written_at is second-granularity and bench.py uniquifies archive
+    # FILENAMES precisely because two runs can share a second — so dedup
+    # on (written_at, full doc equality), not the stamp alone (ADVICE
+    # r14): a distinct same-second run must appear as its own point.
+    seen: dict[str, list[dict]] = {}
+    for _, d in docs:
+        if d.get("written_at"):
+            seen.setdefault(d["written_at"], []).append(d)
     for path in sorted(glob.glob(os.path.join(ROOT, "bench_archive", "*.json"))):
         doc = json.load(open(path))
         stamp = doc.get("written_at")
-        if stamp and stamp in seen_stamps:
-            continue
-        seen_stamps.add(stamp)
+        if stamp and any(doc == prior for prior in seen.get(stamp, ())):
+            continue  # a live file's own mirror copy
+        if stamp:
+            seen.setdefault(stamp, []).append(doc)
         docs.append((os.path.basename(path)[:-len(".json")], doc))
 
     pts = []

@@ -78,11 +78,39 @@ def get_spark(
     # records the variable in its artifacts so a leftover export can
     # never pass as a convention-clean measurement.
     for pair in filter(None, os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";")):
-        k, _, v = pair.partition("=")
+        k, sep, v = pair.partition("=")
+        if not sep:
+            # a typo'd segment ("k;false") would otherwise set key="" and
+            # silently invalidate a whole sweep (ADVICE r14)
+            raise ValueError(
+                f"SPARK_GRAFT_EXTRA_CONF segment {pair!r} has no '=' — "
+                "expected k=v;k=v"
+            )
         builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def refuse_extra_conf(tool: str) -> None:
+    """Refuse to write committed evidence under a sweep conf override.
+
+    bench.py AUDITS SPARK_GRAFT_EXTRA_CONF into its artifacts, but the
+    committed-evidence writers that ratchet cross-session minima
+    (tools/sf1_bench.py -> sf1_bench.json) or pin bounds
+    (tools/bounds.py -> BOUNDS.json) have no per-row audit surface — a
+    leftover sweep export would poison those measurements invisibly
+    (ADVICE r14).  They call this at startup and record extra_conf=None
+    in the artifact so the checked-ness is itself visible.
+    """
+    val = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if val:
+        raise SystemExit(
+            f"{tool}: SPARK_GRAFT_EXTRA_CONF={val!r} is set — refusing to "
+            "write committed evidence under a non-default session conf. "
+            "Unset it; runtime sweeps go through bench.py/tools/parity.py, "
+            "which audit the override into their artifacts."
+        )
 
 
 # ---------------------------------------------------------------------------
