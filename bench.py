@@ -314,6 +314,9 @@ HEADLINE = [
     "udf_grouped_map",
     "udf_map_in_pandas",
     "udtf_tokenize",
+    # round-15: exact-substring span dedup (Lee et al. 2022), the one
+    # growth-rule registration of the round
+    "dedup_substring_span",
 ]
 
 # Sanctioned outlier ratios (r3 verdict: "the ratio belongs in the

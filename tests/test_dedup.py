@@ -307,3 +307,96 @@ def test_simhash_pack_empty_batch_guard(spark):
     assert len(out) == 0 and str(out.dtype) == "int64"
     empty = spark.createDataFrame([], "doc_id bigint, text string")
     assert simhash64(empty, "doc_id", "text").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+def _brute_spans(texts: dict[int, str], k: int, min_docs: int = 2):
+    """Pure-python reference: k-gram strings in >= min_docs distinct docs,
+    matched offsets merged by interval union of [pos, pos+k)."""
+    from collections import defaultdict
+
+    toks = {d: t.split(" ") for d, t in texts.items()}
+    owners = defaultdict(set)
+    for d, t in toks.items():
+        for i in range(len(t) - k + 1):
+            owners[" ".join(t[i : i + k])].add(d)
+    dup = {s for s, ds in owners.items() if len(ds) >= min_docs}
+    spans = set()
+    for d, t in toks.items():
+        ps = [i for i in range(len(t) - k + 1) if " ".join(t[i : i + k]) in dup]
+        if not ps:
+            continue
+        start, end, n = ps[0], ps[0] + k, 1
+        for p in ps[1:]:
+            if p <= end:
+                end, n = max(end, p + k), n + 1
+            else:
+                spans.add((d, start, end, end - start, n))
+                start, end, n = p, p + k, 1
+        spans.add((d, start, end, end - start, n))
+    return spans
+
+
+def test_substring_spans_corpus_vs_brute_force(spark, sf_dir):
+    """Deterministic oracle on the real corpus: the two-pass hash+verify
+    plan's output equals the pure-python k-gram reference exactly."""
+    from ub_etl_spark.operators.dedup import substring_spans
+    from ub_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_grams)
+        for r in substring_spans(docs, "doc_id", "text", k=20).collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    assert got == _brute_spans(texts, 20)
+    assert got  # the synthetic corpus injects duplicated spans: non-vacuous
+
+
+def test_substring_spans_overlap_union_not_islands(spark):
+    """Offsets p and p+2 both matching with k=4 must fuse into ONE span
+    [p, p+6) — interval union, not consecutive-offset islands."""
+    from ub_etl_spark.operators.dedup import substring_spans
+
+    # doc 1/2 share 'a b c d' at 1-offsets; doc 1/3 share 'c d e f'
+    rows = [
+        (1, "x a b c d e f y"),
+        (2, "q a b c d q q q"),
+        (3, "q q c d e f q q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_grams)
+        for r in substring_spans(df, "doc_id", "text", k=4).collect()
+    }
+    assert got == _brute_spans({d: t for d, t in rows}, 4)
+    # doc 1's two hits (pos 1 and pos 3) overlap -> single merged span
+    assert (1, 1, 7, 6, 2) in got
+
+
+def test_substring_spans_short_docs_and_min_docs(spark):
+    """Docs shorter than k emit nothing; min_docs=3 drops pair-only spans."""
+    from ub_etl_spark.operators.dedup import substring_spans
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d f"),
+        (3, "a b c d g"),
+        (4, "a b"),  # shorter than k: no full window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got2 = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in substring_spans(df, "doc_id", "text", k=4, min_docs=2).collect()
+    }
+    assert got2 == {(1, 0, 4), (2, 0, 4), (3, 0, 4)}
+    got3 = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in substring_spans(df, "doc_id", "text", k=4, min_docs=3).collect()
+    }
+    # 'a b c d' appears in all three long docs -> survives min_docs=3;
+    # nothing else does
+    assert got3 == {(1, 0, 4), (2, 0, 4), (3, 0, 4)}

@@ -234,6 +234,17 @@ EXPECT = {
         "!CartesianProduct",
         "!BroadcastNestedLoopJoin",
     ],
+    # substring-span dedup: pass-1 k-gram hashes stay codegen'd through the
+    # Generate, the candidate filter is a semi join, the verify rows are the
+    # persisted (InMemory) relation, and nothing plans a cartesian product
+    "dedup_substring_span": [
+        "codegen id :",
+        "Generate",
+        "LeftSemi",
+        "InMemoryTableScan",
+        "!CartesianProduct",
+        "!BroadcastNestedLoopJoin",
+    ],
     # pandas GROUPED_AGG UDAF plans as a real aggregate (ArrowAggregatePython
     # over one group-key exchange) with the scan pruned to the 2 used columns
     "udaf_grouped_agg": [

@@ -739,6 +739,13 @@ def corpus_queries(spark, d: str):
         # (array_intersect on compact per-doc sets), where the exact
         # form's gram join pays a row per co-occurring gram pair
         "containment_banded": _registered(spark, d, "text_containment_banded"),
+        # r15: exact-substring span dedup (Lee et al. 2022).  The per-copy
+        # token prefix rename keeps within-copy duplicated spans intact and
+        # makes cross-copy k-gram overlap ZERO, so the true span set scales
+        # exactly linearly in K.  Expect ~linear: the candidate pass is
+        # token-linear (hash agg + semi join on 8-byte gram hashes), the
+        # verify pass is bounded by the duplicated fraction
+        "substring_span": _registered(spark, d, "dedup_substring_span"),
     }
 
 
@@ -866,6 +873,17 @@ def sf1_section() -> list[str]:
 
 
 NOTES = """Notes on the flagged cells:
+- r15 substring_span cell (6.1x@10x, measured as a SINGLE-CELL run via
+  this module's own amplify_corpus/corpus_queries/run path — min-of-2,
+  release_persisted + clearCache between scales — because the full
+  table regeneration was not re-run this round; the cell is in
+  corpus_queries() so every future full regen includes it): the
+  exact-substring span dedup (dedup_substring_span, Lee et al. 2022)
+  rides its candidate pass, which shuffles only (xxhash64 gram, doc_id,
+  pos) — token-linear — while the string-verify pass is bounded by the
+  duplicated fraction.  The amplifier's bijective per-copy token rename
+  keeps the true span set exactly K-linear, so 6.1x@10x is per-query
+  overhead still amortizing, not super-linear work.
 - r14 full-value parity AT BENCH SCALE: tools/parity.py ran all 261
   registered queries at sf0.1 — 261/261 passed (246 with full
   row/schema/value-hash oracles, the rest rows-only by construction).

@@ -717,3 +717,102 @@ def connected_components_star(
             F.coalesce("cluster_id", F.col("id")).alias("cluster_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+def substring_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated k-token span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    exact-substring dedup standard for LLM pretraining; their suffix-array
+    formulation is single-machine, this is the shuffle-native equivalent).
+
+    Two exact passes, so the result is IDENTICAL to grouping the k-token
+    substrings themselves, at hash shuffle cost:
+
+      pass 1 (candidate): every token offset emits xxhash64 of its
+        k-gram — posexplode + element_at + concat_ws, one WholeStageCodegen
+        span, no HOF interpretation — then a hash agg keeps hashes seen in
+        >= min_docs distinct docs.  Only (hash, doc_id, pos) rows cross
+        the exchanges; the k-token strings never shuffle in this pass.
+      pass 2 (verify): candidate offsets re-materialize their actual
+        k-gram STRING (per-doc candidate offset lists join back to the
+        token arrays — the candidate side is the small side, AQE
+        broadcast) and the >= min_docs distinct-doc test re-runs on the
+        string itself.  A hash collision can only ADD a candidate in
+        pass 1; pass 2 removes it, so the output is collision-free exact.
+
+    Matched offsets then merge by interval union of [pos, pos+k) via
+    intervals.coalesce_token_spans (overlap/touch => one maximal span —
+    NOT consecutive-offset islands: offsets p and p+5 both matching must
+    fuse into [p, p+5+k)).
+
+    100 TB shape: pass-1 shuffles are ~(8B hash + ints) per token — the
+    same order as the tokenized corpus itself; pass-2 cost is bounded by
+    the duplicated fraction; the span fold's per-doc array is bounded by
+    doc token count.  The k-gram subplan is recomputed (map-only) rather
+    than persisted: caching n_tokens exploded rows is the thing that
+    would NOT survive 1000 executors.
+
+    Output: (doc_id, span_start, span_end, span_tokens, n_grams) with
+    span_end token-exclusive.  Docs shorter than k tokens emit nothing
+    (no full window exists), matching the oracle's empty range().
+    """
+    from ub_etl_spark.operators.intervals import coalesce_token_spans
+    from ub_etl_spark.session import tracked_persist
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    gram = F.concat_ws(
+        " ", *[F.element_at("__toks", F.col("pos") + j + 1) for j in range(k)]
+    )
+    sh_h = (
+        toks.select("doc_id", "__toks", F.posexplode("__toks").alias("pos", "__tok"))
+        .filter(F.col("pos") <= F.size("__toks") - k)
+        .select("doc_id", "pos", F.xxhash64(gram).alias("h"))
+    )
+    dup_h = (
+        sh_h.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    cand = sh_h.join(dup_h, "h", "left_semi").select("doc_id", "pos")
+
+    cand_pos = cand.groupBy("doc_id").agg(F.collect_list("pos").alias("__ps"))
+    # verify rows are candidate-only (small by construction) and feed two
+    # consumers (the string agg and the semi-join probe) -> persist them,
+    # not the full k-gram subplan
+    ver = tracked_persist(
+        toks.join(cand_pos, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    "__ps",
+                    lambda p: F.struct(
+                        p.alias("pos"),
+                        F.concat_ws(" ", F.slice("__toks", p + 1, k)).alias("s"),
+                    ),
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", F.col("x.pos").alias("pos"), F.col("x.s").alias("s"))
+    )
+    good_s = (
+        ver.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("s")
+    )
+    matched = ver.join(good_s, "s", "left_semi").select("doc_id", "pos")
+    return coalesce_token_spans(matched, "doc_id", "pos", k)

@@ -136,6 +136,47 @@ def coalesce_intervals_agg(
     )
 
 
+def coalesce_token_spans(
+    df: DataFrame,
+    key: str,
+    pos_col: str,
+    k: int,
+) -> DataFrame:
+    """Merge equal-length [pos, pos+k) integer offset intervals per key.
+
+    The substring-span dedup shape (operators/dedup.substring_spans):
+    every matched token offset contributes the interval [pos, pos+k);
+    overlapping-or-touching intervals union into maximal duplicated
+    spans.  Reuses _stitch_fold — one hash-agg shuffle on the key, fold
+    over the per-key sorted offset array (bounded by the key's token
+    count, never total data volume), zero WindowExec.  With equal
+    lengths and sorted starts the running-max end the fold keeps is
+    just prev_pos + k, so the merge rule degenerates to "gap <= k" —
+    the property the SQL oracle's lag() formulation relies on.
+
+    Output: (<key>, span_start, span_end, span_tokens, n_grams) with
+    span_end exclusive and n_grams = number of k-gram hits merged.
+    """
+    iv = _require_non_null(df, [key, pos_col]).select(
+        F.col(key).alias("k"),
+        F.struct(
+            F.col(pos_col).cast("bigint").alias("s"),
+            (F.col(pos_col) + k).cast("bigint").alias("e"),
+            F.lit(1).cast("bigint").alias("n"),
+        ).alias("iv"),
+    )
+    merged = iv.groupBy("k").agg(
+        _stitch_fold(F.array_sort(F.collect_list("iv"))).alias("eps")
+    )
+    return merged.select(F.col("k").alias(key), F.explode("eps").alias("ep")).select(
+        key,
+        F.col("ep.s").alias("span_start"),
+        F.col("ep.e").alias("span_end"),
+        (F.col("ep.e") - F.col("ep.s")).alias("span_tokens"),
+        F.col("ep.n").alias("n_grams"),
+    )
+
+
 def coalesce_intervals_arrow(
     df: DataFrame,
     key: str,

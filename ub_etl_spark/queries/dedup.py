@@ -229,3 +229,50 @@ def dedup_cluster_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, pairs = _cc_inputs(spark, sf_dir)
     cc = D.connected_components_star(docs, pairs, "doc_id")
     return cc.withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+
+
+# Exact-substring span dedup (Lee et al. 2022): cross-document repeated
+# K-token spans, detected exactly (hash candidate pass + string verify
+# pass — see operators/dedup.substring_spans) and merged by interval
+# union into maximal spans.  K=20 here against the ~56-token synthetic
+# docs; the real-world default is 50 (the paper's threshold) — the plan
+# is K-independent.  The oracle groups the k-gram STRINGS directly; the
+# engine's xxhash64 pass is a candidate filter only, so both sides are
+# exact and the driver hash-checks values.
+@register(
+    "dedup_substring_span",
+    tier="B",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS MATERIALIZED (
+      SELECT doc_id, u - 1 AS pos, array_to_string(t[u:u+19], ' ') AS s
+      FROM toks, unnest(range(1, len(t) - 18)) AS r(u)
+    ), dup AS MATERIALIZED (
+      SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+    ), hit AS MATERIALIZED (
+      SELECT sh.doc_id, sh.pos FROM sh JOIN dup USING (s)
+    ), brk AS (
+      -- equal-length [pos, pos+20) intervals sorted by pos: merge iff
+      -- gap <= 20, so lag() is the exact running-max-end test
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 20
+                  THEN 1 ELSE 0 END AS b
+      FROM hit
+    ), grp AS (
+      SELECT doc_id, pos,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM brk
+    )
+    SELECT doc_id,
+           min(pos) AS span_start,
+           max(pos) + 20 AS span_end,
+           max(pos) + 20 - min(pos) AS span_tokens,
+           count(*) AS n_grams
+    FROM grp
+    GROUP BY doc_id, g
+    """,
+)
+def dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return D.substring_spans(docs, "doc_id", "text", k=20, min_docs=2)

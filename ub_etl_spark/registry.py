@@ -132,79 +132,96 @@ _LOADED = False
 # by the r13 judge), oldest evidence then r7 (the 17 named deferrals
 # below).
 #
-# ROUND-14 WINDOW (this list — r13 verdict task 1, exactly the
-# projection the r13 registry note named): (a) one rule-a slot:
-# text_containment_banded (window 2 of 2, closing its registration
-# obligation; NO registered plan changed in r13 — the composite struct
-# verify key was built, A/B-measured, and reverted same-round — so no
-# further rule-a slots accrue).  (b) the 17 r7-evidence deferrals named
-# in the r13 residue note (six stream_*, table_diff_reconcile, five
-# text_*, timeseries_gapfill, tpch_q1/q3, udf_map_in_pandas,
-# unpivot_stack).  (c) the alphabetically-first 32 of the 50 oldest-r9
-# refreshes (tools/evidence_map.py --window 67).  The 18 r9 queries
-# deferred to ROUND 15 (rule c, named residue):
-# stream_interval_join_outer stream_topk_trending text_bm25_rank
-# text_chunk_sliding text_collocation_pmi text_fingerprint
-# text_inverted_index text_lang_confusion text_lang_id
-# text_quality_score timeseries_multi_rollup tpch_q18_large_orders
-# tpch_q21_waiting_suppliers tpch_q5_local_supplier udf_grouped_map
-# udf_surface udtf_tokenize window_topk_per_group.
-# Projected r15 window: any plans changed in r14 + those 18 r9 + the
-# oldest-r10 refreshes.
+# ROUND-14 WINDOW (rotated; see git history for the list — r13 verdict
+# task 1, exactly the projection the r13 registry note named): 1 rule-a
+# (text_containment_banded w2/2) + the 17 r7 deferrals + the
+# alphabetically-first 32 oldest-r9 — came back 50/50 green
+# (CORRECTNESS_r14, key set verified programmatically by the r14 judge),
+# oldest evidence then r9 (the 18 named deferrals below).
+#
+# REGISTRY DECISION (r15, executing the r14 verdict task 5): REGISTER
+# dedup_substring_span — 261 -> 262.  It carries a NEW operator family
+# (exact-substring span dedup, Lee et al. 2022 — the standard
+# LLM-pretraining dedup the surface lacked; cross-document repeated
+# k-token span detection with interval-union span merge), satisfying the
+# growth principle.  Stronger than the rows-only+BOUNDS shape the verdict
+# anticipated: the two-pass plan (xxhash64 candidate filter -> string
+# verify, operators/dedup.substring_spans) is EXACT by construction, so
+# it registers with a full DuckDB oracle (group the k-gram strings
+# directly) and the driver hash-checks values; the brute-force twin is
+# additionally pinned in tests/test_dedup.py.  Its rule-(a) two
+# consecutive windows are r15+r16.
+#
+# ROUND-15 WINDOW (this list — r14 verdict task 1 plus the rule-a slot
+# the r15 registration adds): (a) one rule-a slot: dedup_substring_span
+# (window 1 of 2, registered this round; NO r14-registered plan changed
+# in r14, so no other rule-a slots accrue).  (b) the 18 r9-evidence
+# deferrals named in the r14 residue note.  (c) the alphabetically-first
+# 31 of the 48 oldest-r10 refreshes (tools/evidence_map.py).  The 17 r10
+# queries deferred to ROUND 16 (rule c, named residue):
+# orders_open_backlog_daily orders_rfm_segmentation
+# pipeline_corpus_health pipeline_customer_features pivot_wide
+# privacy_k_anonymity profile_table_stats quantile_bucket_equidepth
+# sample_reservoir_hash scalar_subquery_correlated scalar_try_safe
+# stream_late_data_accounting string_fuzzy_levenshtein
+# timeseries_seasonal_decompose udaf_grouped_agg window_running_distinct
+# window_value_functions.
+# Projected r16 window: dedup_substring_span (rule-a w2/2) + any plans
+# changed in r15 + those 17 r10 + the oldest-r11 refreshes.
 DRIVER_PRIORITY = [
-    # --- rule (a): text_containment_banded window 2 of 2
-    "text_containment_banded",
-    # --- rule (b): the 17 r7-evidence deferrals named in the r13 residue
-    "stream_dedup_upsert",
-    "stream_interval_join",
-    "stream_session_native",
-    "stream_session_window",
-    "stream_sliding_agg",
-    "stream_tumbling_agg",
-    "table_diff_reconcile",
-    "text_ngram_vocab",
-    "text_pii_redact",
-    "text_quality_gopher",
-    "text_tfidf",
-    "text_tokenize_stats",
-    "timeseries_gapfill",
-    "tpch_q1_pricing",
-    "tpch_q3_priority",
-    "udf_map_in_pandas",
-    "unpivot_stack",
-    # --- rule (c): alphabetically-first 32 oldest-r9 (18 named defer to r15)
-    "agg_approx_percentile",
-    "agg_cms_term_counts",
-    "agg_histogram_fixed_width",
-    "agg_hll_mergeable",
-    "cast_timestamp",
-    "cast_types",
-    "cdc_apply_changes",
-    "dedup_cluster_cc_star",
-    "dedup_incremental_batch",
-    "dedup_source_priority",
-    "dim_scd2_point_in_time",
-    "embedding_centroid_per_label",
-    "embedding_quantize",
-    "events_retention_cohort",
-    "events_transition_counts",
-    "hybrid_search_rrf",
-    "io_binary_files",
-    "io_multiformat_roundtrip",
-    "join_asof_forward",
-    "join_asof_nearest",
-    "join_bloom_prefilter",
-    "mix_temperature_sampling",
-    "multimodal_resize",
-    "orders_active_episodes_arrow",
-    "quantile_bucket_equidepth_2phase",
-    "rest_source_scan",
-    "sim_ann_ivf",
-    "sim_rerank_mmr",
-    "storage_bucketed_join",
-    "storage_dpp_join",
-    "storage_partitioned_write",
-    "storage_zorder_cluster",
+    # --- rule (a): dedup_substring_span window 1 of 2 (registered r15)
+    "dedup_substring_span",
+    # --- rule (b): the 18 r9-evidence deferrals named in the r14 residue
+    "stream_interval_join_outer",
+    "stream_topk_trending",
+    "text_bm25_rank",
+    "text_chunk_sliding",
+    "text_collocation_pmi",
+    "text_fingerprint",
+    "text_inverted_index",
+    "text_lang_confusion",
+    "text_lang_id",
+    "text_quality_score",
+    "timeseries_multi_rollup",
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q5_local_supplier",
+    "udf_grouped_map",
+    "udf_surface",
+    "udtf_tokenize",
+    "window_topk_per_group",
+    # --- rule (c): alphabetically-first 31 oldest-r10 (17 named defer to r16)
+    "agg_corr_exact",
+    "agg_gini_concentration",
+    "agg_grouping_sets_explicit",
+    "agg_ks_test_bucketed",
+    "agg_linear_regression",
+    "agg_mode_per_group",
+    "agg_mutual_information",
+    "agg_share_of_parent",
+    "agg_weighted_median",
+    "array_advanced_funcs",
+    "dq_expectation_checks",
+    "events_ab_test_zscore",
+    "events_active_users_rolling",
+    "events_anomaly_mad",
+    "events_burst_detection",
+    "events_funnel_rates",
+    "events_path_topk",
+    "events_sequence_match",
+    "events_stickiness_weekly",
+    "events_user_entropy",
+    "feature_decay_rolling",
+    "feature_onehot_encode",
+    "feature_scale_standard",
+    "graph_pagerank_trade",
+    "hierarchy_flatten_paths",
+    "join_theta_band",
+    "lineitem_yoy_growth",
+    "map_advanced_funcs",
+    "orders_abc_classification",
+    "orders_active_episodes",
+    "orders_interpurchase_gaps",
 ]
 
 def load_all() -> dict[str, QuerySpec]:
