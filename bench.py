@@ -795,7 +795,26 @@ ABS_TIME_NOTES = {
         "quiet-box sweep read 4.56s with load rising 1.2->5.3 across "
         "passes; the same-day fresh-session envelope check read 16.2 "
         "(training), then 1.417/1.416 — warm min-of-3 1.416s at "
-        "load-avg 1.7, the tightest pin yet"
+        "load-avg 1.7, the tightest pin yet.  r15 BIMODALITY "
+        "ADJUDICATION (r14 verdict task 2, instrumentation not "
+        "narrative): (a) same-session A/B with the cache key cleared "
+        "per run measures codebook training at +1.0s steady (cold "
+        "1.90/2.11s vs warm 1.00-1.17s, CACHE_STATS counters "
+        "confirming miss-per-clear / hit-per-reuse) — a cold _PQ_CACHE "
+        "CANNOT produce the 4.2-4.6s slow mode and is RETIRED as a "
+        "hypothesis; (b) across the five archived r14 same-plan runs, "
+        "the two slow-mode artifacts read sim_ann_pq at 2.56x/2.75x "
+        "their fast twins while the SAME runs' median query reads only "
+        "1.17x/1.00x — the slow mode is PQ-plan-specific, not box-wide "
+        "load (consistent with its shape: three chained short-task "
+        "32-slot Arrow stage barriers, the bench's most "
+        "straggler-sensitive plan — one delayed worker per stage gates "
+        "the whole stage, invisible to 1-minute load averages).  The "
+        "sidecar now records per-pass samples + ann_cache_stats, so a "
+        "future slow artifact shows on sight whether its min rode a "
+        "sustained window ([4.5,4.3,4.2]) or a cold pass the min "
+        "should have dropped ([4.5,1.7,1.7]), and whether any sample "
+        "paid an unexpected retrain"
     ),
     # --- r10: the recurring heavy floor-adjacent queries (oracles 0.08-
     # 0.17s, own times near or above the in-band machinery cap across the
@@ -1551,6 +1570,11 @@ def main() -> None:
         if oracle_delta_vs_prev
         else None
     )
+    def _ann_cache_stats() -> dict:
+        from ub_etl_spark.queries.similarity import CACHE_STATS
+
+        return dict(CACHE_STATS)
+
     detail = {
         "metric": "headline_query_wall_clock_total",
         "value": total,
@@ -1605,6 +1629,18 @@ def main() -> None:
         # the evidence that exonerates (or indicts) a wall-clock delta
         # on this shared VM (r7: external load ~6 swung graph cells 3x)
         "machine_state_per_pass": machine_state_per_pass,
+        # r15 (r14 verdict task 2): the raw per-pass samples behind each
+        # per-query min, in measurement order (pass1..passN + any targeted
+        # noisy re-measures).  A bimodal committed min is adjudicable from
+        # the artifact alone: [4.5, 4.3, 4.2] is a sustained slow window,
+        # [4.5, 1.7, 1.7] is a cold first pass the min already dropped.
+        "samples": {n: [round(x, 4) for x in s] for n, s in samples.items() if s},
+        # train-once cache audit for the ANN family (same task): misses ==
+        # number of samples that paid codebook/centroid training inside
+        # their measured time.  Expected steady state: 1 miss per cache
+        # (first pass trains, later passes hit) — anything else names a
+        # keying bug or an unexpected retrain as the slow-mode cause.
+        "ann_cache_stats": _ann_cache_stats(),
         "sf": sf,
         "n_queries": len(timings),
         "budget_truncated": truncated,

@@ -549,3 +549,85 @@ def test_scd2_stream_crash_between_write_and_commit_recovers(spark, tmpdir):
     # exactly one live version dir remains and the link names it
     vdirs = [e for e in os.listdir(state) if e.startswith("history.v")]
     assert vdirs == [os.path.basename(os.readlink(f"{state}/history"))]
+
+
+def test_late_data_accounting_batch_twin_matches_streaming_drops(spark, tmpdir):
+    """The registered stream_late_data_accounting batch twin claims to count
+    exactly the rows `withWatermark('ts', '1 hour')` would drop.  Replay a
+    fixture through a REAL watermarked streaming aggregation and pin the
+    claim: per event_type, the rows the stream emits (on-time) vs never
+    emits (dropped) must equal the twin's n_ontime / n_late split.
+
+    Construction notes, each load-bearing:
+      - single user, so the twin's per-key watermark IS the global
+        watermark the streaming runtime tracks;
+      - ONE event per run (stop + restart from the same checkpoint each
+        step), so the runtime's per-batch watermark advance matches the
+        twin's per-row running max — and every step doubles as a restart:
+        the watermark itself must survive the checkpoint for later drops
+        to happen at all;
+      - whole-minute timestamps with 1-minute windows, so the runtime's
+        drop rule (window_end <= watermark) coincides with the twin's
+        row rule (ts < watermark);
+      - two far-future sentinel steps close all real windows at the end
+        (append mode emits a window only once the watermark passes it).
+    """
+    from ub_etl_spark.streaming.pipelines import windowed_event_counts
+
+    src, ckpt, sink = f"{tmpdir}/src", f"{tmpdir}/ckpt", f"{tmpdir}/sink"
+
+    def run_step(rows):
+        write_batch(spark, src, rows)
+        out = windowed_event_counts(
+            read_stream(spark, src), window="1 minute", watermark="1 hour"
+        )
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(sink)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    m = lambda mins: T0 + timedelta(minutes=mins)  # noqa: E731
+    fed = [  # (event_id, ts_minutes, event_type) — arrival order = event_id
+        (1, 0, "a"),  # first event: no watermark yet -> on-time
+        (2, 120, "b"),  # wm -60m -> on-time; advances wm to 60m
+        (3, 30, "a"),  # wm 60m -> LATE (30 < 60), dropped
+        (4, 90, "b"),  # wm 60m -> on-time
+        (5, 180, "a"),  # wm 60m -> on-time; advances wm to 120m
+        (6, 119, "b"),  # wm 120m -> LATE (119 < 120), dropped
+    ]
+    for eid, mins, et in fed:
+        run_step([(eid, m(mins), 1, et, 1.0)])
+    for eid, mins in ((7, 600), (8, 601)):  # sentinels: close real windows
+        run_step([(eid, m(mins), 1, "zz_flush", 1.0)])
+
+    emitted = (
+        spark.read.parquet(sink).filter(F.col("event_type") != "zz_flush").collect()
+    )
+    stream_ontime: dict[str, int] = {}
+    for r in emitted:
+        stream_ontime[r.event_type] = stream_ontime.get(r.event_type, 0) + r.n
+
+    # the twin's accounting (the registered query's exact rule, applied to
+    # the fixture): wm_high = max prior ts in arrival order; late iff
+    # ts < wm_high - 1h; first event (no wm_high) on-time
+    twin_ontime: dict[str, int] = {}
+    twin_late: dict[str, int] = {}
+    hi = None
+    for _eid, mins, et in fed:
+        late = hi is not None and mins < hi - 60
+        (twin_late if late else twin_ontime)[et] = (
+            (twin_late if late else twin_ontime).get(et, 0) + 1
+        )
+        hi = mins if hi is None else max(hi, mins)
+
+    assert stream_ontime == twin_ontime == {"a": 2, "b": 2}
+    assert twin_late == {"a": 1, "b": 1}
+    fed_counts = {"a": 3, "b": 3}
+    stream_late = {t: fed_counts[t] - stream_ontime.get(t, 0) for t in fed_counts}
+    assert stream_late == twin_late

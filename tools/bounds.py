@@ -702,12 +702,58 @@ SF01_MEASURES = {
 }
 SF01_DIR = "/root/testdata/sf0.1"
 
+# r15 (r14 verdict task 4): the dedup flagships' deterministic rows carried
+# one scale notch further, to the amplified sf1 corpus (50k docs — the
+# tools/sf1_bench dataset).  Run with --sf1-only: measures JUST these two
+# (the full sweep at sf1 would re-collect every sketch/ANN family for no
+# new claim) and merges them into BOUNDS.json under "bounds_sf1" without
+# touching the sf0.01/sf0.1 sections.
+SF1_MEASURES = {
+    "dedup_minhash_lsh": bound_minhash,
+    "text_containment_banded": bound_containment_banded,
+}
+
+
+def run_sf1_only(out_path: str) -> None:
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tools")
+    from sf1_bench import BIG_DIR, ensure_big_dir
+
+    spark = get_spark("bounds-sf1")
+    ensure_big_dir(spark)
+    with open(out_path) as f:
+        doc = json.load(f)
+    sec = doc.setdefault("bounds_sf1", {})
+    sec["sf_dir"] = BIG_DIR
+    sec["extra_conf"] = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    ok = True
+    for name, fn in SF1_MEASURES.items():
+        res = fn(spark, BIG_DIR)
+        release_persisted()
+        spark.catalog.clearCache()
+        sec[name] = res
+        ok &= res["pass"]
+        print(f"[{'PASS' if res['pass'] else 'FAIL'}] {name} @sf1: "
+              f"measured={res['measured']} bound={res['pinned_bound']} ({res['unit']})")
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=2)
+        f.write("\n")
+    print(f"{'sf1 bounds hold' if ok else 'SF1 BOUND VIOLATION'} -> {out_path}")
+    sys.exit(0 if ok else 1)
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default="/root/repo/BOUNDS.json")
+    ap.add_argument("--sf1-only", action="store_true",
+                    help="measure only the sf1 dedup-flagship rows and merge")
     args = ap.parse_args()
+    if args.sf1_only:
+        refuse_extra_conf("bounds")
+        run_sf1_only(args.out)
+        return
     refuse_extra_conf("bounds")
     spark = get_spark("bounds")
     out = {

@@ -70,11 +70,22 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic, so repeated query builds reuse the centroid matrix.
 _IVF_CACHE: dict[tuple[str, int], list] = {}
 
+# Train-once cache audit (r14 verdict task 2 — the sim_ann_pq bench
+# bimodality investigation): bench.py records these counters into its
+# detail sidecar so an artifact shows how many samples paid codebook /
+# centroid training vs reused it.  Counters, not booleans: a cache that
+# unexpectedly misses on every pass (e.g. a keying bug after a refactor)
+# would read misses==passes here and name itself.
+CACHE_STATS = {"ivf_hits": 0, "ivf_misses": 0, "pq_hits": 0, "pq_misses": 0}
+
 
 def _ivf_cents(spark: SparkSession, sf_dir: str, nlist: int):
     key = (sf_dir, nlist)
     if key not in _IVF_CACHE:
+        CACHE_STATS["ivf_misses"] += 1
         _IVF_CACHE[key] = V.ivf_centroids(T(spark, sf_dir, "embeddings"), nlist=nlist)
+    else:
+        CACHE_STATS["ivf_hits"] += 1
     return _IVF_CACHE[key]
 
 
@@ -288,9 +299,12 @@ _PQ_CACHE: dict[tuple[str, int, int], list] = {}
 def _pq_books(spark: SparkSession, sf_dir: str, m: int, ksub: int):
     key = (sf_dir, m, ksub)
     if key not in _PQ_CACHE:
+        CACHE_STATS["pq_misses"] += 1
         _PQ_CACHE[key] = V.pq_codebooks(
             T(spark, sf_dir, "embeddings"), dim=64, m=m, ksub=ksub
         )
+    else:
+        CACHE_STATS["pq_hits"] += 1
     return _PQ_CACHE[key]
 
 
