@@ -250,3 +250,45 @@ def test_session_window_as_interval_coalescing(spark, sf_dir):
         for r in eps.collect()
     )
     assert arrow == windowed
+
+
+def test_duplicate_interval_ties_stable_across_forms(spark):
+    """Exact duplicate intervals per key — the tie shape that broke
+    orders_active_episodes at sf1 (r15): the cumulative-sum window's
+    order must repeat the flag window's FULL total order, or a tie swap
+    re-partitions episode membership.  Pin the windowed form against the
+    order-free agg union on a fixture built entirely of such ties,
+    across several physical orderings."""
+    from datetime import date
+
+    from ub_etl_spark.registry import load_all
+
+    rows = [
+        # custkey, orderkey, orderdate, shipdate: dup intervals back to back
+        (1, 101, date(2024, 1, 1), date(2024, 1, 5)),
+        (1, 102, date(2024, 1, 1), date(2024, 1, 5)),  # exact dup of 101
+        (1, 103, date(2024, 1, 10), date(2024, 1, 12)),
+        (1, 104, date(2024, 1, 10), date(2024, 1, 12)),  # exact dup of 103
+        (1, 105, date(2024, 1, 11), date(2024, 1, 20)),
+        (2, 201, date(2024, 2, 1), date(2024, 2, 2)),
+        (2, 202, date(2024, 2, 1), date(2024, 2, 2)),  # dup, singleton episode
+    ]
+    expected = [
+        (1, 1, date(2024, 1, 1), date(2024, 1, 5), 2),
+        (1, 2, date(2024, 1, 10), date(2024, 1, 20), 3),
+        (2, 1, date(2024, 2, 1), date(2024, 2, 2), 2),
+    ]
+    import tempfile
+
+    for order in (rows, rows[::-1], rows[3:] + rows[:3]):
+        with tempfile.TemporaryDirectory(prefix="ub_etl_tie_") as d:
+            spark.createDataFrame(
+                [(c, k, od) for c, k, od, _ in order],
+                "o_custkey long, o_orderkey long, o_orderdate date",
+            ).repartition(4).write.parquet(f"{d}/orders.parquet")
+            spark.createDataFrame(
+                [(k, sd) for _, k, _, sd in order],
+                "l_orderkey long, l_shipdate date",
+            ).repartition(4).write.parquet(f"{d}/lineitem.parquet")
+            got = _rows(load_all()["orders_active_episodes"].fn(spark, d))
+            assert got == expected, f"ordering {order[0]}: {got}"

@@ -290,11 +290,15 @@ def _episodes(li, o):
     )
     prev_max = F.max("iv_end").over(w_prev)
     flagged = iv.select(
-        "o_custkey", "iv_start", "iv_end",
+        "o_custkey", "o_orderkey", "iv_start", "iv_end",
         F.when(prev_max.isNull() | (F.col("iv_start") > prev_max), 1).otherwise(0).alias("new_ep"),
     )
+    # r15: cum order totalized with o_orderkey, mirroring the shipped
+    # plan's duplicate-interval tie fix (see warehouse.py docstring)
     w_cum = (
-        W.partitionBy("o_custkey").orderBy("iv_start", "iv_end").rowsBetween(-(1 << 31), 0)
+        W.partitionBy("o_custkey")
+        .orderBy("iv_start", "iv_end", "o_orderkey")
+        .rowsBetween(-(1 << 31), 0)
     )
     return (
         flagged.select("o_custkey", "iv_start", "iv_end", F.sum("new_ep").over(w_cum).alias("ep"))
@@ -873,6 +877,21 @@ def sf1_section() -> list[str]:
 
 
 NOTES = """Notes on the flagged cells:
+- r15 sf1 VALUE PARITY, over-abs-gate set (r14 verdict task 3;
+  tools/sf1_parity.py on /tmp/sf1_10x, shipped plans): **22/22 green**
+  — 16 full order-insensitive multiset compares (outputs up to 1.5M
+  rows: storage_bucketed_merge, storage_gdpr_delete),
+  join_spatial_grid via the engine-side exact checksum mode (COUNT +
+  per-column DECIMAL(38,0) sums + id-product sum computed in BOTH
+  engines over the full qualifying pair set), and the 5 oracle-less
+  hash-seeded queries rows-only with their deterministic sf1 value
+  evidence in BOUNDS.json where feasible (bounds_sf1:
+  dedup_minhash_lsh pair set == exact-Jaccard's, 2560/2560, equal;
+  text_containment_banded recall 1.0 vs the exact form —
+  simhash/ANN stay pinned at sf0.1, disclosed).  The sweep CAUGHT ONE
+  REAL DEFECT on first contact — orders_active_episodes' cum-window
+  tie ambiguity (its own note below) — which is the argument for the
+  notch: sf0.001-0.1 parity had passed it 14 rounds running.
 - r15 substring_span cell (6.1x@10x, measured as a SINGLE-CELL run via
   this module's own amplify_corpus/corpus_queries/run path — min-of-2,
   release_persisted + clearCache between scales — because the full
@@ -884,6 +903,19 @@ NOTES = """Notes on the flagged cells:
   duplicated fraction.  The amplifier's bijective per-copy token rename
   keeps the true span set exactly K-linear, so 6.1x@10x is per-query
   overhead still amortizing, not super-linear work.
+- r15 active_episodes cell refresh (0.904s 1x / 62.915s 100x = 69.6x,
+  single-cell re-measure on the retained 100x dir, min-of-2): the
+  windowed plan changed this round — the sf1 VALUE-parity notch
+  caught the cumulative-sum window ordering by (start, end) only,
+  which is ambiguous for exact duplicate intervals (147k tied groups
+  at sf1) and let Spark's non-stable window sort emit 28270 vs the
+  oracle's 28300 episodes; both windows now share the FULL (start,
+  end, orderkey) total order.  The fix is also a measured WIN: the
+  identical orders collapse the two window sorts into one
+  (same-session A/B old-vs-new: 1x 1.166s->0.904s, 100x
+  86.4s->62.9s), cutting the cell from the pre-fix 115.7x to 69.6x.
+  The 138.6x sort-envelope arithmetic below still describes the
+  per-sort cost; the cell now pays ~one sort, not two.
 - r14 full-value parity AT BENCH SCALE: tools/parity.py ran all 261
   registered queries at sf0.1 — 261/261 passed (246 with full
   row/schema/value-hash oracles, the rest rows-only by construction).
@@ -997,7 +1029,10 @@ NOTES = """Notes on the flagged cells:
   * `orders_active_episodes` 15.3x/6.3s: the exact GLOBAL windowed
     form, retained deliberately as the oracle-shaped reference — the
     registered scale default is `orders_active_episodes_arrow`
-    (14.0x@100x vs 115.7x windowed, cells above).
+    (14.0x@100x vs 69.6x windowed, cells above; the sf1 sidecar's
+    14.2s fresh row for the windowed form was taken at load 2.8 —
+    the same-session r15 A/B below reads 62.9s at 100x, i.e. the
+    plan did not slow, the session did).
   * `orders_active_episodes_arrow` 6.7x/2.7s: Arrow round-trip tax on
     a full fact scan; the tax buys the 100x headroom above — accepted.
   * `lineitem_otif_rate` 9.8x/2.5s: decomposition — per-order MAX

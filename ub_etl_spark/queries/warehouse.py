@@ -390,7 +390,7 @@ _EPISODES_ORACLE = """
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       GROUP BY o.o_custkey, o.o_orderkey, o.o_orderdate
     ), flagged AS (
-      SELECT o_custkey, iv_start, iv_end,
+      SELECT o_custkey, o_orderkey, iv_start, iv_end,
              CASE WHEN iv_start > MAX(iv_end) OVER (
                     PARTITION BY o_custkey
                     ORDER BY iv_start, iv_end, o_orderkey
@@ -402,9 +402,15 @@ _EPISODES_ORACLE = """
                   THEN 1 ELSE 0 END AS new_ep
       FROM iv
     ), numbered AS (
+      -- the cumulative-sum order MUST repeat the flag window's FULL
+      -- (iv_start, iv_end, o_orderkey) total order: with exact duplicate
+      -- intervals per customer, (iv_start, iv_end) alone leaves tied rows
+      -- order-ambiguous, and a tie swap moves the flagged row's episode
+      -- boundary (caught by sf1 value parity r15: Spark's non-stable
+      -- window sort emitted 28270 episodes vs 28300 under a stable sort)
       SELECT o_custkey, iv_start, iv_end,
              CAST(SUM(new_ep) OVER (PARTITION BY o_custkey
-                               ORDER BY iv_start, iv_end
+                               ORDER BY iv_start, iv_end, o_orderkey
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS BIGINT) AS episode
       FROM flagged
@@ -458,9 +464,24 @@ def orders_active_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-stable.  Scale note: keyed windows keep the plan shape at 1e9
     customers, but per-key interval counts grow with fact volume and the
     window sort rides its n log n envelope (SCALING.md
-    active_episodes_100x 112x@100x) — the registered scale DEFAULT is
+    active_episodes cell, 69.6x@100x after the r15 tie fix — the
+    totalized order lets both windows share ONE sort; the pre-fix
+    two-sort form read 115.7x, and the r15 same-session A/B measured
+    old-vs-new 86.4s vs 62.9s at 100x) — the registered scale DEFAULT is
     orders_active_episodes_arrow below (15.3x@100x, same rows); this
-    windowed form stays as the oracle-shaped reference."""
+    windowed form stays as the oracle-shaped reference.
+
+    Tie discipline (r15, caught by sf1 VALUE parity): BOTH windows
+    totalize their order with (iv_start, iv_end, o_orderkey).  The
+    earlier form ordered the cumulative sum by (iv_start, iv_end) only,
+    which is ambiguous when a customer holds exact duplicate intervals —
+    a tie swap relative to the flag window moves the new_ep=1 row across
+    the boundary and re-partitions episode membership (Spark's
+    non-stable window sort emitted 28270 vs 28300 rows at sf1; identical
+    at sf0.001-0.1 only because the physical row order happened to
+    agree).  With one total order shared by both windows the result is
+    engine- and scale-invariant, and equals the order-free interval
+    union the agg/Arrow twins compute."""
     iv = _order_intervals(spark, sf_dir)
     w_prev = (
         Window.partitionBy("o_custkey")
@@ -470,6 +491,7 @@ def orders_active_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_max = F.max("iv_end").over(w_prev)
     flagged = iv.select(
         "o_custkey",
+        "o_orderkey",
         "iv_start",
         "iv_end",
         F.when(
@@ -480,7 +502,7 @@ def orders_active_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_cum = (
         Window.partitionBy("o_custkey")
-        .orderBy("iv_start", "iv_end")
+        .orderBy("iv_start", "iv_end", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     numbered = flagged.select(
@@ -516,7 +538,7 @@ def orders_active_episodes_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a numpy maximum.accumulate/reduceat scan carrying open-episode
     state across Arrow batches — O(n) per partition after the sort.
     Controlled 100x: 22.4 s vs the windowed form's 46.6 s (SCALING.md
-    active_episodes_arrow 15.3x@100x vs 112x@100x); also fastest at 1x.
+    active_episodes_arrow 15.3x@100x vs the windowed 69.6x); also fastest at 1x.
     Output is row-identical to orders_active_episodes (equality pinned
     in tests/test_intervals.py including the forced cross-batch carry
     path) and shares its oracle; intervals come from inner joins so the

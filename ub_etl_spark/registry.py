@@ -152,25 +152,35 @@ _LOADED = False
 # additionally pinned in tests/test_dedup.py.  Its rule-(a) two
 # consecutive windows are r15+r16.
 #
-# ROUND-15 WINDOW (this list — r14 verdict task 1 plus the rule-a slot
-# the r15 registration adds): (a) one rule-a slot: dedup_substring_span
-# (window 1 of 2, registered this round; NO r14-registered plan changed
-# in r14, so no other rule-a slots accrue).  (b) the 18 r9-evidence
-# deferrals named in the r14 residue note.  (c) the alphabetically-first
-# 31 of the 48 oldest-r10 refreshes (tools/evidence_map.py).  The 17 r10
-# queries deferred to ROUND 16 (rule c, named residue):
-# orders_open_backlog_daily orders_rfm_segmentation
-# pipeline_corpus_health pipeline_customer_features pivot_wide
-# privacy_k_anonymity profile_table_stats quantile_bucket_equidepth
-# sample_reservoir_hash scalar_subquery_correlated scalar_try_safe
-# stream_late_data_accounting string_fuzzy_levenshtein
-# timeseries_seasonal_decompose udaf_grouped_agg window_running_distinct
-# window_value_functions.
-# Projected r16 window: dedup_substring_span (rule-a w2/2) + any plans
-# changed in r15 + those 17 r10 + the oldest-r11 refreshes.
+# ROUND-15 WINDOW (this list — r14 verdict task 1 plus the rule-a slots
+# r15 accrues): (a) THREE rule-a slots: dedup_substring_span (window 1
+# of 2, registered this round), orders_active_episodes (REWORKED this
+# round: the sf1 value-parity notch caught the cumulative-sum window's
+# tie ambiguity under exact duplicate intervals — both windows now
+# totalize on (iv_start, iv_end, o_orderkey), and the shared
+# _EPISODES_ORACLE repeats the same total order; see the query
+# docstring), and orders_active_episodes_arrow (its plan is unchanged
+# but it registers against that same rewritten oracle, so its evidence
+# must refresh under the new SQL).  (b) the 18 r9-evidence deferrals
+# named in the r14 residue note.  (c) the alphabetically-first 29 of
+# the 48 oldest-r10 refreshes (tools/evidence_map.py;
+# orders_active_episodes counts under (a)).  The 18 r10 queries
+# deferred to ROUND 16 (rule c, named residue):
+# orders_interpurchase_gaps orders_open_backlog_daily
+# orders_rfm_segmentation pipeline_corpus_health
+# pipeline_customer_features pivot_wide privacy_k_anonymity
+# profile_table_stats quantile_bucket_equidepth sample_reservoir_hash
+# scalar_subquery_correlated scalar_try_safe stream_late_data_accounting
+# string_fuzzy_levenshtein timeseries_seasonal_decompose
+# udaf_grouped_agg window_running_distinct window_value_functions.
+# Projected r16 window: dedup_substring_span, orders_active_episodes,
+# orders_active_episodes_arrow (rule-a w2/2) + any plans changed in r16
+# + those 18 r10 + the oldest-r11 refreshes.
 DRIVER_PRIORITY = [
-    # --- rule (a): dedup_substring_span window 1 of 2 (registered r15)
+    # --- rule (a): registered/reworked r15, window 1 of 2 each
     "dedup_substring_span",
+    "orders_active_episodes",
+    "orders_active_episodes_arrow",
     # --- rule (b): the 18 r9-evidence deferrals named in the r14 residue
     "stream_interval_join_outer",
     "stream_topk_trending",
@@ -190,7 +200,8 @@ DRIVER_PRIORITY = [
     "udf_surface",
     "udtf_tokenize",
     "window_topk_per_group",
-    # --- rule (c): alphabetically-first 31 oldest-r10 (17 named defer to r16)
+    # --- rule (c): alphabetically-first 29 oldest-r10 (18 named defer to
+    # r16; orders_active_episodes counts under rule (a) above)
     "agg_corr_exact",
     "agg_gini_concentration",
     "agg_grouping_sets_explicit",
@@ -220,8 +231,6 @@ DRIVER_PRIORITY = [
     "lineitem_yoy_growth",
     "map_advanced_funcs",
     "orders_abc_classification",
-    "orders_active_episodes",
-    "orders_interpurchase_gaps",
 ]
 
 def load_all() -> dict[str, QuerySpec]:
