@@ -123,6 +123,14 @@ def shingle_rows(
     """
     text = F.lower(F.col(text_col)) if lower else F.col(text_col)
     toks = F.split(text, " ")
+    # r15 MEASURED NON-CHANGE: round-robin fan-out of the tokenized docs
+    # (to spread the gram build + map-side signature partials beyond the
+    # single-row-group scan task) read 16.92 s vs 15.08 s over the
+    # 8-query shingle family, interleaved quiet-gated min-of-4 — the
+    # n<=4 gram concat is too cheap to amortize the extra exchange +
+    # stage barrier at this corpus size.  Rejected with data; the
+    # compute-dense fan-out cases are handled at their call sites
+    # (join_spatial_grid's probe repartition).
     base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
     grams = (
         base.select("doc_id", "__toks", F.posexplode("__toks").alias("__pos", "__tok"))
@@ -769,6 +777,11 @@ def substring_spans(
     from ub_etl_spark.operators.intervals import coalesce_token_spans
     from ub_etl_spark.session import tracked_persist
 
+    # r15 MEASURED NON-CHANGE: a round-robin repartition of the tokenized
+    # docs (to spread the k-gram hash pass beyond the single-row-group
+    # scan task) read 2.42 s vs 1.83 s min-of-6 quiet-gated — the extra
+    # exchange + stage barrier costs more than the 1-task concat+hash
+    # pass it parallelizes at this corpus size.  Rejected with data.
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("__toks")
     )

@@ -778,7 +778,21 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cx = F.floor(F.col("x") / r).cast("long")
     cy = F.floor(F.col("y") / r).cast("long")
-    a = pts.select("id", "x", "y", cx.alias("cx"), cy.alias("cy"))
+    # r15 perf: the exploded side broadcasts, so WITHOUT an exchange the
+    # probe side inherits the scan's partitioning — one row group at bench
+    # scale = ONE task generating all ~27M qualifying pairs (guide §2: the
+    # heavy work here is per-CANDIDATE compute + output materialization,
+    # which input-byte-based split sizing cannot see).  Round-robin
+    # repartition to the session's parallelism spreads the probe rows
+    # evenly (output-bound stage, no key skew possible); the exchange
+    # itself moves only |points| rows.  Measured at sf0.1 (r15): 8.2 s
+    # (bench) -> 1.07 s min-of-3 together with the POWER->multiply
+    # rewrite below; value parity re-verified at sf0.01 and sf0.1.  At
+    # cluster scale the scan arrives multi-split and the exchange stays
+    # |points|-cheap.
+    a = pts.select("id", "x", "y", cx.alias("cx"), cy.alias("cy")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     offsets = [(0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
     b = pts.select(
         F.col("id").alias("id_b"),
@@ -804,7 +818,14 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell.cy").alias("cy"),
         F.col("cell.same").alias("same"),
     )
-    d2 = (F.col("x") - F.col("xb")) ** 2 + (F.col("y") - F.col("yb")) ** 2
+    # d2 as explicit self-multiplication, NOT `** 2`: Column.__pow__
+    # compiles to POWER(x, 2.0) = one java.lang.Math.pow libm call per
+    # candidate per axis; the multiply is a single codegen'd fp
+    # instruction and is the oracle's own formulation ((a.x-b.x)*(a.x-b.x)),
+    # so the engines agree bit-for-bit by construction.
+    d2 = (F.col("x") - F.col("xb")) * (F.col("x") - F.col("xb")) + (
+        F.col("y") - F.col("yb")
+    ) * (F.col("y") - F.col("yb"))
     return (
         a.join(b, ["cx", "cy"])
         .filter(

@@ -527,6 +527,15 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.lit(1_000_000_000_000 // n_nodes).alias("rank_u")
     )
     for _ in range(_PR_ITERS):
+        # r15 MEASURED NON-CHANGE: explicit F.broadcast() hints on ranks
+        # (into the edge join) and contrib (into the node join) read
+        # 4.18 s min-of-3 vs the unhinted form's ~1.0-1.6 s — ten
+        # chained BroadcastExchange builds serialize on the driver,
+        # while AQE already converts these SMJs to broadcast joins at
+        # runtime from the REAL sizes (the static plan shows SMJ; the
+        # executed plan does not).  Hints rejected with data (guide
+        # §3.1 applies to sides the optimizer cannot size at runtime;
+        # AQE can size these).
         contrib = (
             edges.join(ranks, edges.src == ranks.node)
             .groupBy(F.col("dst").alias("cnode"))

@@ -47,10 +47,24 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # respect the advisory partition size when coalescing instead of
-        # keeping parallelism — the production-recommended setting (Spark
-        # docs for parallelismFirst); avoids storms of tiny reduce tasks
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # r15 (optimization guide §2): parallelismFirst=true is the UPSTREAM
+        # DEFAULT, restored.  The r2-r14 override (false = coalesce every
+        # shuffle to advisoryPartitionSizeInBytes) collapsed every small-byte
+        # exchange to ONE post-shuffle partition, so CPU-dense stages whose
+        # input bytes are tiny (wedge intersection, Arrow pair kernels,
+        # cogrouped UDFs, ANN scoring) ran on 1 of 32 cores — bytes are the
+        # wrong proxy for compute density.  Interleaved same-session A/B at
+        # sf0.1 (OPTIMIZATION_r15.md): 15-query subset 40.3 s -> 25.1 s
+        # (udf_cogrouped_map 5.16 -> 0.88 s, graph_triangle 6.4 -> 3.7 s,
+        # market_basket_pairs 2.9 -> 1.2 s) with no control regression.
+        # minPartitionSize=64k (default 1m) extends the same fix to sub-MB
+        # shuffles; at cluster scale partitions exceed 1 MB and both knobs
+        # converge to advisory-size coalescing, so the production behavior
+        # is unchanged — this is bench-scale parallelism, not a local-only
+        # constant (the driver's lower-core bench run keeps scaling because
+        # partition counts still derive from shuffle.partitions ~ cores).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
