@@ -57,14 +57,21 @@ def get_spark(
         # sf0.1 (OPTIMIZATION_r15.md): 15-query subset 40.3 s -> 25.1 s
         # (udf_cogrouped_map 5.16 -> 0.88 s, graph_triangle 6.4 -> 3.7 s,
         # market_basket_pairs 2.9 -> 1.2 s) with no control regression.
-        # minPartitionSize=64k (default 1m) extends the same fix to sub-MB
-        # shuffles; at cluster scale partitions exceed 1 MB and both knobs
-        # converge to advisory-size coalescing, so the production behavior
-        # is unchanged — this is bench-scale parallelism, not a local-only
-        # constant (the driver's lower-core bench run keeps scaling because
-        # partition counts still derive from shuffle.partitions ~ cores).
+        # minPartitionSize=128k (default 1m) extends the same fix to sub-MB
+        # shuffles.  Sizing measured with rotated-order quiet interleaves
+        # (min-of-6): 64k vs 256k vs 1m read 9.75 / 9.74 / 12.60 s on a
+        # 12-query basket — 64k wins only udf_cogrouped_map (0.89 vs
+        # 2.52 / 5.10: more Python workers in parallel) while costing the
+        # mid-tail ~0.1 s/query in task overhead; 128k vs 256k read
+        # 9.91 / 10.40 with the tail inside noise — 128k keeps most of
+        # the cogroup win at no measured tail cost.  At cluster scale
+        # partitions exceed 1 MB and both knobs converge to advisory-size
+        # coalescing, so production behavior is unchanged — this is
+        # bench-scale parallelism, not a local-only constant (the
+        # driver's lower-core bench run keeps scaling because partition
+        # counts still derive from shuffle.partitions ~ cores).
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "128k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
