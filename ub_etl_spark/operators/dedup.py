@@ -785,13 +785,27 @@ def substring_spans(
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("__toks")
     )
-    gram = F.concat_ws(
-        " ", *[F.element_at("__toks", F.col("pos") + j + 1) for j in range(k)]
-    )
+    # r15 (guide §1.2 per-task work): hash the k tokens as SEPARATE
+    # xxhash64 arguments instead of materializing a ~100-char concat_ws
+    # string per token offset just to hash it.  The pass-1 hash only has
+    # to respect k-gram EQUALITY (equal token windows must hash equal;
+    # collisions are removed by the pass-2 string verify, misses cannot
+    # happen for equal windows) — and the multi-arg form is strictly
+    # more precise than concat_ws, which conflated token boundaries
+    # ("a b"+"c" vs "a"+"b c").  Output is bit-identical by the pass-2
+    # verify construction; pytest twin + sf0.001 brute-force oracle
+    # re-verified.  Quiet-gated min-of-6 at sf0.1: 1.83 s -> 1.38 s
+    # (same method as the fan-out rejection above).
     sh_h = (
         toks.select("doc_id", "__toks", F.posexplode("__toks").alias("pos", "__tok"))
         .filter(F.col("pos") <= F.size("__toks") - k)
-        .select("doc_id", "pos", F.xxhash64(gram).alias("h"))
+        .select(
+            "doc_id",
+            "pos",
+            F.xxhash64(
+                *[F.element_at("__toks", F.col("pos") + j + 1) for j in range(k)]
+            ).alias("h"),
+        )
     )
     dup_h = (
         sh_h.groupBy("h")
