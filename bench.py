@@ -28,6 +28,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from ub_etl_spark.queries.similarity import clear_ann_caches  # noqa: E402
 from ub_etl_spark.registry import load_all  # noqa: E402
 from ub_etl_spark.session import get_spark, release_persisted  # noqa: E402
 
@@ -1131,6 +1132,12 @@ def main() -> None:
     ratio: dict[str, float | None] = {}
     for _pass in range(3):
         machine_state_per_pass.append(machine_state())
+        # r15 verdict task 5: drop the ANN train-once memos at every pass
+        # boundary so each sim_ann_* sample pays its own centroid/codebook
+        # training — the min-of-passes methodology otherwise hands those
+        # two queries a warm-only minimum no other query gets.  Expected
+        # steady state in ann_cache_stats is now misses == samples.
+        clear_ann_caches()
         for name in HEADLINE:
             if over_budget():
                 break
@@ -1170,6 +1177,7 @@ def main() -> None:
         for n in HEADLINE
         if samples[n] and max(samples[n]) > 1.5 * min(samples[n]) + 0.05
     ]
+    clear_ann_caches()  # noisy re-measures pay training too (see pass loop)
     for name in noisy:
         if over_budget():
             break
@@ -1712,15 +1720,30 @@ def main() -> None:
         n_dup += 1
     with open(arch, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
-    )
     regressed = dict(
         sorted(
             ((n, d) for n, d in delta_vs_prev.items() if d >= 2.0),
             key=lambda kv: -kv[1],
         )[:5]
     )
+    # r15 verdict task 1: the driver's PERF/scaling tables read the
+    # per-query map FROM THE PRINTED LINE, and r15's line carried only
+    # the top-10 slowest — so PERF_r15 per_query came back {} and the
+    # geomean/core-scaling comparisons could not populate.  The driver
+    # json-parses only the LAST ~2000 chars of stdout (BENCH_r01 parsed
+    # at a 2.0 KB line; r02/r03 grew past the window and came back
+    # "parsed": null), so the FULL 262-query map (~8 KB) cannot ride in
+    # the line verbatim.  What fits: "queries" carries per-query seconds
+    # (2-decimal, descending) for as many queries as the window takes —
+    # in practice the ~50 most expensive, i.e. every query above ~0.6 s;
+    # the dropped tail is the scheduling-floor regime by the artifact's
+    # own decomposition (n_subfloor/n_floor_adjacent), where a geomean
+    # measures box noise, not plans.  Verbose aggregates that previously
+    # padded the line (rolling-floor ratios, slowest_queries_s — now
+    # subsumed by "queries" — top_regressions, healed counters) moved to
+    # the detail sidecar (detail_file), which keeps the full map and the
+    # full oracle map as before.
+    q_desc = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
     line = {
         "metric": "headline_query_wall_clock_total",
         "value": total,
@@ -1734,26 +1757,17 @@ def main() -> None:
         "aggregate_ratio_excl_subfloor": agg_ratio_excl,
         "median_ratio_meaningful_oracle": median_ratio_meaningful,
         "aggregate_ratio_excl_subfloor_and_exceptions": agg_ratio_plan,
-        "aggregate_ratio_excl_subfloor_vs_rolling_floor": agg_ratio_excl_rolling,
-        "median_ratio_meaningful_vs_rolling_floor": median_ratio_meaningful_rolling,
         "n_subfloor": len(sub_floor),
         "n_floor_adjacent": len(floor_adjacent),
-        "n_small_oracle_cap_only": len(small_oracle_cap_only),
         "n_unexplained_over_2x_floor_adj": len(unexplained_over_2x),
         "load_avg_1m_per_pass": [m["load_avg_1m"] for m in machine_state_per_pass],
-        "n_exceptions_healed_below_2x": sum(
-            1 for n in DOCUMENTED_EXCEPTIONS if healed_below_2x(n)
-        ),
         "n_over_abs_gate_undocumented": len(over_abs_gate_undocumented),
         "n_budget_truncated": len(truncated),
         "n_regressed_2x_vs_prev": len(regressed),
-        # medians of per-query round-over-round deltas: engine side vs
-        # comparator side — 1.0/1.0 means only the sum aggregates moved
-        # (single-query oracle drift), not the engine
+        # median of per-query round-over-round deltas (engine side; the
+        # oracle-side median stays in the detail sidecar)
         "median_delta_vs_prev": median_delta_vs_prev,
-        "median_oracle_delta_vs_prev": median_oracle_delta_vs_prev,
-        "top_regressions_vs_prev": regressed,
-        "slowest_queries_s": slowest,
+        "queries": {n: round(s, 2) for n, s in q_desc},
         "detail_file": os.path.basename(detail_path),
     }
     if detail["extra_conf"]:
@@ -1761,11 +1775,13 @@ def main() -> None:
         # session-conf override must be impossible to mistake for a
         # convention-clean run
         line["extra_conf"] = detail["extra_conf"]
-    out = json.dumps(line)
     # hard guard: the line MUST fit the driver's 2000-char capture window
-    while len(out) > 1900 and line["slowest_queries_s"]:
-        line["slowest_queries_s"].popitem()
-        out = json.dumps(line)
+    # (compact separators buy ~15%); trim the CHEAPEST queries first so
+    # the map always keeps the expensive head the PERF tables need
+    out = json.dumps(line, separators=(",", ":"))
+    while len(out) > 1940 and line["queries"]:
+        line["queries"].pop(next(reversed(line["queries"])))
+        out = json.dumps(line, separators=(",", ":"))
     print(out)
 
 

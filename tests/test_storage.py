@@ -380,3 +380,45 @@ def test_delete_where_drains_hive_escaped_partition(spark, tmp_path):
     # untouched partition still present
     dirs_after = {d for d in os.listdir(path) if "=" in d}
     assert dirs_after == {"part=plain"}
+
+
+def test_hot_bucket_write_rolls_files_at_max_records(spark, table_dir, monkeypatch):
+    """r15 verdict task 6 (guide §5/§6): the one-task-per-bucket write
+    layout must not produce an unbounded single FILE for a hot bucket at
+    scale — maxRecordsPerFile makes the writer roll to a new file past
+    the cap (same task, same directory).  Pinned with a tiny cap; at the
+    default cap the bench-scale layout stays exactly one file per
+    directory (the layout tests above)."""
+    import ub_etl_spark.operators.storage as storage
+
+    monkeypatch.setattr(storage, "MAX_RECORDS_PER_BUCKET_FILE", 10)
+
+    def bucket_file_rows(path):
+        out = {}
+        for name in os.listdir(path):
+            if not name.startswith(f"{BUCKET_COL}="):
+                continue
+            full = os.path.join(path, name)
+            parts = [f for f in os.listdir(full) if f.endswith(".parquet")]
+            out[name] = [
+                spark.read.parquet(os.path.join(full, f)).count() for f in parts
+            ]
+        return out
+
+    df = spark.range(100).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
+    storage.write_bucketed(df, table_dir, ["k"], n_buckets=2)
+    sizes = bucket_file_rows(table_dir)
+    assert len(sizes) == 2
+    for name, rows_per_file in sizes.items():
+        assert len(rows_per_file) > 1, f"{name}: one unbounded file for a hot bucket"
+        assert max(rows_per_file) <= 10, f"{name}: file over the cap ({rows_per_file})"
+    assert read_table(spark, table_dir).count() == 100
+
+    # the merge rewrite honors the same cap
+    upd = spark.range(100).select(F.col("id").alias("k"), F.lit(2.0).alias("v"))
+    merge_into_bucketed(spark, table_dir, upd, ["k"], n_buckets=2)
+    for name, rows_per_file in bucket_file_rows(table_dir).items():
+        assert max(rows_per_file) <= 10, f"{name}: merge wrote over the cap"
+    out = read_table(spark, table_dir)
+    assert out.count() == 100
+    assert out.agg(F.min("v"), F.max("v")).first() == (2.0, 2.0)

@@ -52,9 +52,22 @@ def main() -> None:
         while os.getloadavg()[0] > thresh and time.time() - t0 < limit_s:
             time.sleep(10)
 
+    # r15 ADVICE: when variants' key SETS differ, a conf set by variant A
+    # must not silently persist into variant B's measurement — snapshot
+    # the session baseline for the UNION of all variant keys once, and
+    # before each run set EVERY key in that union (variant value or the
+    # baseline) instead of only the variant's own keys.
+    all_keys = sorted({k for conf in variants.values() for k in conf})
+    baseline: dict[str, str | None] = {}
+
     def run(name: str, conf: dict[str, str]) -> float:
-        for k, v in conf.items():
-            spark.conf.set(k, v)
+        for k in all_keys:
+            if k in conf:
+                spark.conf.set(k, conf[k])
+            elif baseline.get(k) is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, baseline[k])
         t0 = time.perf_counter()
         registry[name].fn(spark, sf).write.mode("overwrite").format("noop").save()
         dt = time.perf_counter() - t0
@@ -62,6 +75,11 @@ def main() -> None:
         spark.catalog.clearCache()
         return round(dt, 3)
 
+    for k in all_keys:
+        try:
+            baseline[k] = spark.conf.get(k)
+        except Exception:  # unset in this session and no default
+            baseline[k] = None
     run("scan_parquet", {})
     names = list(variants)
     res: dict[tuple[str, str], list[float]] = {

@@ -57,20 +57,45 @@ def _with_bucket(df: DataFrame, keys: Sequence[str], n_buckets: int) -> DataFram
     return df.withColumn(BUCKET_COL, F.pmod(F.xxhash64(*keys), F.lit(n_buckets)))
 
 
+
+# r15 verdict task 6 (guide §5 spill / §6 file sizing): keying the write
+# exchange on the bucket column puts each bucket in ONE task — correct at
+# bench scale, but at 100 TB a hot bucket would become one multi-GB
+# single-task FILE with nothing bounding it.  maxRecordsPerFile makes the
+# writer roll to a new file past the cap (same task, same directory), so
+# the worst case is bounded file sizes at the cost of extra files only in
+# the buckets that actually overflow.  Env-tunable for deployments whose
+# row width differs; the default (5M rows ~ a few hundred MB of typical
+# fact rows) never fires at bench scale, so the bench layout — exactly
+# one file per touched directory — is unchanged (asserted in
+# tests/test_storage.py).
+MAX_RECORDS_PER_BUCKET_FILE = int(
+    os.environ.get("SPARK_GRAFT_MAX_RECORDS_PER_FILE", 5_000_000)
+)
+
+
 def write_bucketed(df: DataFrame, path: str, keys: Sequence[str], n_buckets: int = 64) -> None:
     """Initial load: partition the table by stable key-hash bucket.
 
-    r15 (guide §6): hash-repartition on the bucket column before the
-    write so every bucket directory gets exactly ONE file from exactly
-    one task.  Without it the writer emits (input tasks x touched
-    buckets) files — a single-split input writes all directories
-    serially from one task, and a many-task upstream sprays small files
-    into every directory.  The exchange is keyed on the value that names
-    the output directory, so it is the minimal data movement that
-    achieves the layout."""
-    _with_bucket(df, keys, n_buckets).repartition(
+    r15 (guide §6): repartition on the bucket column before the write so
+    every bucket directory gets exactly ONE file from exactly one task.
+    Without it the writer emits (input tasks x touched buckets) files — a
+    single-split input writes all directories serially from one task, and
+    a many-task upstream sprays small files into every directory.  The
+    exchange is keyed on the value that names the output directory, so it
+    is the minimal data movement that achieves the layout.
+
+    r16 (ADVICE r15): repartitionByRange, not hash — hash-partitioning
+    the dense 0..n-1 bucket ids collides ~1/e of the writer tasks empty
+    while others write 2-3 directories serially; range partitioning on
+    a dense integer key is near-perfect 1 bucket : 1 task, so the
+    initial load writes all directories concurrently.  One-file-per-
+    directory is unchanged (equal keys land in one range partition)."""
+    _with_bucket(df, keys, n_buckets).repartitionByRange(
         n_buckets, F.col(BUCKET_COL)
-    ).write.partitionBy(BUCKET_COL).mode("overwrite").parquet(path)
+    ).write.option("maxRecordsPerFile", MAX_RECORDS_PER_BUCKET_FILE).partitionBy(
+        BUCKET_COL
+    ).mode("overwrite").parquet(path)
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
@@ -167,10 +192,11 @@ def insert_ignore_into_bucketed(
         .select(*keys)
     )
     new = b.join(existing, list(keys), "left_anti")
-    # one appended file per touched directory (see merge_into_bucketed)
-    new.repartition(max(len(touched), 1), F.col(BUCKET_COL)).write.partitionBy(
-        BUCKET_COL
-    ).mode("append").parquet(path)
+    # one appended file per touched directory (see merge_into_bucketed);
+    # maxRecordsPerFile bounds a hot bucket's file at scale (module note)
+    new.repartition(max(len(touched), 1), F.col(BUCKET_COL)).write.option(
+        "maxRecordsPerFile", MAX_RECORDS_PER_BUCKET_FILE
+    ).partitionBy(BUCKET_COL).mode("append").parquet(path)
 
 
 def zorder_key(
@@ -329,6 +355,8 @@ def merge_into_bucketed(
         merged.repartition(max(len(touched), 1), F.col(BUCKET_COL))
         .write.partitionBy(BUCKET_COL)
         .option("partitionOverwriteMode", "dynamic")  # only touched dirs replaced
+        # bound a hot bucket's rewritten file at scale (module note)
+        .option("maxRecordsPerFile", MAX_RECORDS_PER_BUCKET_FILE)
         .mode("overwrite")
         .parquet(path)
     )

@@ -787,9 +787,21 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # evenly (output-bound stage, no key skew possible); the exchange
     # itself moves only |points| rows.  Measured at sf0.1 (r15): 8.2 s
     # (bench) -> 1.07 s min-of-3 together with the POWER->multiply
-    # rewrite below; value parity re-verified at sf0.01 and sf0.1.  At
+    # rewrite below; value parity re-verified at sf0.01 and sf0.1 (and
+    # recorded in plans/r16/join_spatial_grid_parity.txt, r15 ADVICE).  At
     # cluster scale the scan arrives multi-split and the exchange stays
     # |points|-cheap.
+    #
+    # PRECONDITION (r15 ADVICE): this repartition pays off while the
+    # exploded side `b` broadcasts (its post-explode size estimate sits
+    # under the broadcast threshold here, and AQE confirms at runtime).
+    # If a deployment's points table outgrows broadcast, the join falls
+    # back to shuffle on (cx, cy), `a` is immediately re-shuffled by key,
+    # and this round-robin exchange becomes a pure extra pass over the
+    # points — drop it in that regime.  No F.broadcast(b) hint on
+    # purpose: pinning a 5x-exploded side to broadcast is exactly the
+    # 100 TB hazard §3.1 warns about; the size-based auto decision is the
+    # correct selector in both regimes.
     a = pts.select("id", "x", "y", cx.alias("cx"), cy.alias("cy")).repartition(
         spark.sparkContext.defaultParallelism
     )

@@ -79,6 +79,22 @@ _IVF_CACHE: dict[tuple[str, int], list] = {}
 CACHE_STATS = {"ivf_hits": 0, "ivf_misses": 0, "pq_hits": 0, "pq_misses": 0}
 
 
+def clear_ann_caches() -> None:
+    """Drop the train-once codebook/centroid memos (counters stay).
+
+    r15 verdict task 5: the bench's min-of-passes methodology plus a
+    cross-pass Python memo gave sim_ann_ivf / sim_ann_pq a warm-only
+    committed minimum no other query gets (r15 driver samples: [4.25,
+    3.05, 1.32, 1.14] = 1 miss / 3 hits).  bench.py now calls this at
+    the START of every pass, so each sample pays centroid/codebook
+    training like every other query pays its own plan — the committed
+    min is a cold number (ann_cache_stats: misses == samples).  The
+    cache itself stays: train-once / probe-many is the operator's real
+    usage shape (tests and ad-hoc sessions still benefit)."""
+    _IVF_CACHE.clear()
+    _PQ_CACHE.clear()
+
+
 def _ivf_cents(spark: SparkSession, sf_dir: str, nlist: int):
     key = (sf_dir, nlist)
     if key not in _IVF_CACHE:
