@@ -807,6 +807,17 @@ def substring_spans(
             ).alias("h"),
         )
     )
+    # r16 MEASURED NON-CHANGE (the r15-verdict "pass-1 double
+    # computation" lever): a single-pass groupBy(h) + collect_list(
+    # struct(doc_id, pos)) + size(array_distinct)>=min_docs + explode —
+    # which computes sh_h once instead of twice — read 2.12 s vs this
+    # form's 2.04 s (same-session rotated min-of-5; the recomputed hash
+    # pass is only 0.34 s map-only).  The struct-payload exchange plus
+    # per-hash array build costs what it saves, and at 100 TB a hot
+    # boilerplate k-gram would land ALL its (doc_id, pos) rows in one
+    # task's collect_list, where this form's countDistinct spreads
+    # (h, doc_id) partials map-side.  Rejected with data; output parity
+    # checked in-session (413/413 rows at sf0.1).
     dup_h = (
         sh_h.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))

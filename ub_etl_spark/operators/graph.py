@@ -106,7 +106,19 @@ def count_triangles(edges: DataFrame, broadcast_adjacency: bool = True) -> DataF
     # hierarchy_flatten_paths convention); bench/test sessions clear
     # caches between passes.
     edges = edges.persist()
-    deg = degrees(edges)
+    # r16 (guide §2.4 remove redundant work): deg feeds THREE consumers —
+    # the du broadcast build, the dv broadcast build, and the stats agg —
+    # and each broadcast build is its own job re-running the degree
+    # aggregate from the cached edges.  Persisting the |V|-row deg frame
+    # (same dim-scale class as the adjacency broadcast below) collapses
+    # the three runs into one: measured 5.24 s -> 4.00 s min-of-5
+    # rotated-order same-session at sf0.1 together with the adj persist
+    # below; output bit-identical (parity-checked in-session).  NB the
+    # same lever MEASURED AND REJECTED on graph_jaccard_link_prediction
+    # (5.02 -> 5.33 s): there deg has only the two broadcast consumers
+    # and the eager materialization barrier costs more than the one
+    # saved aggregate — three consumers is the break-even on this box.
+    deg = degrees(edges).persist()
     # degree tags broadcast: deg is |nodes|-sized (dim scale here; at
     # web scale drop the hint and let AQE pick the join side)
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
@@ -119,9 +131,15 @@ def count_triangles(edges: DataFrame, broadcast_adjacency: bool = True) -> DataF
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
     ).persist()
+    # r16: adj feeds the a_adj AND b_adj broadcast builds — two jobs that
+    # each re-ran the collect_list aggregate from the cached oriented
+    # frame (the r15 single-aliased-broadcast restructure fails Spark's
+    # ambiguous-self-join analysis; persisting the source frame achieves
+    # the same single computation without aliasing).  Part of the
+    # 5.24 -> 4.00 s win above.
     adj = oriented.groupBy("src").agg(
         F.sort_array(F.collect_list("dst")).alias("nbrs")
-    )
+    ).persist()
     a_adj = adj.select(F.col("src").alias("src"), F.col("nbrs").alias("nbrs_a"))
     b_adj = adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nbrs_b"))
     if broadcast_adjacency:

@@ -209,7 +209,22 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     distinct pairs (baskets: ~K-fold repetition under amplification);
     here the probe-restricted wedge emits ~2.8M instances over ~2.06M
     distinct pairs — nothing to combine, so the Arrow round-trip is
-    pure overhead and codegen'd join+partial-agg is the right plan."""
+    pure overhead and codegen'd join+partial-agg is the right plan.
+
+    r16 levers MEASURED, all non-changes (rotated-order same-session
+    min-of-4/5 at sf0.1; decomposition: edge build 0.93 s, wedge
+    join+agg 4.17 s cumulative, full query ~5.0-5.8 s under load ~4):
+    (a) packing (x,y) into one long for the wedge agg key + anti-join
+    key (§2.3 narrower keys; raise_error guard for ids >= 2^31) read
+    5.22 vs 5.40 s — inside noise, not worth the 32-bit id
+    precondition; (b) F.broadcast(edges) on the anti-join right side
+    read 5.75 vs 5.82 s — AQE already plans the anti-join efficiently
+    and the explicit hint pins a |E|-scale broadcast hazard for
+    nothing; (c) persisting deg (the count_triangles r16 win) read
+    5.33 vs 5.02 s — deg has only TWO broadcast consumers here and the
+    eager materialization barrier costs more than the one saved
+    aggregate.  The residual is the wedge aggregate's 2.8M-instance
+    partial+final agg both engines pay (adjudicated r12/r14/r15)."""
     li = T(spark, sf_dir, "lineitem")
     edges = tracked_persist(basket_edges(li, "l_orderkey", "l_partkey"))
     sym = edges.unionAll(
